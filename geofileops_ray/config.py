@@ -1,0 +1,49 @@
+"""Engine configuration.
+
+Analogue of the reference's env-var option surface
+(geofileops/helpers/_options.py — GFO_NB_PARALLEL :312, GFO_TMPDIR :807,
+GFO_SLIVER_TOLERANCE :575, ...), re-expressed as a small typed object with
+env overrides. All knobs govern Ray Data physical execution (batch sizes,
+cell sizing for the spatial shuffle, salting thresholds), not semantics.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+
+def _env_float(name: str, default: float) -> float:
+    v = os.environ.get(name)
+    return float(v) if v else default
+
+
+def _env_int(name: str, default: int) -> int:
+    v = os.environ.get(name)
+    return int(v) if v else default
+
+
+@dataclass
+class Options:
+    # rows per Arrow batch handed to geometry kernels (map_batches batch_size)
+    batch_size: int = _env_int("GFR_BATCH_SIZE", 8192)
+    # spatial-shuffle cell edge length in layer units; one groupby key per cell
+    cell_size: float = _env_float("GFR_CELL_SIZE", 50.0)
+    # hot-cell salting: cells with more rows than this get split into
+    # ceil(count / salt_target) salted sub-keys (SURVEY.md §3.2 "Ray shape")
+    salt_threshold: int = _env_int("GFR_SALT_THRESHOLD", 4000)
+    salt_target: int = _env_int("GFR_SALT_TARGET", 2000)
+    # subdivide geometries with more coords than this before two-layer ops
+    # (reference default: 2000 for difference, 15000 for intersection,
+    # geofileops _geoops_sql.py:1893-1929)
+    subdivide_coords: int = _env_int("GFR_SUBDIVIDE_COORDS", 2000)
+    # number of shuffle partitions for groupby/join stages (0 = let Ray pick)
+    shuffle_partitions: int = _env_int("GFR_SHUFFLE_PARTITIONS", 0)
+    # sliver tolerance applied to overlay outputs (GFO_SLIVER_TOLERANCE
+    # default 0.001 projected, helpers/_options.py:575)
+    sliver_tolerance: float = _env_float("GFR_SLIVER_TOLERANCE", 0.001)
+    # lineage checkpoint directory ("" disables checkpointing)
+    checkpoint_dir: str = os.environ.get("GFR_CHECKPOINT_DIR", "")
+
+
+OPTIONS = Options()

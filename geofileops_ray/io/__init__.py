@@ -1,0 +1,13 @@
+from .synth import (  # noqa: F401
+    PARCELS_CTE,
+    POINTS_CTE,
+    ZONES_CTE,
+    read_documents,
+    synth_parcels_batch,
+    synth_points_batch,
+    synth_zones_batch,
+    parcels_dataset,
+    points_dataset,
+    zones_dataset,
+)
+from .readwrite import read_layer, write_layer  # noqa: F401

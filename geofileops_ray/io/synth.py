@@ -1,0 +1,289 @@
+"""Deterministic synthetic geometry layers over the driver's ``documents``
+table — the engine's canonical input per ``BASELINE.json`` ``input_hint``:
+
+    doc_id : int64
+    spans  : list<struct<kind:string, text:string, media_ref:string, offset:int32>>
+    geometry : binary (ISO WKB)
+    <scalar attr columns>
+
+Every derived value is **pure int64 arithmetic on doc_id** (LCG-style hash
+``h = doc_id * 2654435761 mod 2^32``) so the exact same layer can be
+reproduced by the DuckDB oracle in plain SQL (see the ``*_CTE`` strings,
+used by ``__ray_entry__.oracle_sql``). Coordinates are integers (parcels),
+half-integers (zones) and quarter-integers (points): exact in float64, and
+the three lattices never produce degenerate vertex-on-edge incidences
+*across* layers, which keeps parcels×zones overlays exact.
+
+Layer shapes mirror the reference's test corpus (FIXTURES.md):
+``parcels``  ≈ tests/data/polygon-parcel.gpkg (48 agricultural parcels —
+here sf-scaled, jittered-grid rectangles with a 20% dense "urban" cluster
+in 625 cells to exercise hot-cell salting); ``zones`` ≈
+polygon-zone.gpkg (large cover polygons, ~64% coverage); ``points`` ≈
+point.gpkg.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+# ---------------------------------------------------------------- constants
+
+_MULT = 2654435761  # Knuth multiplicative hash constant
+_MOD = 4294967296  # 2^32
+GRID_W = 100  # sparse grid columns
+CELL = 10  # grid pitch (units)
+URBAN_W = 25  # urban cluster is URBAN_W x URBAN_W grid cells
+
+SPAN_TYPE = pa.list_(
+    pa.struct(
+        [
+            ("kind", pa.string()),
+            ("text", pa.string()),
+            ("media_ref", pa.string()),
+            ("offset", pa.int32()),
+        ]
+    )
+)
+
+
+def _hash(doc_id: np.ndarray) -> np.ndarray:
+    return (doc_id.astype(np.int64) * _MULT) % _MOD
+
+
+# ------------------------------------------------------- WKB vector builders
+
+
+def rect_wkb(minx, miny, maxx, maxy) -> pa.Array:
+    """Vectorized WKB POLYGON (one CCW closed 5-point ring) per rectangle.
+
+    93 bytes/row: header(13) + 5 xy pairs. Zero Python loops.
+    """
+    n = len(minx)
+    coords = np.empty((n, 10), dtype="<f8")
+    coords[:, 0], coords[:, 1] = minx, miny
+    coords[:, 2], coords[:, 3] = maxx, miny
+    coords[:, 4], coords[:, 5] = maxx, maxy
+    coords[:, 6], coords[:, 7] = minx, maxy
+    coords[:, 8], coords[:, 9] = minx, miny
+    out = np.empty((n, 93), dtype=np.uint8)
+    header = np.frombuffer(
+        b"\x01\x03\x00\x00\x00\x01\x00\x00\x00\x05\x00\x00\x00", dtype=np.uint8
+    )
+    out[:, :13] = header
+    out[:, 13:] = coords.view(np.uint8).reshape(n, 80)
+    offsets = pa.array(np.arange(n + 1, dtype=np.int32) * 93)
+    return pa.Array.from_buffers(
+        pa.binary(), n, [None, offsets.buffers()[1], pa.py_buffer(out.tobytes())]
+    )
+
+
+def point_wkb(x, y) -> pa.Array:
+    """Vectorized WKB POINT per row (21 bytes/row)."""
+    n = len(x)
+    coords = np.empty((n, 2), dtype="<f8")
+    coords[:, 0], coords[:, 1] = x, y
+    out = np.empty((n, 21), dtype=np.uint8)
+    out[:, :5] = np.frombuffer(b"\x01\x01\x00\x00\x00", dtype=np.uint8)
+    out[:, 5:] = coords.view(np.uint8).reshape(n, 16)
+    offsets = pa.array(np.arange(n + 1, dtype=np.int32) * 21)
+    return pa.Array.from_buffers(
+        pa.binary(), n, [None, offsets.buffers()[1], pa.py_buffer(out.tobytes())]
+    )
+
+
+# ----------------------------------------------------------- span synthesis
+
+
+def _spans_array(doc_id: np.ndarray, text: list[str]) -> pa.Array:
+    """Three spans per doc: text / media / geom (input_hint interleaved
+    shape). Deterministic from doc_id + the document's own text."""
+    h = _hash(doc_id)
+    kinds, texts, refs, offs = [], [], [], []
+    for i in range(len(doc_id)):
+        kinds.extend(("text", "media", "geom"))
+        texts.extend(((text[i] or "")[:32], "", ""))
+        refs.extend(("", f"media://{h[i] % 1000}", ""))
+        offs.extend((0, 1, 2))
+    structs = pa.StructArray.from_arrays(
+        [
+            pa.array(kinds, pa.string()),
+            pa.array(texts, pa.string()),
+            pa.array(refs, pa.string()),
+            pa.array(offs, pa.int32()),
+        ],
+        names=["kind", "text", "media_ref", "offset"],
+    )
+    offsets = pa.array(np.arange(len(doc_id) + 1, dtype=np.int32) * 3)
+    return pa.ListArray.from_arrays(offsets, structs)
+
+
+# ---------------------------------------------------------- parcels (layer 1)
+
+
+def _parcel_grid(doc_id: np.ndarray):
+    h = _hash(doc_id)
+    urban = h % 5 == 0
+    gx = np.where(urban, (h // 7) % URBAN_W, doc_id % GRID_W)
+    gy = np.where(urban, (h // 7) // URBAN_W % URBAN_W, doc_id // GRID_W)
+    return h, gx, gy
+
+
+def synth_parcels_batch(batch: pa.Table) -> pa.Table:
+    """documents batch (doc_id, text, lang) → parcels layer batch."""
+    doc_id = batch.column("doc_id").to_numpy()
+    text = batch.column("text").to_pylist()
+    h, gx, gy = _parcel_grid(doc_id)
+    dx, dy = h % 5, (h // 5) % 5
+    w, ht = 4 + (h // 25) % 5, 4 + (h // 125) % 5
+    minx = (gx * CELL + dx).astype(np.float64)
+    miny = (gy * CELL + dy).astype(np.float64)
+    maxx = minx + w
+    maxy = miny + ht
+    cols = {
+        "doc_id": pa.array(doc_id, pa.int64()),
+        "spans": _spans_array(doc_id, text),
+        "geometry": rect_wkb(minx, miny, maxx, maxy),
+        "OIDN": pa.array(doc_id, pa.int64()),
+        "UIDN": pa.array(doc_id + 1000000, pa.int64()),
+        "GEWASGROEP": pa.array([f"G{v}" for v in h % 6], pa.string()),
+        "HFDTLT": pa.array([f"C{v}" for v in h % 20], pa.string()),
+        "LBLHFDTLT": pa.array([f"crop_{v}" for v in h % 20], pa.string()),
+        "LENGTE": pa.array((2 * (w + ht)).astype(np.float64), pa.float64()),
+        "OPPERVL": pa.array((w * ht).astype(np.float64), pa.float64()),
+        "lang": batch.column("lang"),
+    }
+    return pa.table(cols)
+
+
+# SQL mirror of synth_parcels_batch for the DuckDB oracle. Integer-exact.
+PARCELS_CTE = """
+parcels AS (
+  SELECT doc_id,
+         CAST(minx AS DOUBLE) AS minx, CAST(miny AS DOUBLE) AS miny,
+         CAST(minx + w AS DOUBLE) AS maxx, CAST(miny + ht AS DOUBLE) AS maxy,
+         doc_id AS OIDN, doc_id + 1000000 AS UIDN,
+         'G' || CAST(h % 6 AS VARCHAR) AS GEWASGROEP,
+         'C' || CAST(h % 20 AS VARCHAR) AS HFDTLT,
+         'crop_' || CAST(h % 20 AS VARCHAR) AS LBLHFDTLT,
+         CAST(2 * (w + ht) AS DOUBLE) AS LENGTE,
+         CAST(w * ht AS DOUBLE) AS OPPERVL,
+         lang
+  FROM (
+    SELECT doc_id, lang, h,
+           (CASE WHEN h % 5 = 0 THEN (h // 7) % 25 ELSE doc_id % 100 END) * 10
+             + h % 5 AS minx,
+           (CASE WHEN h % 5 = 0 THEN ((h // 7) // 25) % 25 ELSE doc_id // 100 END) * 10
+             + (h // 5) % 5 AS miny,
+           4 + (h // 25) % 5 AS w,
+           4 + (h // 125) % 5 AS ht
+    FROM (SELECT doc_id, lang, (doc_id * 2654435761) % 4294967296 AS h
+          FROM documents)
+  )
+)
+"""
+
+
+def read_documents(sf_dir: str, columns=("doc_id", "text", "lang")) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
+
+
+def parcels_dataset(sf_dir: str) -> ray.data.Dataset:
+    """The canonical layer-1 Dataset: read documents (pruned to the 3 used
+    columns) → encode stage extracting geometry + attrs from the doc."""
+    return read_documents(sf_dir).map_batches(
+        synth_parcels_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+# ------------------------------------------------------------ zones (layer 2)
+
+
+def synth_zones_batch(batch: pa.Table) -> pa.Table:
+    """documents batch → zones layer (1 zone per 100 docs; half-integer
+    coords ⇒ degeneracy-free overlays vs parcels)."""
+    doc_id = batch.column("doc_id").to_numpy()
+    text = batch.column("text").to_pylist()
+    sel = doc_id % 100 == 0
+    doc_id = doc_id[sel]
+    text = [t for t, s in zip(text, sel) if s]
+    zid = doc_id // 100
+    zgx, zgy = zid % 8, zid // 8
+    minx = zgx * 125 + 0.5
+    miny = zgy * 125 + 0.5
+    cols = {
+        "doc_id": pa.array(doc_id, pa.int64()),
+        "spans": _spans_array(doc_id, text),
+        "geometry": rect_wkb(minx, miny, minx + 100, miny + 100),
+        "naam": pa.array([f"zone_{z}" for z in zid], pa.string()),
+        "OIDN": pa.array(zid, pa.int64()),
+    }
+    return pa.table(cols)
+
+
+ZONES_CTE = """
+zones AS (
+  SELECT doc_id,
+         CAST(zgx * 125 AS DOUBLE) + 0.5 AS minx,
+         CAST(zgy * 125 AS DOUBLE) + 0.5 AS miny,
+         CAST(zgx * 125 AS DOUBLE) + 100.5 AS maxx,
+         CAST(zgy * 125 AS DOUBLE) + 100.5 AS maxy,
+         'zone_' || CAST(zid AS VARCHAR) AS naam,
+         zid AS OIDN
+  FROM (SELECT doc_id, doc_id // 100 AS zid, (doc_id // 100) % 8 AS zgx,
+               (doc_id // 100) // 8 AS zgy
+        FROM documents WHERE doc_id % 100 = 0)
+)
+"""
+
+
+def zones_dataset(sf_dir: str) -> ray.data.Dataset:
+    return read_documents(sf_dir).map_batches(
+        synth_zones_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+# ----------------------------------------------------------- points (layer 3)
+
+
+def synth_points_batch(batch: pa.Table) -> pa.Table:
+    """documents batch → point layer (quarter-integer coords ⇒ never on a
+    parcel or zone edge)."""
+    doc_id = batch.column("doc_id").to_numpy()
+    text = batch.column("text").to_pylist()
+    h, gx, gy = _parcel_grid(doc_id)
+    px = (gx * CELL + h % 9).astype(np.float64) + 0.25
+    py = (gy * CELL + (h // 9) % 9).astype(np.float64) + 0.25
+    cols = {
+        "doc_id": pa.array(doc_id, pa.int64()),
+        "spans": _spans_array(doc_id, text),
+        "geometry": point_wkb(px, py),
+        "naam": pa.array([f"pt_{d}" for d in doc_id], pa.string()),
+        "x": pa.array(px, pa.float64()),
+        "y": pa.array(py, pa.float64()),
+    }
+    return pa.table(cols)
+
+
+POINTS_CTE = """
+points AS (
+  SELECT doc_id,
+         CAST(gx * 10 + h % 9 AS DOUBLE) + 0.25 AS x,
+         CAST(gy * 10 + (h // 9) % 9 AS DOUBLE) + 0.25 AS y,
+         'pt_' || CAST(doc_id AS VARCHAR) AS naam
+  FROM (
+    SELECT doc_id, h,
+           CASE WHEN h % 5 = 0 THEN (h // 7) % 25 ELSE doc_id % 100 END AS gx,
+           CASE WHEN h % 5 = 0 THEN ((h // 7) // 25) % 25 ELSE doc_id // 100 END AS gy
+    FROM (SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS h FROM documents)
+  )
+)
+"""
+
+
+def points_dataset(sf_dir: str) -> ray.data.Dataset:
+    return read_documents(sf_dir).map_batches(
+        synth_points_batch, batch_format="pyarrow", zero_copy_batch=True
+    )

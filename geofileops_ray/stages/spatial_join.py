@@ -1,0 +1,503 @@
+"""Two-layer spatial joins as cell-shuffled Ray Data pipelines.
+
+The reference's two-layer executor (_two_layer_vector_operation,
+geofileops _geoops_sql.py:3295-3871) batches layer1 by rowid and runs a
+SQL template with a manual R-tree bbox prefilter per batch. Our shape
+(SURVEY.md §3.2): both layers → batched cell assignment with multi-cell
+replication (tiling/cells.py) → one tagged union → ``groupby(__cell)``
+co-shuffle (hot cells salted) → per-cell candidate generation with a
+numpy bbox sort-sweep → exact predicate evaluation (stages/relation.py)
+→ op-specific emission; cross-cell duplicate pairs suppressed by the
+reference-cell rule (the unique cell containing the min-corner of the
+two bboxes' overlap).
+
+Ops here:
+* join_by_location  (geoops.py:3051; inner + left via discard_nonmatching)
+* export_by_location (geoops.py:2308; spatial semi/anti join)
+* export_by_distance (geoops.py:2437; dwithin semi-join)
+* join (geoops.py:2940; attribute equi-join — Ray Data hash join)
+* delete_duplicate_geometries (geoops.py:985; normalized-WKB dedup)
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data.aggregate import Max, Sum
+
+from ..config import OPTIONS
+from ..geom import GeometryArray, bbox_join, from_wkb
+from ..tiling.cells import CELL_OFFSET, CELL_SHIFT, _SALT_SHIFT, compute_salt_map, replicate_to_cells
+from .geometry_batch import decode_geometry
+from .relation import RelationQuery, evaluate_pairs, pair_distances
+
+_GEOM = "geometry"
+
+
+# ------------------------------------------------------------ side prep
+
+
+def _prefixed_schema(schema: pa.Schema, prefix: str, keep: list[str]) -> list[pa.Field]:
+    fields = []
+    for name in keep:
+        f = schema.field(name)
+        fields.append(pa.field(prefix + name, f.type))
+    return fields
+
+
+def _project_side(
+    ds: ray.data.Dataset,
+    side: int,
+    all_fields: list[pa.Field],
+    size: float,
+    expand: float = 0.0,
+    salt_map: dict[int, int] | None = None,
+    salt_mode: str = "none",
+) -> ray.data.Dataset:
+    """Project to the carried columns, prefix them, add the other side's
+    columns as nulls — both sides emit the SAME column order so the
+    tagged union is schema-aligned — then replicate to cells."""
+    prefix = f"l{side + 1}_"
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ga = decode_geometry(batch)
+        cols: dict[str, pa.Array] = {}
+        n = len(batch)
+        for f in all_fields:
+            if f.name.startswith(prefix):
+                cols[f.name] = batch.column(f.name[len(prefix):]).combine_chunks()
+            else:
+                cols[f.name] = pa.nulls(n, f.type)
+        cols["__side"] = pa.array(np.full(n, side, dtype=np.int8))
+        out = pa.table(cols)
+        return replicate_to_cells(
+            out, size, ga.bounds(), expand=expand,
+            salt_map=salt_map, salt_mode=salt_mode,
+            id_col=f"{prefix}doc_id",
+        )
+
+    return ds.map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=OPTIONS.batch_size,
+    )
+
+
+def cell_cogroup(
+    ds1: ray.data.Dataset,
+    ds2: ray.data.Dataset,
+    group_fn: Callable[[pa.Table, GeometryArray, pa.Table, GeometryArray, int], pa.Table | None],
+    cols1: list[str],
+    cols2: list[str],
+    size: float | None = None,
+    expand1: float = 0.0,
+    salt: bool = False,
+) -> ray.data.Dataset:
+    """The co-group harness. ``group_fn(t1, ga1, t2, ga2, cell)`` is
+    called per cell with the two decoded sides (columns already
+    l1_/l2_-prefixed) and must return an output table (or None).
+
+    ``salt=True`` computes a hot-cell salt map from layer1 counts first
+    (one cheap pre-pass), splits layer1 rows of hot cells into k sub-keys
+    and replicates layer2 rows to all k — the explicit skew defense the
+    north rule requires."""
+    size = size or OPTIONS.cell_size
+    if "doc_id" not in cols1:
+        cols1 = ["doc_id", *cols1]
+    if "doc_id" not in cols2:
+        cols2 = ["doc_id", *cols2]
+    if _GEOM not in cols1:
+        cols1 = [*cols1, _GEOM]
+    if _GEOM not in cols2:
+        cols2 = [*cols2, _GEOM]
+    sch1, sch2 = ds1.schema().base_schema, ds2.schema().base_schema
+    f1 = _prefixed_schema(sch1, "l1_", cols1)
+    f2 = _prefixed_schema(sch2, "l2_", cols2)
+    all_fields = f1 + f2
+    salt_map = (
+        compute_salt_map(ds1, size, expand=expand1) if salt else None
+    )
+    t1 = _project_side(
+        ds1, 0, all_fields, size, expand=expand1,
+        salt_map=salt_map, salt_mode="split",
+    )
+    t2 = _project_side(
+        ds2, 1, all_fields, size,
+        salt_map=salt_map, salt_mode="replicate",
+    )
+    tagged = t1.union(t2)
+
+    def per_group(group: pa.Table) -> pa.Table:
+        cell = int(group.column("__cell")[0].as_py()) >> _SALT_SHIFT
+        g1 = group.filter(pc.equal(group.column("__side"), 0)).select(
+            [f.name for f in f1]
+        )
+        g2 = group.filter(pc.equal(group.column("__side"), 1)).select(
+            [f.name for f in f2]
+        )
+        ga1 = from_wkb(g1.column("l1_" + _GEOM).to_pylist())
+        ga2 = from_wkb(g2.column("l2_" + _GEOM).to_pylist())
+        # contract: group_fn always returns a table (possibly 0 rows)
+        # with a stable schema, so Ray's block schema tracking stays sane
+        return group_fn(g1, ga1, g2, ga2, cell)
+
+    return tagged.groupby("__cell").map_groups(per_group, batch_format="pyarrow")
+
+
+# --------------------------------------------------------- dedup helpers
+
+
+def _ref_cell(b1: np.ndarray, b2: np.ndarray, size: float) -> np.ndarray:
+    """Cell id of the min-corner of bbox-overlap per pair — each candidate
+    pair has exactly one such cell among the cells both rows were
+    replicated to, so emitting only there dedupes cross-cell pairs."""
+    x = np.maximum(b1[:, 0], b2[:, 0])
+    y = np.maximum(b1[:, 1], b2[:, 1])
+    cx = np.floor(x / size).astype(np.int64)
+    cy = np.floor(y / size).astype(np.int64)
+    return ((cx + CELL_OFFSET) << CELL_SHIFT) | (cy + CELL_OFFSET)
+
+
+def _owner_cell(b: np.ndarray, size: float) -> np.ndarray:
+    """Cell owning a single row (its bbox min corner) — for emitting each
+    layer1 row exactly once across its replicas."""
+    cx = np.floor(b[:, 0] / size).astype(np.int64)
+    cy = np.floor(b[:, 1] / size).astype(np.int64)
+    return ((cx + CELL_OFFSET) << CELL_SHIFT) | (cy + CELL_OFFSET)
+
+
+# ---------------------------------------------------------------- joins
+
+
+def join_by_location(
+    ds1: ray.data.Dataset,
+    ds2: ray.data.Dataset,
+    query: str = "intersects is True",
+    cols1: list[str] | None = None,
+    cols2: list[str] | None = None,
+    area_inters_column_name: str | None = None,
+    min_area_intersect: float | None = None,
+    discard_nonmatching: bool = True,
+    size: float | None = None,
+    salt: bool = False,
+) -> ray.data.Dataset:
+    """Spatial join (geoops.join_by_location, _geoops_sql.py:2185-2342):
+    inner pairs where the relations query holds; with
+    ``discard_nonmatching=False`` also layer1 rows with no match (left
+    join, l2 columns null — reference's UNION ALL anti part :2298-2311).
+    Optional exact intersection-area column + min-area filter
+    (:2213-2233)."""
+    size = size or OPTIONS.cell_size
+    q = RelationQuery(query)
+    need_area = area_inters_column_name or min_area_intersect
+    cols1 = list(cols1 or _attr_cols(ds1))
+    cols2 = list(cols2 or _attr_cols(ds2))
+
+    def group_fn(g1, ga1, g2, ga2, cell):
+        ia, ib = bbox_join(ga1.bounds(), ga2.bounds())
+        if len(ia):
+            ref = _ref_cell(ga1.bounds()[ia], ga2.bounds()[ib], size)
+            own = ref == cell
+            ia, ib = ia[own], ib[own]
+        if len(ia):
+            ok = evaluate_pairs(q, ga1, ia, ga2, ib)
+            ia, ib = ia[ok], ib[ok]
+        out = _pair_table(g1, ia, g2, ib)
+        if need_area:
+            areas = _pair_intersection_areas(ga1, ia, ga2, ib)
+            if min_area_intersect:
+                keep = areas >= min_area_intersect
+                out = out.take(pa.array(np.flatnonzero(keep)))
+                areas = areas[keep]
+            if area_inters_column_name:
+                out = out.append_column(
+                    area_inters_column_name, pa.array(areas, pa.float64())
+                )
+        return out
+
+    matched = cell_cogroup(ds1, ds2, group_fn, cols1, cols2, size=size, salt=salt)
+    if discard_nonmatching:
+        return matched
+    # left part: layer1 rows whose doc_id never matched, l2 columns null
+    # (reference UNION ALL anti part, _geoops_sql.py:2298-2311)
+    ordered1 = list(dict.fromkeys(["doc_id", *cols1, _GEOM]))
+    ordered2 = list(dict.fromkeys(["doc_id", *cols2, _GEOM]))
+    flags = _match_flags(ds1, ds2, q, size, salt)
+    unmatched = flags.filter(lambda r: r["matched"] == 0)
+    l1_full = _prefix_dataset(ds1, "l1_", ordered1)
+    anti = l1_full.join(
+        unmatched.map_batches(
+            lambda b: b.select(["l1_doc_id"]), batch_format="pyarrow"
+        ),
+        join_type="inner",
+        num_partitions=16,
+        on=("l1_doc_id",),
+    )
+    f2 = _prefixed_schema(ds2.schema().base_schema, "l2_", ordered2)
+    out_names = ["l1_" + c for c in ordered1] + [f.name for f in f2]
+    if area_inters_column_name:
+        out_names.append(area_inters_column_name)
+
+    def add_nulls(batch: pa.Table) -> pa.Table:
+        for f in f2:
+            batch = batch.append_column(f.name, pa.nulls(len(batch), f.type))
+        if area_inters_column_name:
+            batch = batch.append_column(
+                area_inters_column_name, pa.nulls(len(batch), pa.float64())
+            )
+        return batch.select(out_names)
+
+    anti = anti.map_batches(add_nulls, batch_format="pyarrow")
+    matched = matched.map_batches(
+        lambda b: b.select(out_names), batch_format="pyarrow"
+    )
+    return matched.union(anti)
+
+
+def _attr_cols(ds: ray.data.Dataset) -> list[str]:
+    names = ds.schema().base_schema.names
+    return [n for n in names if n not in ("doc_id", _GEOM, "spans")]
+
+
+def _prefix_dataset(ds: ray.data.Dataset, prefix: str, cols: list[str]) -> ray.data.Dataset:
+    cols = list(dict.fromkeys(cols))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return pa.table({prefix + c: batch.column(c) for c in cols})
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _pair_table(g1: pa.Table, ia: np.ndarray, g2: pa.Table, ib: np.ndarray) -> pa.Table:
+    left = g1.take(pa.array(ia))
+    right = g2.take(pa.array(ib))
+    cols = {c: left.column(c) for c in left.column_names}
+    cols.update({c: right.column(c) for c in right.column_names})
+    return pa.table(cols)
+
+
+def _pair_intersection_areas(
+    ga1: GeometryArray, ia: np.ndarray, ga2: GeometryArray, ib: np.ndarray
+) -> np.ndarray:
+    """Exact area of g1∩g2 per pair (rect fast path, sweep otherwise)."""
+    from ..geom.overlay import polygon_overlay, ring_signed_area
+    from .relation import detect_rects
+
+    out = np.zeros(len(ia), dtype=np.float64)
+    r1, r2 = detect_rects(ga1), detect_rects(ga2)
+    b1a, b2a = ga1.bounds(), ga2.bounds()
+    for k in range(len(ia)):
+        i, j = int(ia[k]), int(ib[k])
+        if r1[i] and r2[j]:
+            w = min(b1a[i, 2], b2a[j, 2]) - max(b1a[i, 0], b2a[j, 0])
+            h = min(b1a[i, 3], b2a[j, 3]) - max(b1a[i, 1], b2a[j, 1])
+            out[k] = max(w, 0) * max(h, 0)
+        else:
+            parts = polygon_overlay(ga1._parts_of(i), ga2._parts_of(j), "intersection")
+            out[k] = sum(abs(ring_signed_area(r)) for p in parts for r in p[:1]) - sum(
+                abs(ring_signed_area(r)) for p in parts for r in p[1:]
+            )
+    return out
+
+
+def _match_flags(
+    ds1: ray.data.Dataset,
+    ds2: ray.data.Dataset,
+    q: RelationQuery,
+    size: float,
+    salt: bool = False,
+    expand1: float = 0.0,
+    distance: float | None = None,
+    with_area: bool = False,
+) -> ray.data.Dataset:
+    """Per layer1 doc_id: any-candidate-match flag (+ summed intersection
+    area). Emits (l1_doc_id, matched_local, n_cand, area) per cell, then a
+    vectorized groupby aggregate — the semi/anti-join spine of
+    export_by_location/_distance (_geoops_sql.py:1604-1663)."""
+
+    def group_fn(g1, ga1, g2, ga2, cell):
+        b1 = ga1.bounds()
+        if expand1:
+            b1 = b1.copy()
+            b1[:, :2] -= expand1
+            b1[:, 2:] += expand1
+        own_rows = _owner_cell(b1, size) == cell
+        ia, ib = bbox_join(ga1.bounds(), ga2.bounds(), expand=expand1)
+        n1 = len(g1)
+        matched = np.zeros(n1, dtype=np.int64)
+        ncand = np.zeros(n1, dtype=np.int64)
+        area = np.zeros(n1, dtype=np.float64)
+        if len(ia):
+            ref = _ref_cell(b1[ia], ga2.bounds()[ib], size)
+            own_pairs = ref == cell
+            ia, ib = ia[own_pairs], ib[own_pairs]
+        if len(ia):
+            if distance is not None:
+                ok = pair_distances(ga1, ia, ga2, ib) <= distance
+            else:
+                ok = evaluate_pairs(q, ga1, ia, ga2, ib)
+            np.add.at(ncand, ia, 1)
+            np.add.at(matched, ia[ok], 1)
+            if with_area:
+                areas = _pair_intersection_areas(ga1, ia[ok], ga2, ib[ok])
+                np.add.at(area, ia[ok], areas)
+        emit = own_rows | (matched > 0) | (ncand > 0)
+        idx = np.flatnonzero(emit)
+        return pa.table(
+            {
+                "l1_doc_id": g1.column("l1_doc_id").take(pa.array(idx)),
+                "matched": pa.array((matched[idx] > 0).astype(np.int64), pa.int64()),
+                "n_cand": pa.array(ncand[idx], pa.int64()),
+                "area": pa.array(area[idx], pa.float64()),
+            }
+        )
+
+    per_cell = cell_cogroup(
+        ds1, ds2, group_fn, ["doc_id"], ["doc_id"], size=size,
+        expand1=expand1, salt=salt,
+    )
+    return per_cell.groupby("l1_doc_id").aggregate(
+        Max("matched"), Sum("n_cand"), Sum("area")
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "l1_doc_id": b.column("l1_doc_id"),
+                "matched": b.column("max(matched)"),
+                "n_cand": b.column("sum(n_cand)"),
+                "area": b.column("sum(area)"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def export_by_location(
+    ds1: ray.data.Dataset,
+    ds2: ray.data.Dataset,
+    query: str = "intersects is True",
+    area_inters_column_name: str | None = None,
+    min_area_intersect: float | None = None,
+    size: float | None = None,
+    salt: bool = False,
+) -> ray.data.Dataset:
+    """Spatial semi-join: keep layer1 rows where EXISTS a layer2 row
+    satisfying the query (geoops.export_by_location →
+    _geoops_sql.py:1541-1736). Disjoint-satisfiable queries also keep
+    rows with zero bbox candidates (include_disjoint, :1617-1630)."""
+    size = size or OPTIONS.cell_size
+    q = RelationQuery(query)
+    include_disjoint = q.mentions_disjoint_true
+    flags = _match_flags(
+        ds1, ds2, q, size, salt=salt,
+        with_area=bool(area_inters_column_name or min_area_intersect),
+    )
+    if include_disjoint:
+        keep = flags.filter(
+            lambda r: r["matched"] == 1 or r["n_cand"] == 0
+        )
+    else:
+        keep = flags.filter(lambda r: r["matched"] == 1)
+    if min_area_intersect:
+        keep = keep.filter(lambda r: r["area"] >= min_area_intersect)
+    sel_cols = ["l1_doc_id"] + (["area"] if area_inters_column_name else [])
+    keep = keep.map_batches(
+        lambda b: b.select(sel_cols).rename_columns(
+            ["l1_doc_id"]
+            + ([area_inters_column_name] if area_inters_column_name else [])
+        ),
+        batch_format="pyarrow",
+    )
+    l1 = _prefix_dataset(ds1, "l1_", ["doc_id", *(_attr_cols(ds1)), _GEOM])
+    return l1.join(keep, join_type="inner", num_partitions=16, on=("l1_doc_id",))
+
+
+def export_by_distance(
+    ds1: ray.data.Dataset,
+    ds2: ray.data.Dataset,
+    max_distance: float,
+    size: float | None = None,
+    salt: bool = False,
+) -> ray.data.Dataset:
+    """Semi-join within distance (geoops.export_by_distance →
+    _geoops_sql.py:1739-1802): bbox expanded by max_distance + exact
+    ST_Distance <= d EXISTS."""
+    size = size or OPTIONS.cell_size
+    flags = _match_flags(
+        ds1, ds2, RelationQuery("intersects is True"), size,
+        salt=salt, expand1=max_distance, distance=max_distance,
+    )
+    keep = flags.filter(lambda r: r["matched"] == 1).map_batches(
+        lambda b: b.select(["l1_doc_id"]), batch_format="pyarrow"
+    )
+    l1 = _prefix_dataset(ds1, "l1_", ["doc_id", *(_attr_cols(ds1)), _GEOM])
+    return l1.join(keep, join_type="inner", num_partitions=16, on=("l1_doc_id",))
+
+
+def join_attributes(
+    ds1: ray.data.Dataset,
+    ds2: ray.data.Dataset,
+    on: list[str],
+    how: str = "inner",
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Attribute equi-join keeping layer1 geometry (geoops.join,
+    _geoops_sql.py:2105-2182) — Ray Data hash join, non-spatial."""
+    ds2_nogeo = ds2.map_batches(
+        lambda b: b.drop_columns([c for c in (_GEOM, "spans") if c in b.column_names]),
+        batch_format="pyarrow",
+    )
+    jt = {"inner": "inner", "left": "left_outer"}[how]
+    return ds1.join(
+        ds2_nogeo, join_type=jt, num_partitions=num_partitions,
+        on=tuple(on), left_suffix="_1", right_suffix="_2",
+    )
+
+
+def delete_duplicate_geometries(
+    ds: ray.data.Dataset,
+    priority_column: str | None = None,
+    priority_ascending: bool = True,
+) -> ray.data.Dataset:
+    """Drop rows whose geometry ST_Equals an earlier-priority row
+    (geoops.delete_duplicate_geometries, _geoops_sql.py:164-249). Dedup
+    key = normalized-WKB hash → hash-partition groupby → keep the
+    FIRST_VALUE by priority (reference :198-225)."""
+    import hashlib
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ga = decode_geometry(batch)
+        keys = []
+        for i in range(len(ga)):
+            # normalized form: sorted unique vertex multiset + type
+            pts = np.unique(
+                np.round(
+                    ga.coords[ga.geom_coord_ranges()[0][i] : ga.geom_coord_ranges()[1][i]],
+                    9,
+                ),
+                axis=0,
+            )
+            hsh = hashlib.sha1(pts.tobytes() + bytes([ga.part_types(i) % 256])).hexdigest()[:16]
+            keys.append(hsh)
+        return batch.append_column("__geomkey", pa.array(keys, pa.string()))
+
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
+
+    def pick_first(group: pa.Table):
+        if priority_column is not None:
+            order = pc.sort_indices(
+                group,
+                sort_keys=[
+                    (priority_column, "ascending" if priority_ascending else "descending")
+                ],
+            )
+            first = int(order[0].as_py())
+        else:
+            ids = group.column("doc_id").to_numpy()
+            first = int(np.argmin(ids))
+        yield group.take(pa.array([first])).drop_columns(["__geomkey"])
+
+    return keyed_ds.groupby("__geomkey").map_groups(pick_first, batch_format="pyarrow")

@@ -1,0 +1,298 @@
+"""Two-layer geometric overlays: intersection / clip / difference and
+their compositions (identity, symmetric_difference, union).
+
+Reference semantics (SURVEY.md §2.4):
+* intersection — pairwise ``ST_Intersection(g1, g2)`` collection-extracted
+  to the lower primitive type, columns l1_*/l2_* (geofileops
+  _geoops_sql.py:1805-2102);
+* clip — per layer1 row ``g1 ∩ ST_Union(candidates)``, layer1 attrs only
+  (:942-1055, correlated subquery :1000-1028);
+* difference — per layer1 row ``g1 − ST_Union(candidates)``; rows with no
+  candidates pass through, fully-erased rows dropped (:1058-1356);
+* identity = intersection ⊎ difference (:2752-2911);
+* symmetric_difference = difference(a,b) ⊎ difference(b,a) with
+  null-typed other-side columns (:2914-3086);
+* union = intersection ⊎ difference(a,b) ⊎ difference(b,a) (:3089-3292).
+
+Ray shape: cell co-shuffle → per-cell candidate pairs (reference-cell
+deduped) → for the per-row ops a second ``groupby(l1_doc_id)`` that
+gathers every candidate of a row across cells and runs ONE boolean op
+against their union — mirroring the reference's operand shape exactly
+(difference subtracts the union of candidates, never pairwise), which is
+what makes results independent of the tiling.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from ..config import OPTIONS
+from ..geom import GeometryArray, bbox_join, from_wkb, to_wkb
+from ..geom.array import MULTIPOINT, POINT, POLYGON
+from ..geom.overlay import parts_to_geom, polygon_overlay, union_all_parts
+from ..geom.predicates import points_in_polygon
+from .spatial_join import (
+    _attr_cols,
+    _owner_cell,
+    _pair_table,
+    _prefixed_schema,
+    _ref_cell,
+    cell_cogroup,
+)
+
+_GEOM = "geometry"
+
+
+def _geom_of_pair_op(ga1: GeometryArray, i: int, cand: GeometryArray,
+                     js: np.ndarray, op: str) -> tuple[int, list]:
+    """One boolean op of geometry i against the union of candidate
+    geometries (clip: op='intersection'; difference: op='difference').
+    Point rows use point-in-polygon instead of the polygon sweep."""
+    t1 = ga1.part_types(i)
+    if t1 == POINT:
+        pts = ga1._parts_of(i)
+        flat = np.concatenate([r for part in pts for r in part], axis=0)
+        inside = np.zeros(len(flat), dtype=bool)
+        for j in js:
+            inside |= points_in_polygon(flat, cand, int(j))
+        keep = inside if op == "intersection" else ~inside
+        sel = flat[keep]
+        if len(sel) == 0:
+            return POINT, []
+        if len(sel) == 1:
+            return POINT, [[sel]]
+        return MULTIPOINT, [[sel[k : k + 1]] for k in range(len(sel))]
+    if t1 != POLYGON:
+        raise NotImplementedError(
+            "overlay ops support polygon and point layer1 geometries"
+        )
+    cand_parts = union_all_parts([cand._parts_of(int(j)) for j in js])
+    res = polygon_overlay(ga1._parts_of(i), cand_parts, op)
+    return parts_to_geom(res)
+
+
+def _pairwise_overlay_geoms(
+    ga1: GeometryArray, ia: np.ndarray, ga2: GeometryArray, ib: np.ndarray
+) -> list[bytes | None]:
+    """Pairwise g1 ∩ g2 per candidate pair, WKB-encoded; empty → None."""
+    geoms = []
+    for k in range(len(ia)):
+        i, j = int(ia[k]), int(ib[k])
+        code, parts = _geom_of_pair_op(ga1, i, ga2, np.array([j]), "intersection")
+        geoms.append((code, parts))
+    out = GeometryArray.from_parts(geoms) if geoms else GeometryArray.empty(0)
+    wkb = to_wkb(out)
+    empt = out.is_empty()
+    return [None if empt[k] else wkb[k] for k in range(len(wkb))]
+
+
+def intersection(
+    ds1: ray.data.Dataset,
+    ds2: ray.data.Dataset,
+    cols1: list[str] | None = None,
+    cols2: list[str] | None = None,
+    size: float | None = None,
+    salt: bool = False,
+) -> ray.data.Dataset:
+    """Pairwise spatial intersection (inner overlay join)."""
+    size = size or OPTIONS.cell_size
+    cols1 = list(cols1 or _attr_cols(ds1))
+    cols2 = list(cols2 or _attr_cols(ds2))
+
+    def group_fn(g1, ga1, g2, ga2, cell):
+        ia, ib = bbox_join(ga1.bounds(), ga2.bounds())
+        if len(ia):
+            ref = _ref_cell(ga1.bounds()[ia], ga2.bounds()[ib], size)
+            own = ref == cell
+            ia, ib = ia[own], ib[own]
+        wkb = _pairwise_overlay_geoms(ga1, ia, ga2, ib)
+        keep = np.array([w is not None for w in wkb], dtype=bool)
+        ia, ib = ia[keep], ib[keep]
+        out = _pair_table(g1, ia, g2, ib)
+        out = out.drop_columns(["l1_" + _GEOM, "l2_" + _GEOM])
+        return out.append_column(
+            _GEOM, pa.array([w for w in wkb if w is not None], pa.binary())
+        )
+
+    return cell_cogroup(ds1, ds2, group_fn, cols1, cols2, size=size, salt=salt)
+
+
+def _per_row_overlay(
+    ds1: ray.data.Dataset,
+    ds2: ray.data.Dataset,
+    op: str,
+    keep_no_candidate_rows: bool,
+    cols1: list[str],
+    size: float | None = None,
+    salt: bool = False,
+) -> ray.data.Dataset:
+    """Common spine of clip (op='intersection', drop no-candidate rows)
+    and difference (op='difference', pass-through no-candidate rows)."""
+    size = size or OPTIONS.cell_size
+
+    def group_fn(g1, ga1, g2, ga2, cell):
+        b1 = ga1.bounds()
+        ia, ib = bbox_join(b1, ga2.bounds())
+        if len(ia):
+            ref = _ref_cell(b1[ia], ga2.bounds()[ib], size)
+            own = ref == cell
+            ia, ib = ia[own], ib[own]
+        own_rows = np.flatnonzero(_owner_cell(b1, size) == cell)
+        # pair rows carry the candidate's wkb; owner rows a null candidate
+        pair_part = g1.drop_columns(["l1_" + _GEOM]).take(pa.array(ia))
+        pair_part = pair_part.append_column(
+            "__g1", g1.column("l1_" + _GEOM).take(pa.array(ia))
+        )
+        pair_part = pair_part.append_column(
+            "__cand", g2.column("l2_" + _GEOM).take(pa.array(ib))
+        )
+        own_part = g1.drop_columns(["l1_" + _GEOM]).take(pa.array(own_rows))
+        own_part = own_part.append_column(
+            "__g1", g1.column("l1_" + _GEOM).take(pa.array(own_rows))
+        )
+        own_part = own_part.append_column(
+            "__cand", pa.nulls(len(own_rows), pa.binary())
+        )
+        return pa.concat_tables([pair_part, own_part])
+
+    paired = cell_cogroup(ds1, ds2, group_fn, cols1, ["doc_id"], size=size, salt=salt)
+
+    def per_doc(group: pa.Table) -> pa.Table:
+        cands = [c for c in group.column("__cand").to_pylist() if c is not None]
+        g1_wkb = group.column("__g1")[0].as_py()
+        base = group.slice(0, 1).drop_columns(["__g1", "__cand"])
+        ga1 = from_wkb([g1_wkb])
+        if not cands:
+            if not keep_no_candidate_rows:
+                return base.slice(0, 0).append_column(_GEOM, pa.array([], pa.binary()))
+            return base.append_column(_GEOM, pa.array([g1_wkb], pa.binary()))
+        cand = from_wkb(cands)
+        code, parts = _geom_of_pair_op(ga1, 0, cand, np.arange(len(cands)), op)
+        out_ga = GeometryArray.from_parts([(code, parts)])
+        if out_ga.is_empty()[0]:
+            # fully erased / fully outside → dropped ('DIFF_EMPTY' sentinel
+            # analogue, _geoops_sql.py:1227-1270)
+            return base.slice(0, 0).append_column(_GEOM, pa.array([], pa.binary()))
+        return base.append_column(_GEOM, pa.array(to_wkb(out_ga), pa.binary()))
+
+    return paired.groupby("l1_doc_id").map_groups(per_doc, batch_format="pyarrow")
+
+
+def clip(
+    ds1: ray.data.Dataset,
+    ds2: ray.data.Dataset,
+    cols1: list[str] | None = None,
+    size: float | None = None,
+    salt: bool = False,
+) -> ray.data.Dataset:
+    """g1 ∩ union(candidates), layer1 attrs only (geoops.clip)."""
+    return _per_row_overlay(
+        ds1, ds2, "intersection", keep_no_candidate_rows=False,
+        cols1=list(cols1 or _attr_cols(ds1)), size=size, salt=salt,
+    )
+
+
+def difference(
+    ds1: ray.data.Dataset,
+    ds2: ray.data.Dataset,
+    cols1: list[str] | None = None,
+    size: float | None = None,
+    salt: bool = False,
+) -> ray.data.Dataset:
+    """g1 − union(candidates); no-candidate rows pass through
+    (geoops.difference / deprecated erase)."""
+    return _per_row_overlay(
+        ds1, ds2, "difference", keep_no_candidate_rows=True,
+        cols1=list(cols1 or _attr_cols(ds1)), size=size, salt=salt,
+    )
+
+
+def _with_null_cols(ds: ray.data.Dataset, fields: list[pa.Field],
+                    order: list[str]) -> ray.data.Dataset:
+    def fn(batch: pa.Table) -> pa.Table:
+        for f in fields:
+            if f.name not in batch.column_names:
+                batch = batch.append_column(f.name, pa.nulls(len(batch), f.type))
+        return batch.select(order)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def identity(
+    ds1: ray.data.Dataset,
+    ds2: ray.data.Dataset,
+    cols1: list[str] | None = None,
+    cols2: list[str] | None = None,
+    size: float | None = None,
+) -> ray.data.Dataset:
+    """intersection(a,b) ⊎ difference(a,b) (geoops.identity/split)."""
+    cols1 = list(cols1 or _attr_cols(ds1))
+    cols2 = list(cols2 or _attr_cols(ds2))
+    inter = intersection(ds1, ds2, cols1, cols2, size=size)
+    diff = difference(ds1, ds2, cols1, size=size)
+    f2 = _prefixed_schema(
+        ds2.schema().base_schema, "l2_", list(dict.fromkeys(["doc_id", *cols2]))
+    )
+    order = (
+        ["l1_" + c for c in dict.fromkeys(["doc_id", *cols1])]
+        + [f.name for f in f2]
+        + [_GEOM]
+    )
+    return _with_null_cols(inter, [], order).union(_with_null_cols(diff, f2, order))
+
+
+def symmetric_difference(
+    ds1: ray.data.Dataset,
+    ds2: ray.data.Dataset,
+    cols1: list[str] | None = None,
+    cols2: list[str] | None = None,
+    size: float | None = None,
+) -> ray.data.Dataset:
+    """difference(a,b) ⊎ difference(b,a), other-side columns null."""
+    cols1 = list(cols1 or _attr_cols(ds1))
+    cols2 = list(cols2 or _attr_cols(ds2))
+    d12 = difference(ds1, ds2, cols1, size=size)
+    d21 = difference(ds2, ds1, cols2, size=size)
+
+    # d21 columns are l1_-prefixed from its own perspective → remap to l2_
+    def remap(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(
+            [c.replace("l1_", "l2_", 1) if c.startswith("l1_") else c
+             for c in batch.column_names]
+        )
+
+    d21 = d21.map_batches(remap, batch_format="pyarrow")
+    f1 = _prefixed_schema(
+        ds1.schema().base_schema, "l1_", list(dict.fromkeys(["doc_id", *cols1]))
+    )
+    f2 = _prefixed_schema(
+        ds2.schema().base_schema, "l2_", list(dict.fromkeys(["doc_id", *cols2]))
+    )
+    order = [f.name for f in f1] + [f.name for f in f2] + [_GEOM]
+    return _with_null_cols(d12, f2, order).union(_with_null_cols(d21, f1, order))
+
+
+def union(
+    ds1: ray.data.Dataset,
+    ds2: ray.data.Dataset,
+    cols1: list[str] | None = None,
+    cols2: list[str] | None = None,
+    size: float | None = None,
+) -> ray.data.Dataset:
+    """intersection ⊎ difference(a,b) ⊎ difference(b,a) — the reference's
+    5-step union composition (_geoops_sql.py:3136-3291)."""
+    cols1 = list(cols1 or _attr_cols(ds1))
+    cols2 = list(cols2 or _attr_cols(ds2))
+    sym = symmetric_difference(ds1, ds2, cols1, cols2, size=size)
+    inter = intersection(ds1, ds2, cols1, cols2, size=size)
+    f1 = _prefixed_schema(
+        ds1.schema().base_schema, "l1_", list(dict.fromkeys(["doc_id", *cols1]))
+    )
+    f2 = _prefixed_schema(
+        ds2.schema().base_schema, "l2_", list(dict.fromkeys(["doc_id", *cols2]))
+    )
+    order = [f.name for f in f1] + [f.name for f in f2] + [_GEOM]
+    return _with_null_cols(inter, [], order).union(sym)

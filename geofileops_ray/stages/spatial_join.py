@@ -498,6 +498,6 @@ def delete_duplicate_geometries(
         else:
             ids = group.column("doc_id").to_numpy()
             first = int(np.argmin(ids))
-        yield group.take(pa.array([first])).drop_columns(["__geomkey"])
+        return group.take(pa.array([first])).drop_columns(["__geomkey"])
 
     return keyed_ds.groupby("__geomkey").map_groups(pick_first, batch_format="pyarrow")

@@ -1,0 +1,99 @@
+"""Dissolve + tiling tests vs DuckDB oracles (unit-cell decomposition
+gives exact union areas for the integer-coordinate parcels layer)."""
+
+import numpy as np
+import pyarrow as pa
+
+from geofileops_ray.geom import from_wkb
+from geofileops_ray.geom.measure import area
+from geofileops_ray.io.synth import PARCELS_CTE, parcels_dataset, points_dataset
+from geofileops_ray.stages.dissolve import dissolve
+from geofileops_ray.tiling import (
+    assign_cells,
+    cell_bounds,
+    cell_id,
+    create_squarish_grid,
+    tile_assignments,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_dissolve_groupby_matches_oracle(ray_session, oracle):
+    res = dissolve(
+        parcels_dataset(SF),
+        groupby=["GEWASGROEP"],
+        agg_columns=[("OPPERVL", "sum", "sum_oppervl"), ("doc_id", "count", "nb_rows")],
+    ).take_all()
+    ga = from_wkb([r["geometry"] for r in res])
+    got = sorted(
+        (r["GEWASGROEP"], round(a, 6), round(r["sum_oppervl"], 6), r["nb_rows"])
+        for r, a in zip(res, area(ga))
+    )
+    want = [
+        (r[0], round(r[1], 6), round(r[2], 6), r[3])
+        for r in oracle.execute(
+            f"""WITH {PARCELS_CTE.strip()},
+            cells AS (
+              SELECT DISTINCT p.GEWASGROEP,
+                     CAST(p.minx AS BIGINT)+gx.g AS cx,
+                     CAST(p.miny AS BIGINT)+gy.g AS cy
+              FROM parcels p, generate_series(0, 15) gx(g), generate_series(0, 15) gy(g)
+              WHERE p.minx + gx.g < p.maxx AND p.miny + gy.g < p.maxy)
+            SELECT p.GEWASGROEP, c.a AS union_area, SUM(p.OPPERVL), COUNT(*)
+            FROM parcels p JOIN (SELECT GEWASGROEP, CAST(COUNT(*) AS DOUBLE) a
+                                 FROM cells GROUP BY 1) c USING (GEWASGROEP)
+            GROUP BY 1, 2 ORDER BY 1"""
+        ).fetchall()
+    ]
+    assert got == want
+
+
+def test_dissolve_points(ray_session):
+    res = dissolve(points_dataset(SF), groupby=[], agg_columns=[("doc_id", "count", "n")]).take_all()
+    assert len(res) == 1
+    assert res[0]["n"] == 500
+
+
+def test_assign_cells_roundtrip():
+    bounds = np.array([[0.0, 0.0, 49.0, 49.0], [49.0, 0.0, 51.0, 2.0]])
+    rows, cells = assign_cells(bounds, 50.0)
+    assert list(rows) == [0, 1, 1]
+    assert cells[0] == cell_id(np.array([0]), np.array([0]))[0]
+    for c in cells:
+        b = cell_bounds(int(c), 50.0)
+        assert b[2] - b[0] == 50.0
+
+
+def test_squarish_grid_deterministic():
+    g1 = create_squarish_grid((0, 0, 100, 50), 8)
+    g2 = create_squarish_grid((0, 0, 100, 50), 8)
+    assert g1 == g2
+    assert len(g1) >= 8
+    # covers bounds exactly
+    assert min(t[1] for t in g1) == 0 and max(t[3] for t in g1) == 100
+
+
+def test_tile_assignments_match_sql(ray_session, oracle):
+    # 4x2 grid over a known extent: tile = floor-row * 4 + floor-col on
+    # bbox center; SQL mirror below must agree row-for-row
+    ds = parcels_dataset(SF)
+    res = tile_assignments(ds, (0.0, 0.0, 1040.0, 5200.0), 8).take_all()
+    got = sorted({(r["doc_id"], r["center_tile"]) for r in res})
+    # grid params mirror: w=1040,h=5200,nb=8 → ncols=max(1,round(sqrt(8*w/h)))=1? compute
+    import math
+
+    ncols = max(1, round(math.sqrt(8 * 1040 / 5200)))
+    nrows = max(1, math.ceil(8 / ncols))
+    dx, dy = 1040 / ncols, 5200 / nrows
+    want = [
+        (r[0], r[1])
+        for r in oracle.execute(
+            f"""WITH {PARCELS_CTE.strip()}
+            SELECT doc_id,
+              LEAST(GREATEST(CAST(FLOOR(((miny+maxy)/2) / {dy}) AS BIGINT),0),{nrows - 1}) * {ncols}
+              + LEAST(GREATEST(CAST(FLOOR(((minx+maxx)/2) / {dx}) AS BIGINT),0),{ncols - 1}) AS tile
+            FROM parcels ORDER BY 1"""
+        ).fetchall()
+    ]
+    assert got == sorted(want)

@@ -1,0 +1,572 @@
+"""Driver-facing registry: every implemented operator exposed as a
+``queries()`` callable + (where SQL-expressible) a DuckDB ``oracle_sql``
+string over the same parquet tables (see ``__ray_entry__``).
+
+Design notes:
+* geometry-valued results are projected to oracle-comparable numerics
+  (areas, counts, bounds) — geometry WKB itself is asserted in pytest
+  against geometry oracles instead;
+* floats are rounded with SQL ROUND semantics (half away from zero) at
+  a precision far coarser than the float error of either engine;
+* every aggregate / computed column is named identically in the Ray
+  code and the SQL (driver hash-compares by sorted column name).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from ..geom import from_wkb
+from ..geom.measure import area as _area
+from ..io import synth
+from ..io.synth import (
+    PARCELS_CTE,
+    POINTS_CTE,
+    ZONES_CTE,
+    parcels_dataset,
+    points_dataset,
+    zones_dataset,
+)
+from ..stages import single_layer as sl
+from ..stages.dissolve import dissolve
+from ..stages.knn import join_nearest
+from ..stages.overlay_ops import clip, difference, intersection
+from ..stages.spatial_join import (
+    export_by_distance,
+    export_by_location,
+    join_by_location,
+)
+from ..textops import analysis as ta
+from ..textops import dedup as td
+from ..textops import similarity as ts
+from ..textops.multimodal import extract_media_features
+from ..tiling.grid import tile_assignments
+
+CTE = f"WITH {PARCELS_CTE.strip()}, {ZONES_CTE.strip()}, {POINTS_CTE.strip()}"
+BBOX_ON = (
+    "p.minx <= z.maxx AND p.maxx >= z.minx AND p.miny <= z.maxy AND p.maxy >= z.miny"
+)
+OVER_ON = "p.minx < z.maxx AND p.maxx > z.minx AND p.miny < z.maxy AND p.maxy > z.miny"
+OVERLAP_AREA = (
+    "(LEAST(p.maxx,z.maxx)-GREATEST(p.minx,z.minx))"
+    "*(LEAST(p.maxy,z.maxy)-GREATEST(p.miny,z.miny))"
+)
+PT_ZONE_DIST = (
+    "SQRT(POWER(GREATEST(z.minx - p.x, p.x - z.maxx, 0),2)"
+    " + POWER(GREATEST(z.miny - p.y, p.y - z.maxy, 0),2))"
+)
+
+
+def _round_half_up(x: np.ndarray, nd: int) -> np.ndarray:
+    m = 10.0**nd
+    return np.floor(np.asarray(x, dtype=np.float64) * m + 0.5) / m
+
+
+def _with_geom_area(
+    ds: ray.data.Dataset, out_name: str, nd: int = 4, drop=("geometry",)
+) -> ray.data.Dataset:
+    def fn(batch: pa.Table) -> pa.Table:
+        ga = from_wkb(batch.column("geometry").to_pylist())
+        batch = batch.append_column(
+            out_name, pa.array(_round_half_up(_area(ga), nd), pa.float64())
+        )
+        return batch.drop_columns([c for c in drop if c in batch.column_names])
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _select(ds: ray.data.Dataset, cols: list[str]) -> ray.data.Dataset:
+    return ds.map_batches(
+        lambda b: b.select(cols), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+# ----------------------------------------------------------- spatial queries
+
+
+def q_sjoin_intersects(sf):
+    ds = join_by_location(
+        parcels_dataset(sf), zones_dataset(sf), "intersects is True",
+        cols1=["OIDN", "GEWASGROEP"], cols2=["naam"],
+    )
+    return _select(ds, ["l1_doc_id", "l2_doc_id", "l1_OIDN", "l1_GEWASGROEP", "l2_naam"])
+
+
+O_SJOIN = f"""{CTE}
+SELECT p.doc_id AS l1_doc_id, z.doc_id AS l2_doc_id, p.OIDN AS l1_OIDN,
+       p.GEWASGROEP AS l1_GEWASGROEP, z.naam AS l2_naam
+FROM parcels p JOIN zones z ON {BBOX_ON} ORDER BY 1, 2"""
+
+
+def q_sjoin_within(sf):
+    ds = join_by_location(
+        parcels_dataset(sf), zones_dataset(sf), "within is True",
+        cols1=[], cols2=[],
+    )
+    return _select(ds, ["l1_doc_id", "l2_doc_id"])
+
+
+O_SJOIN_WITHIN = f"""{CTE}
+SELECT p.doc_id AS l1_doc_id, z.doc_id AS l2_doc_id
+FROM parcels p JOIN zones z
+ON p.minx >= z.minx AND p.maxx <= z.maxx AND p.miny >= z.miny AND p.maxy <= z.maxy
+ORDER BY 1, 2"""
+
+
+def q_export_semi(sf):
+    ds = export_by_location(parcels_dataset(sf), zones_dataset(sf), "intersects is True")
+    return _select(ds, ["l1_doc_id", "l1_OIDN", "l1_GEWASGROEP"])
+
+
+O_EXPORT_SEMI = f"""{CTE}
+SELECT p.doc_id AS l1_doc_id, p.OIDN AS l1_OIDN, p.GEWASGROEP AS l1_GEWASGROEP
+FROM parcels p WHERE EXISTS (SELECT 1 FROM zones z WHERE {BBOX_ON}) ORDER BY 1"""
+
+
+def q_export_anti(sf):
+    ds = export_by_location(parcels_dataset(sf), zones_dataset(sf), "intersects is False")
+    return _select(ds, ["l1_doc_id", "l1_OIDN"])
+
+
+O_EXPORT_ANTI = f"""{CTE}
+SELECT p.doc_id AS l1_doc_id, p.OIDN AS l1_OIDN
+FROM parcels p WHERE NOT EXISTS (SELECT 1 FROM zones z WHERE {BBOX_ON}) ORDER BY 1"""
+
+
+def q_export_by_distance(sf):
+    ds = export_by_distance(points_dataset(sf), zones_dataset(sf), max_distance=30.0)
+    return _select(ds, ["l1_doc_id", "l1_naam"])
+
+
+O_EXPORT_DIST = f"""{CTE}
+SELECT p.doc_id AS l1_doc_id, p.naam AS l1_naam
+FROM points p WHERE EXISTS (SELECT 1 FROM zones z WHERE {PT_ZONE_DIST} <= 30.0)
+ORDER BY 1"""
+
+
+def q_intersection(sf):
+    ds = intersection(
+        parcels_dataset(sf), zones_dataset(sf), cols1=["OIDN"], cols2=["naam"]
+    )
+    ds = _with_geom_area(ds, "area_inters")
+    return _select(ds, ["l1_doc_id", "l2_doc_id", "l1_OIDN", "l2_naam", "area_inters"])
+
+
+O_INTERSECTION = f"""{CTE}
+SELECT p.doc_id AS l1_doc_id, z.doc_id AS l2_doc_id, p.OIDN AS l1_OIDN,
+       z.naam AS l2_naam, ROUND({OVERLAP_AREA}, 4) AS area_inters
+FROM parcels p JOIN zones z ON {OVER_ON} ORDER BY 1, 2"""
+
+
+def q_clip(sf):
+    ds = clip(parcels_dataset(sf), zones_dataset(sf), cols1=["OIDN"])
+    ds = _with_geom_area(ds, "area_clip")
+    return _select(ds, ["l1_doc_id", "l1_OIDN", "area_clip"])
+
+
+O_CLIP = f"""{CTE}
+SELECT p.doc_id AS l1_doc_id, p.OIDN AS l1_OIDN, ROUND(SUM({OVERLAP_AREA}), 4) AS area_clip
+FROM parcels p JOIN zones z ON {OVER_ON} GROUP BY 1, 2 ORDER BY 1"""
+
+
+def q_difference(sf):
+    ds = difference(parcels_dataset(sf), zones_dataset(sf), cols1=["OIDN"])
+    ds = _with_geom_area(ds, "area_diff")
+    return _select(ds, ["l1_doc_id", "l1_OIDN", "area_diff"])
+
+
+O_DIFFERENCE = f"""{CTE}
+SELECT doc_id AS l1_doc_id, OIDN AS l1_OIDN, ROUND(a, 4) AS area_diff FROM (
+  SELECT p.doc_id, p.OIDN, p.OPPERVL - SUM(CASE WHEN z.doc_id IS NULL THEN 0
+    ELSE {OVERLAP_AREA} END) a
+  FROM parcels p LEFT JOIN zones z ON {OVER_ON}
+  GROUP BY 1, 2, p.OPPERVL) t WHERE a > 0 ORDER BY 1"""
+
+
+def q_join_nearest(sf):
+    ds = join_nearest(
+        points_dataset(sf), zones_dataset(sf), nb_nearest=2, cols1=[], cols2=[]
+    )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        d = _round_half_up(batch.column("distance").to_numpy(), 6)
+        return pa.table(
+            {
+                "l1_doc_id": batch.column("l1_doc_id"),
+                "pos": batch.column("pos"),
+                "distance": pa.array(d, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+O_JOIN_NEAREST = f"""{CTE},
+d AS (
+  SELECT p.doc_id, ROW_NUMBER() OVER (PARTITION BY p.doc_id
+           ORDER BY {PT_ZONE_DIST}, z.doc_id) pos,
+         {PT_ZONE_DIST} dist
+  FROM points p CROSS JOIN zones z)
+SELECT doc_id AS l1_doc_id, CAST(pos AS BIGINT) AS pos, ROUND(dist, 6) AS distance
+FROM d WHERE pos <= 2 ORDER BY 1, 2"""
+
+
+def q_dissolve(sf):
+    ds = dissolve(
+        parcels_dataset(sf),
+        groupby=["GEWASGROEP"],
+        agg_columns=[("OPPERVL", "sum", "sum_oppervl"), ("doc_id", "count", "nb_rows")],
+    )
+    ds = _with_geom_area(ds, "union_area", nd=3)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        s = _round_half_up(batch.column("sum_oppervl").to_numpy(), 3)
+        return pa.table(
+            {
+                "GEWASGROEP": batch.column("GEWASGROEP"),
+                "union_area": batch.column("union_area"),
+                "sum_oppervl": pa.array(s, pa.float64()),
+                "nb_rows": batch.column("nb_rows"),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+O_DISSOLVE = f"""{CTE},
+ucells AS (
+  SELECT DISTINCT p.GEWASGROEP,
+         CAST(p.minx AS BIGINT)+gx.g AS cx, CAST(p.miny AS BIGINT)+gy.g AS cy
+  FROM parcels p, generate_series(0, 15) gx(g), generate_series(0, 15) gy(g)
+  WHERE p.minx + gx.g < p.maxx AND p.miny + gy.g < p.maxy)
+SELECT p.GEWASGROEP, c.a AS union_area, ROUND(SUM(p.OPPERVL), 3) AS sum_oppervl,
+       COUNT(*) AS nb_rows
+FROM parcels p JOIN (SELECT GEWASGROEP, CAST(COUNT(*) AS DOUBLE) a
+                     FROM ucells GROUP BY 1) c USING (GEWASGROEP)
+GROUP BY 1, 2 ORDER BY 1"""
+
+
+def q_tile_assign(sf):
+    from ray.data.aggregate import Max, Min
+
+    from ..stages.geometry_batch import add_bounds
+
+    # layer extent via a column-pruned distributed aggregate (the
+    # LayerInfo.total_bounds analogue, geofileops fileops.py:322-460)
+    b = (
+        parcels_dataset(sf)
+        .map_batches(
+            lambda t: add_bounds(t).select(["minx", "miny", "maxx", "maxy"]),
+            batch_format="pyarrow",
+        )
+        .aggregate(Min("minx"), Min("miny"), Max("maxx"), Max("maxy"))
+    )
+    bounds = (b["min(minx)"], b["min(miny)"], b["max(maxx)"], b["max(maxy)"])
+    out = tile_assignments(parcels_dataset(sf), bounds, 16)
+    return _select(out, ["doc_id", "tile_id", "center_tile"])
+
+
+def _o_tile_assign() -> str:
+    # grid math mirrored in SQL: bounds from the data; ncols =
+    # FLOOR(SQRT(16*w/h)+0.5) etc. — identical to tiling/grid.py
+    return f"""{CTE},
+bb AS (SELECT MIN(minx) x0, MIN(miny) y0, MAX(maxx) x1, MAX(maxy) y1 FROM parcels),
+g AS (SELECT x0, y0, GREATEST(x1-x0, 1e-9) w, GREATEST(y1-y0, 1e-9) h,
+        GREATEST(1, CAST(FLOOR(SQRT(16 * GREATEST(x1-x0,1e-9) / GREATEST(y1-y0,1e-9)) + 0.5) AS BIGINT)) nc
+      FROM bb),
+g2 AS (SELECT x0, y0, w, h, nc, CAST(CEIL(16.0 / nc) AS BIGINT) nr FROM g),
+asn AS (
+  SELECT p.doc_id, g2.nc, g2.nr,
+    LEAST(GREATEST(CAST(FLOOR((p.minx - g2.x0) / (g2.w / g2.nc)) AS BIGINT), 0), g2.nc - 1) c0,
+    LEAST(GREATEST(CAST(FLOOR((p.maxx - g2.x0) / (g2.w / g2.nc)) AS BIGINT), 0), g2.nc - 1) c1,
+    LEAST(GREATEST(CAST(FLOOR((p.miny - g2.y0) / (g2.h / g2.nr)) AS BIGINT), 0), g2.nr - 1) r0,
+    LEAST(GREATEST(CAST(FLOOR((p.maxy - g2.y0) / (g2.h / g2.nr)) AS BIGINT), 0), g2.nr - 1) r1,
+    LEAST(GREATEST(CAST(FLOOR(((p.minx + p.maxx)/2 - g2.x0) / (g2.w / g2.nc)) AS BIGINT), 0), g2.nc - 1) cc,
+    LEAST(GREATEST(CAST(FLOOR(((p.miny + p.maxy)/2 - g2.y0) / (g2.h / g2.nr)) AS BIGINT), 0), g2.nr - 1) cr
+  FROM parcels p, g2)
+SELECT doc_id, (r0 + i // (c1 - c0 + 1)) * nc + c0 + i % (c1 - c0 + 1) AS tile_id,
+       cr * nc + cc AS center_tile
+FROM (SELECT *, unnest(range(0, (c1 - c0 + 1) * (r1 - r0 + 1))) i FROM asn)
+ORDER BY 1, 2"""
+
+
+def q_buffer(sf):
+    ds = sl.buffer(parcels_dataset(sf), 2.0, quadrantsegments=5)
+    ds = _with_geom_area(ds, "area_buf")
+    return _select(ds, ["doc_id", "OIDN", "area_buf"])
+
+
+O_BUFFER = f"""{CTE}
+SELECT doc_id, OIDN,
+  ROUND(OPPERVL + 2 * LENGTE + 20 * 0.5 * 4.0 * SIN(PI() / 10), 4) AS area_buf
+FROM parcels ORDER BY 1"""
+# LENGTE = 2(w+h) so 2*(w+h)*d = LENGTE*d with d=2 → 2*LENGTE; arc area =
+# 4*quad_segs(=20 slices) * 0.5 * d² * sin(pi/(2*5))
+
+
+def q_convexhull(sf):
+    ds = sl.convexhull(parcels_dataset(sf))
+    ds = _with_geom_area(ds, "area_hull")
+    return _select(ds, ["doc_id", "area_hull"])
+
+
+O_CONVEXHULL = f"""{CTE}
+SELECT doc_id, ROUND(OPPERVL, 4) AS area_hull FROM parcels ORDER BY 1"""
+
+
+def q_simplify(sf):
+    ds = sl.simplify(parcels_dataset(sf), tolerance=0.5)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ga = from_wkb(batch.column("geometry").to_pylist())
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "npoints": pa.array(ga.num_coords().astype(np.int64), pa.int64()),
+                "area_simp": pa.array(_round_half_up(_area(ga), 4), pa.float64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+O_SIMPLIFY = f"""{CTE}
+SELECT doc_id, CAST(5 AS BIGINT) AS npoints, ROUND(OPPERVL, 4) AS area_simp
+FROM parcels ORDER BY 1"""
+
+
+def q_update_column(sf):
+    ds = sl.update_column(parcels_dataset(sf), "computed_area", "area")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        a = _round_half_up(batch.column("computed_area").to_numpy(), 4)
+        return pa.table(
+            {"doc_id": batch.column("doc_id"),
+             "computed_area": pa.array(a, pa.float64())}
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+O_UPDATE_COLUMN = f"""{CTE}
+SELECT doc_id, ROUND(OPPERVL, 4) AS computed_area FROM parcels ORDER BY 1"""
+
+
+def q_warp(sf):
+    ds = sl.warp(parcels_dataset(sf), (2.0, 0.0, 10.0, 0.0, 0.5, -3.0))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ga = from_wkb(batch.column("geometry").to_pylist())
+        b = ga.bounds()
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "minx": pa.array(b[:, 0], pa.float64()),
+                "miny": pa.array(b[:, 1], pa.float64()),
+                "maxx": pa.array(b[:, 2], pa.float64()),
+                "maxy": pa.array(b[:, 3], pa.float64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+O_WARP = f"""{CTE}
+SELECT doc_id, 2.0 * minx + 10.0 AS minx, 0.5 * miny - 3.0 AS miny,
+       2.0 * maxx + 10.0 AS maxx, 0.5 * maxy - 3.0 AS maxy
+FROM parcels ORDER BY 1"""
+
+
+def q_spans_roundtrip(sf):
+    """Span-sequence equality through a spatial semi-join: carry spans
+    through export_by_location, fingerprint the output spans — the
+    oracle reconstructs the same fingerprint from the raw documents
+    (per-row invariant of BASELINE.json input_hint)."""
+    import hashlib
+
+    ds = export_by_location(
+        parcels_dataset(sf), zones_dataset(sf), "intersects is True"
+    )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column("l1_doc_id").to_numpy()
+        spans = batch.column("l1_spans").to_pylist()
+        fps = []
+        for sp in spans:
+            parts = [
+                f"{s['kind']}|{s['text']}|{s['media_ref']}|{s['offset']}"
+                for s in sorted(sp, key=lambda s: s["offset"])
+            ]
+            fps.append(hashlib.md5("§".join(parts).encode()).hexdigest())
+        return pa.table(
+            {"l1_doc_id": pa.array(ids, pa.int64()),
+             "span_fp": pa.array(fps, pa.string())}
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+O_SPANS = f"""{CTE}
+SELECT p.doc_id AS l1_doc_id,
+  md5('text|' || substr(d.text, 1, 32) || '||0' || '§' ||
+      'media||media://' || CAST(((d.doc_id * 2654435761) % 4294967296) % 1000 AS VARCHAR)
+      || '|1' || '§' || 'geom|||2') AS span_fp
+FROM parcels p JOIN documents d ON d.doc_id = p.doc_id
+WHERE EXISTS (SELECT 1 FROM zones z WHERE {BBOX_ON}) ORDER BY 1"""
+
+
+# ------------------------------------------------------------- text queries
+
+
+def _docs(sf):
+    return ray.data.read_parquet(f"{sf}/documents.parquet")
+
+
+def _emb(sf):
+    return ray.data.read_parquet(f"{sf}/embeddings.parquet")
+
+
+def q_topk(sf):
+    import pyarrow.parquet as pq
+
+    qv = pq.read_table(
+        f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    qvec = qv.column("embedding")[0].as_py()
+    return ts.brute_topk(_emb(sf), np.array([qvec]), k=10)
+
+
+def q_neardup(sf):
+    return ts.embedding_neardup_pairs(_emb(sf), threshold=0.4)
+
+
+def q_lsh_topk(sf):
+    import pyarrow.parquet as pq
+
+    qv = pq.read_table(f"{sf}/embeddings.parquet", columns=["embedding"])
+    qvec = qv.column("embedding")[0].as_py()
+    return ts.lsh_topk(_emb(sf), np.array([qvec]), k=10)
+
+
+def q_minhash_pairs(sf):
+    return td.minhash_dedup_pairs(_docs(sf), jaccard_threshold=0.2)
+
+
+def q_media_features(sf):
+    ds = extract_media_features(parcels_dataset(sf))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        feats = batch.column("feature")
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "media_ref": batch.column("media_ref"),
+                "feat_dim": pa.array([8] * len(batch), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------- registry
+
+QUERIES = {
+    # spatial
+    "sjoin_intersects": q_sjoin_intersects,
+    "sjoin_within": q_sjoin_within,
+    "export_by_location_semi": q_export_semi,
+    "export_by_location_anti": q_export_anti,
+    "export_by_distance": q_export_by_distance,
+    "intersection_pairs": q_intersection,
+    "clip_areas": q_clip,
+    "difference_areas": q_difference,
+    "join_nearest_k2": q_join_nearest,
+    "dissolve_gewasgroep": q_dissolve,
+    "tile_assignments_16": q_tile_assign,
+    "buffer_area": q_buffer,
+    "convexhull_area": q_convexhull,
+    "simplify_counts": q_simplify,
+    "update_column_area": q_update_column,
+    "warp_affine": q_warp,
+    "spans_roundtrip": q_spans_roundtrip,
+    # text / training-data
+    "token_count": lambda sf: ta.token_count(_docs(sf)),
+    "quality_score": lambda sf: ta.quality_score(_docs(sf)),
+    "language_id": lambda sf: ta.language_id(_docs(sf)),
+    "fingerprint": lambda sf: ta.fingerprint(_docs(sf)),
+    "exact_dedup": lambda sf: td.exact_dedup(_docs(sf)),
+    "minhash_bands": lambda sf: td.minhash_signatures(_docs(sf)),
+    "simhash32": lambda sf: td.simhash(_docs(sf)),
+    "ngram_jaccard": lambda sf: td.ngram_jaccard_pairs(_docs(sf), threshold=0.2),
+    "embedding_topk10": q_topk,
+    "embedding_neardup": q_neardup,
+    # approximate / stub paths (rows-only checks; no oracle by design)
+    "lsh_topk10": q_lsh_topk,
+    "minhash_dedup_pairs": q_minhash_pairs,
+    "media_features": q_media_features,
+}
+
+ORACLES = {
+    "sjoin_intersects": O_SJOIN,
+    "sjoin_within": O_SJOIN_WITHIN,
+    "export_by_location_semi": O_EXPORT_SEMI,
+    "export_by_location_anti": O_EXPORT_ANTI,
+    "export_by_distance": O_EXPORT_DIST,
+    "intersection_pairs": O_INTERSECTION,
+    "clip_areas": O_CLIP,
+    "difference_areas": O_DIFFERENCE,
+    "join_nearest_k2": O_JOIN_NEAREST,
+    "dissolve_gewasgroep": O_DISSOLVE,
+    "tile_assignments_16": _o_tile_assign(),
+    "buffer_area": O_BUFFER,
+    "convexhull_area": O_CONVEXHULL,
+    "simplify_counts": O_SIMPLIFY,
+    "update_column_area": O_UPDATE_COLUMN,
+    "warp_affine": O_WARP,
+    "spans_roundtrip": O_SPANS,
+    "token_count": ta.TOKEN_COUNT_SQL,
+    "quality_score": ta.QUALITY_SQL,
+    "language_id": ta.LANG_ID_SQL,
+    "fingerprint": ta.FINGERPRINT_SQL,
+    "exact_dedup": td.EXACT_DEDUP_SQL,
+    "minhash_bands": td.minhash_sql(),
+    "simhash32": td.simhash_sql(),
+    "ngram_jaccard": td.ngram_jaccard_sql(threshold=0.2),
+    "embedding_topk10": ts.topk_sql(0, 10),
+    "embedding_neardup": ts.neardup_sql(0.4),
+}
+
+
+def flagship(sf: str) -> ray.data.Dataset:
+    """The headline sjoin + dissolve pipeline (BASELINE.json metric):
+    spatial join parcels×zones, then dissolve joined parcels by
+    (GEWASGROEP, zone)."""
+    joined = join_by_location(
+        parcels_dataset(sf), zones_dataset(sf), "intersects is True",
+        cols1=["GEWASGROEP", "OPPERVL"], cols2=["naam"],
+    )
+
+    def rewrap(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("l1_doc_id"),
+                "GEWASGROEP": batch.column("l1_GEWASGROEP"),
+                "naam": batch.column("l2_naam"),
+                "OPPERVL": batch.column("l1_OPPERVL"),
+                "geometry": batch.column("l1_geometry"),
+            }
+        )
+
+    joined = joined.map_batches(rewrap, batch_format="pyarrow")
+    return dissolve(
+        joined,
+        groupby=["GEWASGROEP", "naam"],
+        agg_columns=[("OPPERVL", "sum", "sum_oppervl"), ("doc_id", "count", "nb_rows")],
+    )

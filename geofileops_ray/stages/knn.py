@@ -49,14 +49,16 @@ def _exact_knn(
     ga2: GeometryArray,
     k: int,
     rects2: np.ndarray,
+    ids2: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """(indices, distances) of the ≤k nearest layer2 rows to geometry i,
-    exact, via lower-bound ordering."""
+    exact, via lower-bound ordering; ties broken by layer2 doc_id."""
     b2 = ga2.bounds()
     dx = np.maximum(np.maximum(b2[:, 0] - cen[0], cen[0] - b2[:, 2]), 0)
     dy = np.maximum(np.maximum(b2[:, 1] - cen[1], cen[1] - b2[:, 3]), 0)
     lb = np.hypot(dx, dy)
-    order = np.argsort(lb, kind="stable")
+    tie = ids2 if ids2 is not None else np.arange(len(lb))
+    order = np.lexsort((tie, lb))
     out_i: list[int] = []
     out_d: list[float] = []
     kth = np.inf
@@ -70,7 +72,7 @@ def _exact_knn(
         if len(out_i) < k or d < kth:
             out_i.append(int(j))
             out_d.append(float(d))
-            srt = np.argsort(out_d, kind="stable")[:k]
+            srt = sorted(range(len(out_i)), key=lambda s: (out_d[s], tie[out_i[s]]))[:k]
             out_i = [out_i[s] for s in srt]
             out_d = [out_d[s] for s in srt]
             kth = out_d[-1] if len(out_i) >= k else np.inf
@@ -150,10 +152,11 @@ def join_nearest(
             ga1 = from_wkb(g1.column("l1_" + _GEOM).to_pylist())
             ga2 = from_wkb(g2.column("l2_" + _GEOM).to_pylist())
             rects2 = detect_rects(ga2)
+            ids2 = g2.column("l2_doc_id").to_numpy()
             cens = centroid(ga1) if len(ga1) else np.empty((0, 2))
             rows1, rows2, poss, dists, done_flags = [], [], [], [], []
             for i in range(len(ga1)):
-                js, ds_ = _exact_knn(ga1, i, cens[i], ga2, nb_nearest, rects2)
+                js, ds_ = _exact_knn(ga1, i, cens[i], ga2, nb_nearest, rects2, ids2)
                 if not expand:
                     keep = ds_ <= bound
                     js, ds_ = js[keep], ds_[keep]

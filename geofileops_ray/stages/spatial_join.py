@@ -263,6 +263,48 @@ def _attr_cols(ds: ray.data.Dataset) -> list[str]:
     return [n for n in names if n not in ("doc_id", _GEOM, "spans")]
 
 
+SPAN_TYPE = pa.list_(
+    pa.struct(
+        [
+            ("kind", pa.string()),
+            ("text", pa.string()),
+            ("media_ref", pa.string()),
+            ("offset", pa.int32()),
+        ]
+    )
+)
+
+
+def _pack_spans(batch: pa.Table, col: str) -> pa.Table:
+    """list<struct> → JSON string (Arrow acero joins reject nested
+    non-key columns); round-trips exactly via _unpack_spans."""
+    import json
+
+    if col not in batch.column_names:
+        return batch
+    idx = batch.schema.get_field_index(col)
+    packed = pa.array(
+        [json.dumps(v, separators=(",", ":")) if v is not None else None
+         for v in batch.column(col).to_pylist()],
+        pa.string(),
+    )
+    return batch.set_column(idx, col, packed)
+
+
+def _unpack_spans(batch: pa.Table, col: str) -> pa.Table:
+    import json
+
+    if col not in batch.column_names:
+        return batch
+    idx = batch.schema.get_field_index(col)
+    unpacked = pa.array(
+        [json.loads(v) if v is not None else None
+         for v in batch.column(col).to_pylist()],
+        SPAN_TYPE,
+    )
+    return batch.set_column(idx, col, unpacked)
+
+
 def _prefix_dataset(ds: ray.data.Dataset, prefix: str, cols: list[str]) -> ray.data.Dataset:
     cols = list(dict.fromkeys(cols))
 
@@ -411,8 +453,19 @@ def export_by_location(
         ),
         batch_format="pyarrow",
     )
-    l1 = _prefix_dataset(ds1, "l1_", ["doc_id", *(_attr_cols(ds1)), _GEOM])
-    return l1.join(keep, join_type="inner", num_partitions=16, on=("l1_doc_id",))
+    # re-attach the FULL layer1 row (incl. the heavy spans payload) by
+    # hash join on doc_id — spans never rode through the cell shuffle,
+    # which is what makes span-sequence equality trivially true
+    # (SURVEY.md §7.4 "very wide records"); spans pack to JSON around the
+    # join (acero rejects nested non-key columns) and unpack after
+    full_cols = [c for c in ds1.schema().base_schema.names if c != _GEOM] + [_GEOM]
+    l1 = _prefix_dataset(ds1, "l1_", full_cols).map_batches(
+        lambda b: _pack_spans(b, "l1_spans"), batch_format="pyarrow"
+    )
+    out = l1.join(keep, join_type="inner", num_partitions=16, on=("l1_doc_id",))
+    return out.map_batches(
+        lambda b: _unpack_spans(b, "l1_spans"), batch_format="pyarrow"
+    )
 
 
 def export_by_distance(

@@ -1,0 +1,25 @@
+"""Training-data pipeline operators over the ``documents`` /
+``embeddings`` tables: deduplication (exact, MinHash+LSH, SimHash,
+n-gram Jaccard, embedding near-dup), similarity search, text analysis
+(language-ID, quality scoring, token counting, fingerprinting) and
+multimodal column plumbing.
+
+These are first-class engine components alongside the spatial operators
+(per the build brief) — all expressed as vectorized ``map_batches``
+stages + groupby shuffles, with DuckDB-mirrorable hash choices (md5) so
+correctness is oracle-checkable end to end.
+"""
+
+from .analysis import (  # noqa: F401
+    fingerprint,
+    language_id,
+    quality_score,
+    token_count,
+)
+from .dedup import (  # noqa: F401
+    exact_dedup,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from .similarity import brute_topk, lsh_topk  # noqa: F401

@@ -1,0 +1,285 @@
+"""Similarity search over the ``embeddings`` table (vec_id,
+embedding: list<float>, label).
+
+* ``brute_topk`` — exact cosine top-k: the query matrix is broadcast
+  once via ``ray.put`` and every ``map_batches`` task does one numpy
+  matmul per batch against it (per-batch partial top-k), followed by a
+  tiny driver-side merge of the per-batch candidates. This is the
+  baseline and the oracle-checkable path.
+* ``lsh_topk`` — the scale path: random-hyperplane LSH bucket keys per
+  vector (signed projections on a seeded Gaussian basis), shuffle by
+  bucket, search only the query's bucket (±probe neighbours). Recall<1
+  by construction → rows-only check.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def _batch_vecs(batch: pa.Table, col: str = "embedding") -> np.ndarray:
+    arr = batch.column(col).combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(arr)
+    return flat.reshape(n, -1)
+
+
+def brute_topk(
+    ds: ray.data.Dataset,
+    query_vectors: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    round_digits: int = 6,
+) -> pa.Table:
+    """Exact cosine top-k per query. Returns (query_id, vec_id, cos,
+    pos). query_vectors: (q, d). The per-batch stage emits only its local
+    top-k (q·k rows per batch) so the driver merge is tiny."""
+    q = np.asarray(query_vectors, dtype=np.float64)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    qref = ray.put(qn)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        qm = ray.get(qref)
+        v = _batch_vecs(batch)
+        vn = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-30)
+        cos = vn @ qm.T  # (n, q)
+        ids = batch.column(id_col).to_numpy()
+        out_q, out_i, out_c = [], [], []
+        kk = min(k, len(ids))
+        for qi in range(qm.shape[0]):
+            part = np.argpartition(-cos[:, qi], kk - 1)[:kk]
+            out_q.extend([qi] * len(part))
+            out_i.extend(ids[part].tolist())
+            out_c.extend(cos[part, qi].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_i, pa.int64()),
+                "cos": pa.array(out_c, pa.float64()),
+            }
+        )
+
+    cand = ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    # driver-side merge of per-batch candidates (≤ k · nbatches rows)
+    rows = []
+    byq: dict[int, list] = {}
+    for r in cand:
+        byq.setdefault(r["query_id"], []).append((r["cos"], r["vec_id"]))
+    for qi in sorted(byq):
+        # rank by raw cosine (ties by id) — matches the oracle's
+        # ORDER BY cos DESC, vec_id; emit the rounded value
+        top = sorted(byq[qi], key=lambda t: (-t[0], t[1]))[:k]
+        for pos, (c, vid) in enumerate(top, start=1):
+            rows.append((qi, vid, round(c, round_digits), pos))
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows], pa.int64()),
+            "vec_id": pa.array([r[1] for r in rows], pa.int64()),
+            "cos": pa.array([r[2] for r in rows], pa.float64()),
+            "pos": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+
+
+def lsh_topk(
+    ds: ray.data.Dataset,
+    query_vectors: np.ndarray,
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+) -> pa.Table:
+    """Approximate top-k: random-hyperplane bucket per vector, search
+    only buckets within Hamming distance ≤ 1 of each query's bucket."""
+    q = np.asarray(query_vectors, dtype=np.float64)
+    dim = q.shape[1]
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_planes))
+    qsig = (q @ planes > 0).astype(np.int64)
+    qbits = (qsig * (1 << np.arange(n_planes))).sum(axis=1)
+    # probe set: exact bucket + all 1-bit flips
+    probes: set[int] = set()
+    for b in qbits:
+        probes.add(int(b))
+        for p in range(n_planes):
+            probes.add(int(b) ^ (1 << p))
+    planes_ref = ray.put(planes)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    qref = ray.put(qn)
+    probe_arr = np.array(sorted(probes), dtype=np.int64)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        pl = ray.get(planes_ref)
+        qm = ray.get(qref)
+        v = _batch_vecs(batch)
+        sig = (v @ pl > 0).astype(np.int64)
+        bits = (sig * (1 << np.arange(pl.shape[1]))).sum(axis=1)
+        mask = np.isin(bits, probe_arr)
+        idx = np.flatnonzero(mask)
+        if len(idx) == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "cos": pa.array([], pa.float64()),
+                }
+            )
+        vn = v[idx] / np.maximum(
+            np.linalg.norm(v[idx], axis=1, keepdims=True), 1e-30
+        )
+        cos = vn @ qm.T
+        ids = batch.column(id_col).to_numpy()[idx]
+        out_q, out_i, out_c = [], [], []
+        kk = min(k, len(ids))
+        for qi in range(qm.shape[0]):
+            part = np.argpartition(-cos[:, qi], kk - 1)[:kk]
+            out_q.extend([qi] * len(part))
+            out_i.extend(ids[part].tolist())
+            out_c.extend(cos[part, qi].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_i, pa.int64()),
+                "cos": pa.array(out_c, pa.float64()),
+            }
+        )
+
+    cand = ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    rows = []
+    byq: dict[int, list] = {}
+    for r in cand:
+        byq.setdefault(r["query_id"], []).append((r["cos"], r["vec_id"]))
+    for qi in sorted(byq):
+        top = sorted(byq[qi], key=lambda t: (-t[0], t[1]))[:k]
+        for pos, (c, vid) in enumerate(top, start=1):
+            rows.append((qi, vid, round(c, 6), pos))
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows], pa.int64()),
+            "vec_id": pa.array([r[1] for r in rows], pa.int64()),
+            "cos": pa.array([r[2] for r in rows], pa.float64()),
+            "pos": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+
+
+def embedding_neardup_pairs(
+    ds: ray.data.Dataset,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    exact: bool = True,
+) -> ray.data.Dataset:
+    """Embedding-cosine near-duplicate pairs.
+
+    exact=True: all-pairs via a single broadcast of the (normalized)
+    matrix — right for ≤~100k vectors; exact oracle parity.
+    exact=False: LSH-bucketed (same-bucket pairs only) — the 10^9-row
+    scale path, recall<1."""
+    import pyarrow.compute as pc
+
+    if exact:
+        tbl = pa.concat_tables(
+            ray.get([ref for ref in ds.to_arrow_refs()])
+        ).combine_chunks()
+        v = _batch_vecs(tbl)
+        ids = tbl.column(id_col).to_numpy()
+        vn = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-30)
+        ref = ray.put((vn, ids))
+
+        def fn(batch: pa.Table) -> pa.Table:
+            allv, allids = ray.get(ref)
+            v2 = _batch_vecs(batch)
+            my = batch.column(id_col).to_numpy()
+            v2n = v2 / np.maximum(np.linalg.norm(v2, axis=1, keepdims=True), 1e-30)
+            cos = v2n @ allv.T
+            ii, jj = np.nonzero(cos >= threshold)
+            keep = my[ii] < allids[jj]
+            ii, jj = ii[keep], jj[keep]
+            return pa.table(
+                {
+                    "vec_id_a": pa.array(my[ii], pa.int64()),
+                    "vec_id_b": pa.array(allids[jj], pa.int64()),
+                    "cos": pa.array(np.round(cos[ii, jj], 6), pa.float64()),
+                }
+            )
+
+        return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+    rng = np.random.default_rng(seed)
+    dim = _batch_vecs(pa.concat_tables([ray.get(ds.limit(1).to_arrow_refs()[0])])).shape[1]
+    planes = rng.standard_normal((dim, n_planes))
+    planes_ref = ray.put(planes)
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        pl = ray.get(planes_ref)
+        v = _batch_vecs(batch)
+        sig = (v @ pl > 0).astype(np.int64)
+        bits = (sig * (1 << np.arange(pl.shape[1]))).sum(axis=1)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "embedding": batch.column("embedding"),
+                "__bucket": pa.array(bits, pa.int64()),
+            }
+        )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        v = _batch_vecs(group)
+        ids = group.column(id_col).to_numpy()
+        vn = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-30)
+        cos = vn @ vn.T
+        ii, jj = np.nonzero(np.triu(cos >= threshold, k=1))
+        keep = ids[ii] != ids[jj]
+        ii, jj = ii[keep], jj[keep]
+        a = np.minimum(ids[ii], ids[jj])
+        b = np.maximum(ids[ii], ids[jj])
+        return pa.table(
+            {
+                "vec_id_a": pa.array(a, pa.int64()),
+                "vec_id_b": pa.array(b, pa.int64()),
+                "cos": pa.array(np.round(cos[ii, jj], 6), pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
+def topk_sql(query_vec_id: int = 0, k: int = 10) -> str:
+    """DuckDB mirror of brute_topk for a single query vector taken from
+    the table itself (query_id fixed 0)."""
+    # CAST to DOUBLE[] so DuckDB accumulates in float64 like numpy — the
+    # float32 inputs are identical, so round-6 values agree
+    return f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) qv FROM embeddings
+           WHERE vec_id = {query_vec_id}),
+s AS (
+  SELECT e.vec_id, list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) cos
+  FROM embeddings e, q),
+r AS (SELECT vec_id, cos,
+             ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) pos FROM s)
+SELECT CAST(0 AS BIGINT) AS query_id, vec_id, ROUND(cos, 6) AS cos,
+       CAST(pos AS BIGINT) AS pos
+FROM r WHERE pos <= {k} ORDER BY pos
+"""
+
+
+def neardup_sql(threshold: float = 0.95) -> str:
+    return f"""
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= {threshold}
+ORDER BY 1, 2
+"""

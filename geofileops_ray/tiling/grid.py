@@ -35,7 +35,9 @@ def create_squarish_grid(
     h = max(maxy - miny, 1e-9)
     if nb_tiles <= 1:
         return [(0, minx, miny, maxx, maxy)]
-    ncols = max(1, round(math.sqrt(nb_tiles * w / h)))
+    # FLOOR(x+0.5) instead of python round(): mirrors SQL ROUND (half
+    # away from zero), keeping tile ids reproducible by the DuckDB oracle
+    ncols = max(1, int(math.floor(math.sqrt(nb_tiles * w / h) + 0.5)))
     nrows = max(1, math.ceil(nb_tiles / ncols))
     dx, dy = w / ncols, h / nrows
     tiles = []
@@ -59,7 +61,7 @@ def _grid_params(bounds, nb_tiles):
     h = max(maxy - miny, 1e-9)
     if nb_tiles <= 1:
         return minx, miny, w, h, 1, 1
-    ncols = max(1, round(math.sqrt(nb_tiles * w / h)))
+    ncols = max(1, int(math.floor(math.sqrt(nb_tiles * w / h) + 0.5)))
     nrows = max(1, math.ceil(nb_tiles / ncols))
     return minx, miny, w / ncols, h / nrows, ncols, nrows
 

@@ -279,6 +279,150 @@ def _capsule(a: np.ndarray, b: np.ndarray, d: float, quad_segs: int,
     return ensure_closed(ring)
 
 
+def _rounded_rect_rings(b: np.ndarray, distance: float, qs: int) -> np.ndarray:
+    """(m, 4*(qs+1)+1, 2) closed CCW rounded-rect rings for bbox rows b."""
+    ang = np.concatenate(
+        [
+            np.linspace(-np.pi / 2, 0.0, qs + 1),
+            np.linspace(0.0, np.pi / 2, qs + 1),
+            np.linspace(np.pi / 2, np.pi, qs + 1),
+            np.linspace(np.pi, 1.5 * np.pi, qs + 1),
+        ]
+    )
+    ca = np.cos(ang) * distance
+    sa = np.sin(ang) * distance
+    k = len(ang)
+    q = qs + 1
+    cx = np.empty((len(b), k))
+    cy = np.empty((len(b), k))
+    cx[:, 0 * q : 1 * q] = b[:, 2:3]
+    cy[:, 0 * q : 1 * q] = b[:, 1:2]
+    cx[:, 1 * q : 2 * q] = b[:, 2:3]
+    cy[:, 1 * q : 2 * q] = b[:, 3:4]
+    cx[:, 2 * q : 3 * q] = b[:, 0:1]
+    cy[:, 2 * q : 3 * q] = b[:, 3:4]
+    cx[:, 3 * q : 4 * q] = b[:, 0:1]
+    cy[:, 3 * q : 4 * q] = b[:, 1:2]
+    rings = np.empty((len(b), k + 1, 2))
+    rings[:, :k, 0] = cx + ca[None, :]
+    rings[:, :k, 1] = cy + sa[None, :]
+    rings[:, k] = rings[:, 0]
+    return rings
+
+
+def _uniform_polygon_ga(rings: np.ndarray) -> GeometryArray:
+    """GeometryArray of n single-ring polygons from an (n, K, 2) stack —
+    offsets built arithmetically, zero python loops."""
+    n, K, _ = rings.shape
+    return GeometryArray(
+        types=np.full(n, POLYGON, dtype=np.int8),
+        geom_offsets=np.arange(n + 1, dtype=np.int64),
+        part_offsets=np.arange(n + 1, dtype=np.int64),
+        ring_offsets=np.arange(n + 1, dtype=np.int64) * K,
+        coords=rings.reshape(-1, 2).astype(np.float64, copy=False),
+    )
+
+
+def _buffer_all_rects(
+    arr: GeometryArray, distance: float, quad_segs: int
+) -> GeometryArray | None:
+    """Whole-batch vectorized buffer when EVERY row is an axis-aligned
+    rectangle and d>0 (the dominant layer shape): no per-row python at
+    all. Returns None when the batch is mixed."""
+    from ..stages.relation import detect_rects
+
+    if len(arr) == 0 or distance <= 0:
+        return None
+    mask = detect_rects(arr) & (arr.types == POLYGON)
+    if not mask.all():
+        return None
+    rings = _rounded_rect_rings(arr.bounds(), distance, quad_segs)
+    return _uniform_polygon_ga(rings)
+
+
+def _buffer_fast_paths(
+    arr: GeometryArray, distance: float, quad_segs: int
+) -> dict[int, tuple[int, list]]:
+    """Vectorized buffer for axis-aligned rectangles (+ points, d>0):
+    one broadcasted ring construction for all qualifying rows.
+
+    Positive d on a rect → rounded rect: 4 corner arcs of quad_segs
+    segments (identical vertex set to _offset_convex_ring, rotated);
+    negative d → shrunk rect or empty. Point + d>0 → disc.
+    """
+    from ..stages.relation import detect_rects
+
+    n = len(arr)
+    if n == 0:
+        return {}
+    out: dict[int, tuple[int, list]] = {}
+    rect_mask = detect_rects(arr)  # includes points
+    is_pt = (arr.types == POINT) & rect_mask
+    is_rect = rect_mask & ~is_pt
+    qs = quad_segs
+    if is_rect.any():
+        idx = np.flatnonzero(is_rect)
+        b = arr.bounds()[idx]
+        if distance > 0:
+            # corner centers CCW from bottom-right; arc angle ranges
+            ang = np.concatenate(
+                [
+                    np.linspace(-np.pi / 2, 0.0, qs + 1),
+                    np.linspace(0.0, np.pi / 2, qs + 1),
+                    np.linspace(np.pi / 2, np.pi, qs + 1),
+                    np.linspace(np.pi, 1.5 * np.pi, qs + 1),
+                ]
+            )  # (4*(qs+1),)
+            ca = np.cos(ang) * distance
+            sa = np.sin(ang) * distance
+            k = len(ang)
+            cx = np.empty((len(idx), k))
+            cy = np.empty((len(idx), k))
+            q = qs + 1
+            cx[:, 0 * q : 1 * q] = b[:, 2:3]
+            cy[:, 0 * q : 1 * q] = b[:, 1:2]
+            cx[:, 1 * q : 2 * q] = b[:, 2:3]
+            cy[:, 1 * q : 2 * q] = b[:, 3:4]
+            cx[:, 2 * q : 3 * q] = b[:, 0:1]
+            cy[:, 2 * q : 3 * q] = b[:, 3:4]
+            cx[:, 3 * q : 4 * q] = b[:, 0:1]
+            cy[:, 3 * q : 4 * q] = b[:, 1:2]
+            rings = np.empty((len(idx), k + 1, 2))
+            rings[:, :k, 0] = cx + ca[None, :]
+            rings[:, :k, 1] = cy + sa[None, :]
+            rings[:, k] = rings[:, 0]
+            for j, i in enumerate(idx):
+                out[int(i)] = (POLYGON, [[rings[j]]])
+        else:
+            d = -distance
+            x0, y0 = b[:, 0] + d, b[:, 1] + d
+            x1, y1 = b[:, 2] - d, b[:, 3] - d
+            ok = (x1 > x0) & (y1 > y0)
+            rings = np.empty((len(idx), 5, 2))
+            rings[:, 0, 0], rings[:, 0, 1] = x0, y0
+            rings[:, 1, 0], rings[:, 1, 1] = x1, y0
+            rings[:, 2, 0], rings[:, 2, 1] = x1, y1
+            rings[:, 3, 0], rings[:, 3, 1] = x0, y1
+            rings[:, 4] = rings[:, 0]
+            for j, i in enumerate(idx):
+                out[int(i)] = (POLYGON, [[rings[j]]] if ok[j] else [])
+    if is_pt.any() and distance > 0:
+        idx = np.flatnonzero(is_pt)
+        lo, _hi = arr.geom_coord_ranges()
+        c = arr.coords[lo[idx]]
+        ang = np.linspace(0, 2 * np.pi, 4 * qs, endpoint=False)
+        rings = np.empty((len(idx), 4 * qs + 1, 2))
+        rings[:, : 4 * qs, 0] = c[:, 0:1] + distance * np.cos(ang)[None, :]
+        rings[:, : 4 * qs, 1] = c[:, 1:2] + distance * np.sin(ang)[None, :]
+        rings[:, 4 * qs] = rings[:, 0]
+        for j, i in enumerate(idx):
+            out[int(i)] = (POLYGON, [[rings[j]]])
+    elif is_pt.any():
+        for i in np.flatnonzero(is_pt):
+            out[int(i)] = (POLYGON, [])
+    return out
+
+
 def buffer(
     arr: GeometryArray,
     distance: float,
@@ -299,9 +443,23 @@ def buffer(
     * negative distance drops non-polygon rows (reference wraps negative
       buffer in ST_CollectionExtract(...,3): polygons only,
       _geoops_sql.py:67-83).
+
+    Axis-aligned rectangles and points with default round styles take a
+    fully vectorized batch path (one broadcasted numpy construction for
+    ALL such rows); everything else falls through to the general
+    per-geometry code.
     """
+    fast_out: dict[int, tuple[int, list]] = {}
+    if cap_style == "round" and join_style == "round" and not single_sided:
+        whole = _buffer_all_rects(arr, distance, quad_segs)
+        if whole is not None:
+            return whole
+        fast_out = _buffer_fast_paths(arr, distance, quad_segs)
     geoms = []
     for i in range(len(arr)):
+        if i in fast_out:
+            geoms.append(fast_out[i])
+            continue
         t = int(arr.types[i])
         if t == MISSING:
             geoms.append((MISSING, []))

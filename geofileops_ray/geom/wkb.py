@@ -92,8 +92,108 @@ def _parse_one(buf: memoryview, pos: int, out_parts: list) -> tuple[int, int]:
     raise ValueError(f"unsupported WKB geometry type {raw_type}")
 
 
+def _fast_decode(values: list) -> GeometryArray | None:
+    """Vectorized decode when every blob is little-endian 2D and each is
+    either a POINT or a single-ring POLYGON (the dominant wire shapes).
+    One concatenation + one fancy-indexed gather; no per-geometry python
+    parsing. Returns None for mixed/nested input (general path used)."""
+    n = len(values)
+    if n == 0:
+        return None
+    lens = np.empty(n, dtype=np.int64)
+    for i, v in enumerate(values):
+        if v is None:
+            return None
+        lens[i] = len(v)
+    if (lens < 21).any():
+        return None
+    buf = np.frombuffer(b"".join(values), dtype=np.uint8)
+    offs = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens[:-1], out=offs[1:])
+    if not (buf[offs] == 1).all():
+        return None
+    t = (
+        buf[offs + 1].astype(np.int64)
+        | (buf[offs + 2].astype(np.int64) << 8)
+        | (buf[offs + 3].astype(np.int64) << 16)
+        | (buf[offs + 4].astype(np.int64) << 24)
+    )
+    is_pt = t == POINT
+    is_poly = t == POLYGON
+    if not (is_pt | is_poly).all():
+        return None
+    if is_pt.any() and not (lens[is_pt] == 21).all():
+        return None
+    if is_poly.any():
+        pidx = np.flatnonzero(is_poly)
+        po = offs[pidx]
+        nrings = (
+            buf[po + 5].astype(np.int64)
+            | (buf[po + 6].astype(np.int64) << 8)
+            | (buf[po + 7].astype(np.int64) << 16)
+            | (buf[po + 8].astype(np.int64) << 24)
+        )
+        if not (nrings == 1).all():
+            return None
+        npts = (
+            buf[po + 9].astype(np.int64)
+            | (buf[po + 10].astype(np.int64) << 8)
+            | (buf[po + 11].astype(np.int64) << 16)
+            | (buf[po + 12].astype(np.int64) << 24)
+        )
+        if ((po + 13 + 16 * npts) != offs[pidx] + lens[pidx]).any():
+            return None
+    ncoords = np.where(is_pt, 1, 0)
+    if is_poly.any():
+        ncoords = ncoords.astype(np.int64)
+        ncoords[pidx] = npts
+    data_off = np.where(is_pt, offs + 5, offs + 13)
+    hdr = data_off - offs
+    if (lens == lens[0]).all() and (hdr == hdr[0]).all():
+        # uniform blobs (synthetic layers, buffered outputs): plain
+        # reshape + slice — no index materialization at all
+        L, H = int(lens[0]), int(hdr[0])
+        coords = (
+            buf.reshape(n, L)[:, H:]
+            .copy()
+            .view("<f8")
+            .reshape(-1, 2)
+            .astype(np.float64, copy=False)
+        )
+    else:
+        # gather all coordinate bytes in one shot
+        nbytes = ncoords * 16
+        total = int(nbytes.sum())
+        starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(nbytes[:-1], out=starts[1:])
+        gather = np.repeat(data_off - starts, nbytes) + np.arange(
+            total, dtype=np.int64
+        )
+        coords = buf[gather].view("<f8").reshape(-1, 2).astype(np.float64, copy=False)
+    ring_offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(ncoords, out=ring_offsets[1:])
+    return GeometryArray(
+        types=t.astype(np.int8),
+        geom_offsets=np.arange(n + 1, dtype=np.int64),
+        part_offsets=np.arange(n + 1, dtype=np.int64),
+        ring_offsets=ring_offsets,
+        coords=coords,
+    )
+
+
 def from_wkb(values) -> GeometryArray:
-    """Decode an iterable of WKB bytes (or None) into a GeometryArray."""
+    """Decode WKB blobs (list of bytes/None, or a pyarrow binary array)
+    into a GeometryArray. Uniform point/single-ring-polygon input takes a
+    fully vectorized path."""
+    import pyarrow as pa
+
+    if isinstance(values, (pa.ChunkedArray, pa.Array)):
+        values = values.to_pylist()
+    if not isinstance(values, list):
+        values = list(values)
+    fast = _fast_decode(values)
+    if fast is not None:
+        return fast
     geoms = []
     for v in values:
         if v is None or len(v) == 0:
@@ -158,8 +258,82 @@ def _ring_closed(ring: np.ndarray) -> bool:
     return len(ring) >= 4 and bool(np.all(ring[0] == ring[-1]))
 
 
+def _fast_encode(arr: GeometryArray) -> list[bytes] | None:
+    """Vectorized encode when every row is a single-ring POLYGON or a
+    POINT: one scatter into a preallocated byte slab, then zero-copy
+    slicing per row."""
+    n = len(arr)
+    if n == 0:
+        return None
+    is_pt = arr.types == POINT
+    is_poly = arr.types == POLYGON
+    if not (is_pt | is_poly).all():
+        return None
+    one_part = (arr.geom_offsets[1:] - arr.geom_offsets[:-1]) == 1
+    if not one_part.all():
+        return None
+    p0 = arr.geom_offsets[:-1]
+    r0 = arr.part_offsets[p0]
+    one_ring = (arr.part_offsets[p0 + 1] - arr.part_offsets[p0]) == 1
+    if not one_ring.all():
+        return None
+    npts = (arr.ring_offsets[r0 + 1] - arr.ring_offsets[r0]).astype(np.int64)
+    if is_pt.any() and not (npts[is_pt] == 1).all():
+        return None
+    sizes = np.where(is_pt, 21, 13 + 16 * npts)
+    src = np.ascontiguousarray(arr.coords, dtype="<f8").view(np.uint8).reshape(-1)
+    if (
+        is_poly.all()
+        and (npts == npts[0]).all()
+        and (arr.ring_offsets[r0] == np.arange(n) * npts[0]).all()
+    ):
+        # uniform single-ring polygons: build the slab as (n, L) 2D —
+        # header broadcast + one reshape, no index materialization
+        K = int(npts[0])
+        L = 13 + 16 * K
+        out = np.empty((n, L), dtype=np.uint8)
+        hdr = bytearray(b"\x01")
+        hdr += struct.pack("<I", POLYGON)
+        hdr += struct.pack("<I", 1)
+        hdr += struct.pack("<I", K)
+        out[:, :13] = np.frombuffer(bytes(hdr), dtype=np.uint8)
+        out[:, 13:] = src.reshape(n, 16 * K)
+        blob = out.tobytes()
+        return [blob[i * L : (i + 1) * L] for i in range(n)]
+    total = int(sizes.sum())
+    out = np.zeros(total, dtype=np.uint8)
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(sizes[:-1], out=starts[1:])
+    out[starts] = 1  # little-endian
+    out[starts + 1] = np.where(is_pt, POINT, POLYGON).astype(np.uint8)
+    poly = np.flatnonzero(is_poly)
+    if len(poly):
+        ps = starts[poly]
+        out[ps + 5] = 1  # nrings low byte
+        np32 = npts[poly]
+        out[ps + 9] = (np32 & 0xFF).astype(np.uint8)
+        out[ps + 10] = ((np32 >> 8) & 0xFF).astype(np.uint8)
+        out[ps + 11] = ((np32 >> 16) & 0xFF).astype(np.uint8)
+        out[ps + 12] = ((np32 >> 24) & 0xFF).astype(np.uint8)
+    data_off = np.where(is_pt, starts + 5, starts + 13)
+    nbytes = npts * 16
+    cstart = arr.ring_offsets[r0] * 16
+    tot_b = int(nbytes.sum())
+    bstarts = np.zeros(n, dtype=np.int64)
+    np.cumsum(nbytes[:-1], out=bstarts[1:])
+    seq = np.arange(tot_b, dtype=np.int64)
+    src_idx = np.repeat(cstart * 1 - bstarts, nbytes) + seq
+    dst_idx = np.repeat(data_off - bstarts, nbytes) + seq
+    out[dst_idx] = src[src_idx]
+    blob = out.tobytes()
+    return [blob[starts[i] : starts[i] + sizes[i]] for i in range(n)]
+
+
 def to_wkb(arr: GeometryArray) -> list[bytes | None]:
     """Encode a GeometryArray to a list of WKB bytes (None for missing)."""
+    fast = _fast_encode(arr)
+    if fast is not None:
+        return fast
     out: list[bytes | None] = []
     for i in range(len(arr)):
         code = int(arr.types[i])

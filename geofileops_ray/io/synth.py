@@ -190,10 +190,32 @@ def read_documents(sf_dir: str, columns=("doc_id", "text", "lang")) -> ray.data.
     return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
 
 
-def parcels_dataset(sf_dir: str) -> ray.data.Dataset:
+def expand_documents(ds: ray.data.Dataset, repeat: int) -> ray.data.Dataset:
+    """Deterministic scale multiplier: each document becomes ``repeat``
+    documents with doc_id' = doc_id * repeat + j (pure int64 — the SQL
+    mirror is ``documents CROSS JOIN generate_series(0, repeat-1)``).
+    Used by bench.py to reach reference-benchmark row counts (≈515k
+    parcels, benchmark_results.csv) from the small driver tables."""
+    if repeat <= 1:
+        return ds
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        idx = np.repeat(np.arange(n, dtype=np.int64), repeat)
+        out = batch.take(pa.array(idx))
+        j = np.tile(np.arange(repeat, dtype=np.int64), n)
+        ids = out.column("doc_id").to_numpy() * repeat + j
+        return out.set_column(
+            out.schema.get_field_index("doc_id"), "doc_id", pa.array(ids, pa.int64())
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def parcels_dataset(sf_dir: str, repeat: int = 1) -> ray.data.Dataset:
     """The canonical layer-1 Dataset: read documents (pruned to the 3 used
     columns) → encode stage extracting geometry + attrs from the doc."""
-    return read_documents(sf_dir).map_batches(
+    return expand_documents(read_documents(sf_dir), repeat).map_batches(
         synth_parcels_batch, batch_format="pyarrow", zero_copy_batch=True
     )
 
@@ -239,8 +261,8 @@ zones AS (
 """
 
 
-def zones_dataset(sf_dir: str) -> ray.data.Dataset:
-    return read_documents(sf_dir).map_batches(
+def zones_dataset(sf_dir: str, repeat: int = 1) -> ray.data.Dataset:
+    return expand_documents(read_documents(sf_dir), repeat).map_batches(
         synth_zones_batch, batch_format="pyarrow", zero_copy_batch=True
     )
 
@@ -283,7 +305,7 @@ points AS (
 """
 
 
-def points_dataset(sf_dir: str) -> ray.data.Dataset:
-    return read_documents(sf_dir).map_batches(
+def points_dataset(sf_dir: str, repeat: int = 1) -> ray.data.Dataset:
+    return expand_documents(read_documents(sf_dir), repeat).map_batches(
         synth_points_batch, batch_format="pyarrow", zero_copy_batch=True
     )

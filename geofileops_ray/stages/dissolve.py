@@ -125,7 +125,46 @@ def _dissolve_lines_points(
 def _union_group_polygons(
     ga: GeometryArray, idx: np.ndarray
 ) -> list[list[np.ndarray]]:
-    return union_all_parts([ga._parts_of(int(i)) for i in idx])
+    """Union the polygons idx of ga — with a connected-component fast
+    path: only polygons whose bboxes overlap can interact, so we sweep
+    each overlap component separately and pass singletons through
+    untouched. In sparse cells (the common case) this skips the boolean
+    sweep entirely; in dense cells it bounds sweep size to the component.
+    """
+    from ..geom import bbox_join
+
+    if len(idx) == 0:
+        return []
+    if len(idx) == 1:
+        return [p for p in ga._parts_of(int(idx[0]))]
+    boxes = ga.bounds()[idx]
+    ia, ib = bbox_join(boxes, boxes)
+    # union-find over overlap pairs
+    parent = np.arange(len(idx))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(ia, ib):
+        if a < b:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+    comps: dict[int, list[int]] = {}
+    for k in range(len(idx)):
+        comps.setdefault(find(k), []).append(k)
+    out: list[list[np.ndarray]] = []
+    for members in comps.values():
+        if len(members) == 1:
+            out.extend(ga._parts_of(int(idx[members[0]])))
+        else:
+            out.extend(
+                union_all_parts([ga._parts_of(int(idx[m])) for m in members])
+            )
+    return out
 
 
 def _split_on_border(
@@ -134,16 +173,23 @@ def _split_on_border(
     """Split union result parts into (notonborder, onborder) by whether
     any vertex lies on the tile boundary (the reference splits via sjoin
     with the tile boundary lines, _geoops_gpd.py:2106-2115; after
-    clip-to-tile, border contact ⟺ a vertex on the rect edge)."""
+    clip-to-tile, border contact ⟺ a vertex on the rect edge). Bbox
+    pretest: a part strictly inside the rect never touches."""
     minx, miny, maxx, maxy = rect
     noton, on = [], []
     for part in parts:
+        outer = part[0]
+        x, y = outer[:, 0], outer[:, 1]
+        x0, x1, y0, y1 = x.min(), x.max(), y.min(), y.max()
+        if x0 > minx and x1 < maxx and y0 > miny and y1 < maxy:
+            noton.append(part)
+            continue
         touches = False
         for ring in part:
-            x, y = ring[:, 0], ring[:, 1]
+            rx, ry = ring[:, 0], ring[:, 1]
             if (
-                (x == minx).any() or (x == maxx).any()
-                or (y == miny).any() or (y == maxy).any()
+                (rx == minx).any() or (rx == maxx).any()
+                or (ry == miny).any() or (ry == maxy).any()
             ):
                 touches = True
                 break
@@ -152,8 +198,18 @@ def _split_on_border(
 
 
 def _clip_parts(parts: list[list[np.ndarray]], rect) -> list[list[np.ndarray]]:
+    minx, miny, maxx, maxy = rect
     out = []
     for part in parts:
+        outer = part[0]
+        x, y = outer[:, 0], outer[:, 1]
+        # fully inside → no clipping work
+        if x.min() >= minx and x.max() <= maxx and y.min() >= miny and y.max() <= maxy:
+            out.append(part)
+            continue
+        # fully outside → gone
+        if x.min() >= maxx or x.max() <= minx or y.min() >= maxy or y.max() <= miny:
+            continue
         rings = [clip_ring_rect(r, rect) for r in part]
         rings = [r for r in rings if len(r) >= 4]
         if rings and abs(ring_signed_area(rings[0])) > 0:
@@ -212,11 +268,11 @@ def dissolve(
             cell = int(group.column("__cell")[0].as_py())
             rect = cell_bounds(cell, size)
             ga = from_wkb(group.column(_GEOM).to_pylist())
-            keys = (
-                [tuple(group.column(k)[i].as_py() for k in groupby) for i in range(len(group))]
-                if groupby
-                else [()] * len(group)
-            )
+            if groupby:
+                key_cols = [group.column(k).to_pylist() for k in groupby]
+                keys = list(zip(*key_cols))
+            else:
+                keys = [()] * len(group)
             out_rows: dict[str, list] = {
                 **{k: [] for k in groupby},
                 **{c: [] for c in carry},
@@ -290,7 +346,14 @@ def dissolve(
         on = result.filter(expr="__border == 1")
         noton = result.filter(expr="__border == 0").drop_columns(["__border"])
         finals.append(noton)
-        if on.count() == 0:
+        n_on = on.count()
+        if n_on == 0:
+            break
+        if n_on <= 4096 or last:
+            # residual is small — the final per-groupkey union absorbs it
+            # directly instead of another full shuffle pass (the
+            # reference's "last pass" collapse, _geoops_gpd.py:1389-1392)
+            finals.append(on.drop_columns(["__border"]))
             break
         current = on.drop_columns(["__border"])
         size *= 4  # coarser pass — parent cells (strictly decreasing
@@ -303,7 +366,7 @@ def dissolve(
     # final: one more groupby over group keys to merge cross-pass pieces
     def final_group(group: pa.Table) -> pa.Table:
         ga = from_wkb(group.column(_GEOM).to_pylist())
-        unioned = union_all_parts([ga._parts_of(i) for i in range(len(ga))])
+        unioned = _union_group_polygons(ga, np.arange(len(ga)))
         code, parts = parts_to_geom(unioned)
         g = GeometryArray.from_parts([(code, parts)])
         cols = {k: group.column(k).slice(0, 1) for k in groupby}

@@ -157,7 +157,8 @@ class RelationQuery:
 
 def detect_rects(ga: GeometryArray) -> np.ndarray:
     """Boolean mask: geometry is an axis-aligned rectangle (single ring,
-    5 coords, all on its own bbox corners) or a point."""
+    5 coords, all on its own bbox corners) or a point. Fully vectorized
+    (one fancy-indexed gather over the coord slab)."""
     n = len(ga)
     out = np.zeros(n, dtype=bool)
     if n == 0:
@@ -165,20 +166,25 @@ def detect_rects(ga: GeometryArray) -> np.ndarray:
     ncoords = ga.num_coords()
     is_pt = (ga.types == POINT) & (ncoords == 1)
     cand = np.flatnonzero(
-        (ga.types == POLYGON) & (ncoords == 5) & (ga.geom_offsets[1:] - ga.geom_offsets[:-1] == 1)
+        (ga.types == POLYGON)
+        & (ncoords == 5)
+        & (ga.geom_offsets[1:] - ga.geom_offsets[:-1] == 1)
     )
     if len(cand):
-        b = ga.bounds()
-        lo, hi = ga.geom_coord_ranges()
-        for i in cand:
-            c = ga.coords[lo[i] : hi[i]]
-            ok = (
-                np.isin(c[:, 0], b[i, [0, 2]]).all()
-                and np.isin(c[:, 1], b[i, [1, 3]]).all()
-                and b[i, 2] > b[i, 0]
-                and b[i, 3] > b[i, 1]
-            )
-            out[i] = ok
+        b = ga.bounds()[cand]
+        lo, _ = ga.geom_coord_ranges()
+        gather = lo[cand, None] + np.arange(5)[None, :]
+        cx = ga.coords[:, 0][gather]  # (m, 5)
+        cy = ga.coords[:, 1][gather]
+        on_x = (cx == b[:, 0:1]) | (cx == b[:, 2:3])
+        on_y = (cy == b[:, 1:2]) | (cy == b[:, 3:4])
+        ok = (
+            on_x.all(axis=1)
+            & on_y.all(axis=1)
+            & (b[:, 2] > b[:, 0])
+            & (b[:, 3] > b[:, 1])
+        )
+        out[cand] = ok
     out |= is_pt
     return out
 

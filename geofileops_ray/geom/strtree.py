@@ -31,33 +31,39 @@ def bbox_join(boxes_a: np.ndarray, boxes_b: np.ndarray,
         a[:, 2:] += expand
     b = boxes_b.astype(np.float64, copy=False)
 
-    # sweep over x: events sorted by x
-    # For each a-interval [alo, ahi], find b with blo <= ahi and bhi >= alo.
+    # sort b by minx; for a box a, any intersecting b has
+    # b.minx ∈ [a.minx − max_b_width, a.maxx] — a two-sided window whose
+    # size tracks LOCAL density, not the global prefix. The scan is a
+    # per-row loop over CONTIGUOUS slices of the sorted component arrays
+    # (minx/miny/maxx/maxy laid out separately): on bandwidth-limited
+    # hosts this beats materializing the full candidate-pair expansion by
+    # a wide margin (small cache-resident temporaries per row).
     order_b = np.argsort(b[:, 0], kind="stable")
-    blo = b[order_b, 0]
+    bs = b[order_b]
+    blo = np.ascontiguousarray(bs[:, 0])
+    bminy = np.ascontiguousarray(bs[:, 1])
+    bhix = np.ascontiguousarray(bs[:, 2])
+    bmaxy = np.ascontiguousarray(bs[:, 3])
+    max_bw = float((b[:, 2] - b[:, 0]).max())
+    lo_idx = np.searchsorted(blo, a[:, 0] - max_bw, side="left")
+    hi_idx = np.searchsorted(blo, a[:, 2], side="right")
     out_a: list[np.ndarray] = []
     out_b: list[np.ndarray] = []
-    # candidate pruning: for each a, b's with blo <= a.maxx
-    hi_idx = np.searchsorted(blo, a[:, 2], side="right")
-    # iterate a's grouped to keep memory bounded
-    CHUNK = 256
-    for s in range(0, m, CHUNK):
-        e = min(s + CHUNK, m)
-        for i in range(s, e):
-            h = hi_idx[i]
-            if h == 0:
-                continue
-            cand = order_b[:h]
-            bb = b[cand]
-            mask = (
-                (bb[:, 2] >= a[i, 0])
-                & (bb[:, 1] <= a[i, 3])
-                & (bb[:, 3] >= a[i, 1])
-            )
-            if mask.any():
-                js = cand[mask]
-                out_a.append(np.full(len(js), i, dtype=np.int64))
-                out_b.append(js)
+    aminx, aminy, amaxx, amaxy = a[:, 0], a[:, 1], a[:, 2], a[:, 3]
+    for i in range(m):
+        lo, hi = lo_idx[i], hi_idx[i]
+        if hi <= lo:
+            continue
+        mask = (
+            (bhix[lo:hi] >= aminx[i])
+            & (blo[lo:hi] <= amaxx[i])
+            & (bminy[lo:hi] <= amaxy[i])
+            & (bmaxy[lo:hi] >= aminy[i])
+        )
+        js = np.flatnonzero(mask)
+        if len(js):
+            out_b.append(order_b[lo + js])
+            out_a.append(np.full(len(js), i, dtype=np.int64))
     if not out_a:
         return (np.empty(0, dtype=np.int64),) * 2
     return np.concatenate(out_a), np.concatenate(out_b)

@@ -187,7 +187,19 @@ parcels AS (
 
 
 def read_documents(sf_dir: str, columns=("doc_id", "text", "lang")) -> ray.data.Dataset:
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
+    import os
+
+    # the driver tables are single small parquet files → a naive read is
+    # ONE block and every downstream map/groupby runs serially. Force a
+    # block count sized to the cluster so the streaming executor can
+    # parallelize (at real scale the Lance/parquet dataset has many
+    # fragments and this is a no-op).
+    nblocks = int(os.environ.get("GFR_READ_BLOCKS", "64"))
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=list(columns),
+        override_num_blocks=nblocks,
+    )
 
 
 def expand_documents(ds: ray.data.Dataset, repeat: int) -> ray.data.Dataset:

@@ -1,30 +1,36 @@
 """Dissolve family: groupby-union aggregation.
 
 Reference semantics (SURVEY.md §2.5, §3.3):
-* points/lines (or no groupby tiling needed) — one SQL
-  ``SELECT ST_Union(geom) … GROUP BY cols`` with attribute aggregates
+* points/lines — one ``ST_Union … GROUP BY`` shuffle
   (geofileops _geoops_sql.py:4600-4881);
 * polygons — the flagship multi-pass tiled dissolve
-  (_geoops_gpd.py:1301-1474): per tile union → explode → clip to tile →
-  split onborder/notonborder; notonborder rows final, onborder rows
-  re-dissolved on a strictly coarser grid next pass; attributes
-  accumulated as row lists deduped by original fid (JSON in the
-  reference, list<struct> here) so rows split across tile borders
-  collapse back to one contribution.
+  (_geoops_gpd.py:1301-1474): per tile union → border split; notonborder
+  pieces are (pre-)final, onborder pieces re-dissolve on a strictly
+  coarser grid next pass; a final per-groupkey union reconciles the
+  remaining boundary pieces.
 
-Ray shape: driver loop over passes; each pass =
-``map_batches(assign cell) → groupby(cell).map_groups(union + clip +
-border-split)``. The notonborder stream accumulates via dataset union;
-onborder becomes the next pass input at 4× coarser cells (parent cells,
-the H3-parent analogue). Aggregates (count/sum/min/max/mean/concat) are
-computed from the accumulated contribution lists in the final groupby.
+Ray shape: driver loop of passes; each pass =
+``map_batches(assign center cell) → groupby(cell).map_groups(
+component-union + border-split)`` with partial attribute aggregation
+combined across passes (the combiner-before-groupby pattern); then one
+final ``groupby(group keys)`` that unions the per-pass pieces and
+finalizes the aggregates. Each row is assigned to exactly ONE cell (its
+bbox center), so partial aggregates are exact without the reference's
+JSON-DISTINCT row dedup (_geoops_gpd.py:1141-1180 — needed there because
+tiles re-read overlapping rows; our assignment never duplicates).
+Geometric correctness does not depend on the border classification: the
+final union per group key merges whatever pieces remain, the passes are
+pure distributed pre-aggregation (boundary-geometry reconciliation).
+
+Aggregates: count/sum/min/max/mean are carried as scalar partials
+(mean = sum+count pair); concat/count_distinct/concat_distinct carry a
+value-list column (only when requested — they are holistic).
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 
 import ray.data
 
@@ -33,6 +39,7 @@ from ..geom import GeometryArray, from_wkb, to_wkb
 from ..geom.array import LINESTRING, MULTILINESTRING, POINT, POLYGON
 from ..geom.overlay import (
     clip_ring_rect,
+    ensure_closed,
     parts_to_geom,
     ring_signed_area,
     union_all_parts,
@@ -42,7 +49,11 @@ from .geometry_batch import decode_geometry
 
 _GEOM = "geometry"
 
-AGG_FUNCS = ("count", "sum", "min", "max", "mean", "concat", "count_distinct", "concat_distinct")
+AGG_FUNCS = (
+    "count", "sum", "min", "max", "mean",
+    "concat", "count_distinct", "concat_distinct",
+)
+_SCALAR_FUNCS = {"count", "sum", "min", "max", "mean"}
 
 
 def _agg_from_lists(values: list, func: str):
@@ -74,20 +85,19 @@ def _dissolve_lines_points(
     agg_columns: list[tuple[str, str, str]],
 ) -> ray.data.Dataset:
     """Single-shuffle dissolve for point/line layers
-    (_geoops_sql.py:4600-4881: ST_Union + aggregates in one GROUP BY)."""
+    (_geoops_sql.py:4600-4881: ST_Union + aggregates in one GROUP BY).
+    Point union = distinct coords; line union = collection of parts
+    (ST_LineMerge applied in spirit: single part stays LINESTRING)."""
 
     def per_group(group: pa.Table) -> pa.Table:
         ga = from_wkb(group.column(_GEOM).to_pylist())
-        # union of points = unique coords; lines = concatenation of parts
-        # (ST_Union of lines merges at nodes; we keep multiline of all
-        # parts — ST_LineMerge analogue applied on output)
         t = ga.part_types(0) if len(ga) else POINT
         if t == POINT:
             pts = np.unique(np.round(ga.coords, 12), axis=0)
             if len(pts) == 1:
                 geom = (POINT, [[pts]])
             else:
-                geom = (4, [[pts[k : k + 1]] for k in range(len(pts))])  # MULTIPOINT
+                geom = (4, [[pts[k : k + 1]] for k in range(len(pts))])
         else:
             rings = []
             for i in range(len(ga)):
@@ -125,12 +135,9 @@ def _dissolve_lines_points(
 def _union_group_polygons(
     ga: GeometryArray, idx: np.ndarray
 ) -> list[list[np.ndarray]]:
-    """Union the polygons idx of ga — with a connected-component fast
-    path: only polygons whose bboxes overlap can interact, so we sweep
-    each overlap component separately and pass singletons through
-    untouched. In sparse cells (the common case) this skips the boolean
-    sweep entirely; in dense cells it bounds sweep size to the component.
-    """
+    """Union polygons idx of ga with a connected-component fast path:
+    only bbox-overlapping polygons can interact; singletons pass through
+    with no sweep at all."""
     from ..geom import bbox_join
 
     if len(idx) == 0:
@@ -139,7 +146,6 @@ def _union_group_polygons(
         return [p for p in ga._parts_of(int(idx[0]))]
     boxes = ga.bounds()[idx]
     ia, ib = bbox_join(boxes, boxes)
-    # union-find over overlap pairs
     parent = np.arange(len(idx))
 
     def find(x):
@@ -170,18 +176,15 @@ def _union_group_polygons(
 def _split_on_border(
     parts: list[list[np.ndarray]], rect: tuple[float, float, float, float]
 ) -> tuple[list, list]:
-    """Split union result parts into (notonborder, onborder) by whether
-    any vertex lies on the tile boundary (the reference splits via sjoin
-    with the tile boundary lines, _geoops_gpd.py:2106-2115; after
-    clip-to-tile, border contact ⟺ a vertex on the rect edge). Bbox
-    pretest: a part strictly inside the rect never touches."""
+    """(notonborder, onborder) split: after clip-to-rect, border contact
+    ⟺ a vertex on the rect edge (reference splits via sjoin with the
+    tile boundary, _geoops_gpd.py:2106-2115). Bbox pretest first."""
     minx, miny, maxx, maxy = rect
     noton, on = [], []
     for part in parts:
         outer = part[0]
         x, y = outer[:, 0], outer[:, 1]
-        x0, x1, y0, y1 = x.min(), x.max(), y.min(), y.max()
-        if x0 > minx and x1 < maxx and y0 > miny and y1 < maxy:
+        if x.min() > minx and x.max() < maxx and y.min() > miny and y.max() < maxy:
             noton.append(part)
             continue
         touches = False
@@ -198,16 +201,15 @@ def _split_on_border(
 
 
 def _clip_parts(parts: list[list[np.ndarray]], rect) -> list[list[np.ndarray]]:
+    """Clip parts to rect; parts fully inside skip the clipper."""
     minx, miny, maxx, maxy = rect
     out = []
     for part in parts:
         outer = part[0]
         x, y = outer[:, 0], outer[:, 1]
-        # fully inside → no clipping work
         if x.min() >= minx and x.max() <= maxx and y.min() >= miny and y.max() <= maxy:
             out.append(part)
             continue
-        # fully outside → gone
         if x.min() >= maxx or x.max() <= minx or y.min() >= maxy or y.max() <= miny:
             continue
         rings = [clip_ring_rect(r, rect) for r in part]
@@ -217,26 +219,119 @@ def _clip_parts(parts: list[list[np.ndarray]], rect) -> list[list[np.ndarray]]:
     return out
 
 
+# partial-aggregate helpers --------------------------------------------------
+
+
+def _partial_cols(agg_columns, holistic: frozenset[int] = frozenset()):
+    """Map each agg to its partial state column names. Aggs whose index
+    is in ``holistic`` (e.g. min/max over strings) carry value lists."""
+    scalars, lists_ = [], []
+    for i, (src, func, out) in enumerate(agg_columns):
+        if i in holistic or func not in _SCALAR_FUNCS:
+            lists_.append((i, src, func, [f"__p{i}_l"]))
+        elif func in ("count",):
+            scalars.append((i, src, func, [f"__p{i}_n"]))
+        elif func in ("sum", "min", "max"):
+            scalars.append((i, src, func, [f"__p{i}_v"]))
+        elif func == "mean":
+            scalars.append((i, src, func, [f"__p{i}_s", f"__p{i}_n"]))
+    return scalars, lists_
+
+
+def _init_partials(batch: pa.Table, agg_columns, holistic=frozenset()) -> pa.Table:
+    scalars, lists_ = _partial_cols(agg_columns, holistic)
+    n = len(batch)
+    for i, src, func, names in scalars:
+        col = batch.column(src)
+        if func == "count":
+            nn = np.asarray(col.is_valid()).astype(np.float64)
+            batch = batch.append_column(names[0], pa.array(nn, pa.float64()))
+        elif func in ("sum", "min", "max"):
+            batch = batch.append_column(
+                names[0], col.cast(pa.float64())
+            )
+        elif func == "mean":
+            batch = batch.append_column(
+                names[0], col.cast(pa.float64())
+            )
+            nn = np.asarray(col.is_valid()).astype(np.float64)
+            batch = batch.append_column(names[1], pa.array(nn, pa.float64()))
+    for i, src, func, names in lists_:
+        col = batch.column(src).combine_chunks()
+        offsets = pa.array(np.arange(n + 1, dtype=np.int32))
+        batch = batch.append_column(
+            names[0], pa.ListArray.from_arrays(offsets, col)
+        )
+    return batch
+
+
+def _combine_partials(group: pa.Table, idx: np.ndarray, agg_columns, holistic=frozenset()) -> dict:
+    """Combine partial state for rows idx into one piece's state."""
+    scalars, lists_ = _partial_cols(agg_columns, holistic)
+    out = {}
+    for i, src, func, names in scalars:
+        if func == "count":
+            v = group.column(names[0]).take(pa.array(idx)).to_numpy(zero_copy_only=False)
+            out[names[0]] = float(np.nansum(v))
+        elif func == "sum":
+            v = group.column(names[0]).take(pa.array(idx)).to_numpy(zero_copy_only=False)
+            out[names[0]] = float(np.nansum(v)) if len(v) else None
+        elif func == "min":
+            v = group.column(names[0]).take(pa.array(idx)).to_numpy(zero_copy_only=False)
+            v = v[~np.isnan(v)]
+            out[names[0]] = float(v.min()) if len(v) else None
+        elif func == "max":
+            v = group.column(names[0]).take(pa.array(idx)).to_numpy(zero_copy_only=False)
+            v = v[~np.isnan(v)]
+            out[names[0]] = float(v.max()) if len(v) else None
+        elif func == "mean":
+            s = group.column(names[0]).take(pa.array(idx)).to_numpy(zero_copy_only=False)
+            n = group.column(names[1]).take(pa.array(idx)).to_numpy(zero_copy_only=False)
+            out[names[0]] = float(np.nansum(s))
+            out[names[1]] = float(np.nansum(n))
+    for i, src, func, names in lists_:
+        nested = group.column(names[0]).take(pa.array(idx)).to_pylist()
+        out[names[0]] = [x for sub in nested for x in sub]
+    return out
+
+
+def _finalize_partials(state: dict, agg_columns, holistic=frozenset()) -> dict:
+    scalars, lists_ = _partial_cols(agg_columns, holistic)
+    out = {}
+    for i, src, func, names in scalars:
+        _, _, out_name = agg_columns[i]
+        if func == "count":
+            out[out_name] = int(state[names[0]])
+        elif func == "mean":
+            n = state[names[1]]
+            out[out_name] = (state[names[0]] / n) if n else None
+        else:
+            out[out_name] = state[names[0]]
+    for i, src, func, names in lists_:
+        _, _, out_name = agg_columns[i]
+        out[out_name] = _agg_from_lists(state[names[0]], func)
+    return out
+
+
 def dissolve(
     ds: ray.data.Dataset,
     groupby: list[str] | None = None,
     agg_columns: list[tuple[str, str, str]] | None = None,
     explodecollections: bool = False,
     cell_size: float | None = None,
-    max_passes: int = 8,
+    max_passes: int = 4,
 ) -> ray.data.Dataset:
     """Polygon dissolve via recursive tiled union with border
     reconciliation (geoops.dissolve → _geoops_gpd.py:1115-1716); point/
     line layers take the single-shuffle path.
 
-    agg_columns: list of (src_column, func, out_name) with func in
-    AGG_FUNCS (reference agg_columns dict, _geoops_sql.py:4685-4759).
+    agg_columns: list of (src_column, func, out_name), func in AGG_FUNCS
+    (reference agg_columns dict, _geoops_sql.py:4685-4759).
     """
     groupby = list(groupby or [])
     agg_columns = list(agg_columns or [])
     size0 = cell_size or OPTIONS.cell_size
 
-    # inspect geometry type from a sample row (layer type is uniform)
     sample = ds.limit(1).take_all()
     if not sample:
         return ds
@@ -244,26 +339,88 @@ def dissolve(
     if t != POLYGON:
         return _dissolve_lines_points(ds, groupby, agg_columns)
 
-    carry = sorted({c for c, _, _ in agg_columns} | {"doc_id"})
+    sch = ds.schema().base_schema
+    numeric = (
+        "int8", "int16", "int32", "int64", "uint8", "uint16", "uint32",
+        "uint64", "float", "double", "halffloat",
+    )
+    holistic = frozenset(
+        i
+        for i, (src_c, func, _o) in enumerate(agg_columns)
+        if func in ("sum", "min", "max", "mean")
+        and str(sch.field(src_c).type) not in numeric
+    )
+    scalars, lists_ = _partial_cols(agg_columns, holistic)
+    partial_names = [n for *_x, names in scalars for n in names] + [
+        n for *_x, names in lists_ for n in names
+    ]
+    keep_cols = [*groupby, *partial_names, _GEOM]
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return _init_partials(batch, agg_columns, holistic).select(keep_cols)
+
+    scalar_zero = {
+        name: (None if func in ("min", "max") else 0.0)
+        for _i, _s, func, names in scalars
+        for name in names
+    }
+    list_names = [names[0] for *_x, names in lists_]
 
     def assign(size):
-        # replicate each row to every cell its bbox overlaps — like the
-        # reference's bbox-filtered per-tile read (_geoops_gpd.py:1971-1977);
-        # the per-cell clip then makes ∪(clip(g, cell)) == g exactly, and
-        # attribute duplication is undone by the final doc_id dedup
         from ..tiling.cells import assign_cells
 
         def fn(batch: pa.Table) -> pa.Table:
             ga = decode_geometry(batch)
-            rows, cells = assign_cells(ga.bounds(), size)
+            b = ga.bounds()
+            rows, cells = assign_cells(b, size)
             out = batch.take(pa.array(rows))
+            # attrs ride ONLY the copy in the row's center cell; other
+            # replicas carry neutral partials → aggregates stay exact
+            # without the reference's JSON-DISTINCT dedup
+            # (_geoops_gpd.py:1141-1180)
+            cx = np.floor((b[:, 0] + b[:, 2]) * 0.5 / size).astype(np.int64)
+            cy = np.floor((b[:, 1] + b[:, 3]) * 0.5 / size).astype(np.int64)
+            center = ((cx + CELL_OFFSET) << CELL_SHIFT) | (cy + CELL_OFFSET)
+            is_rep = cells != center[rows]
+            if is_rep.any():
+                for name, zero in scalar_zero.items():
+                    v = out.column(name).to_numpy(zero_copy_only=False).astype(
+                        np.float64, copy=True
+                    )
+                    v[is_rep] = np.nan if zero is None else zero
+                    col = pa.array(v, pa.float64())
+                    if zero is None:
+                        col = pa.array(
+                            np.where(is_rep, np.nan, v), pa.float64()
+                        )
+                    out = out.set_column(
+                        out.schema.get_field_index(name), name, col
+                    )
+                for name in list_names:
+                    lst = out.column(name).combine_chunks()
+                    flat = lst.flatten()
+                    offs = np.asarray(lst.offsets)
+                    lens = np.diff(offs)
+                    lens[is_rep] = 0
+                    keep_rows = np.flatnonzero(~is_rep)
+                    take_idx = []
+                    for r in keep_rows:
+                        take_idx.extend(range(offs[r], offs[r + 1]))
+                    new_offs = np.zeros(len(out) + 1, dtype=np.int32)
+                    np.cumsum(lens, out=new_offs[1:])
+                    new_flat = flat.take(pa.array(take_idx, pa.int64()))
+                    out = out.set_column(
+                        out.schema.get_field_index(name),
+                        name,
+                        pa.ListArray.from_arrays(pa.array(new_offs), new_flat),
+                    )
             if "__cell" in out.column_names:
                 out = out.drop_columns(["__cell"])
             return out.append_column("__cell", pa.array(cells, pa.int64()))
 
         return fn
 
-    def pass_fn(size, last: bool):
+    def pass_fn(size):
         def per_group(group: pa.Table) -> pa.Table:
             cell = int(group.column("__cell")[0].as_py())
             rect = cell_bounds(cell, size)
@@ -273,115 +430,115 @@ def dissolve(
                 keys = list(zip(*key_cols))
             else:
                 keys = [()] * len(group)
-            out_rows: dict[str, list] = {
-                **{k: [] for k in groupby},
-                **{c: [] for c in carry},
-                "__border": [],
-                _GEOM: [],
-            }
-            for key in sorted(set(keys)):
-                idx = np.array([i for i, k in enumerate(keys) if k == key])
+            rows: list[dict] = []
+            geoms: list[tuple[int, list]] = []
+            border_out: list[int] = []
+            # numpy run grouping over the key tuples (no per-row dict work)
+            if groupby:
+                uniq = sorted(set(keys))
+                key_to_rows: dict = {k: [] for k in uniq}
+                for i, k in enumerate(keys):
+                    key_to_rows[k].append(i)
+            else:
+                key_to_rows = {(): list(range(len(group)))}
+            for key, members in key_to_rows.items():
+                idx = np.asarray(members, dtype=np.int64)
                 unioned = _union_group_polygons(ga, idx)
-                if not last:
-                    unioned = _clip_parts(unioned, rect)
-                    noton, on = _split_on_border(unioned, rect)
-                else:
-                    noton, on = unioned, []
-                for border_flag, plist in ((0, noton), (1, on)):
-                    if not plist:
-                        continue
-                    code, parts = parts_to_geom(plist)
-                    g = GeometryArray.from_parts([(code, parts)])
-                    for kname, kval in zip(groupby, key):
-                        out_rows[kname].append(kval)
-                    for c in carry:
-                        # accumulate contribution lists flat (deduped by
-                        # doc_id at final aggregation — the JSON-DISTINCT
-                        # analogue); rows are list-typed after listify, so
-                        # flatten exactly one level every pass
-                        nested = group.column(c).take(pa.array(idx)).to_pylist()
-                        out_rows[c].append([x for sub in nested for x in sub])
-                    out_rows["__border"].append(border_flag)
-                    out_rows[_GEOM].append(to_wkb(g)[0])
-            arrs = {}
-            for kname in groupby:
-                arrs[kname] = pa.array(out_rows[kname])
-            for c in carry:
-                arrs[c] = pa.array(out_rows[c])
-            arrs["__border"] = pa.array(out_rows["__border"], pa.int8())
-            arrs[_GEOM] = pa.array(out_rows[_GEOM], pa.binary())
+                if not unioned:
+                    continue
+                # clip to the cell rect (reference _geoops_gpd.py:2070-2083)
+                # — keeps pieces from different cells overlap-free, so the
+                # coarser-pass / final unions only ever merge edge-adjacent
+                # pieces (bounded sweep size)
+                unioned = _clip_parts(unioned, rect)
+                noton, on = _split_on_border(unioned, rect)
+                state = _combine_partials(group, idx, agg_columns, holistic)
+                # one row per PART: single-ring polygons decode through
+                # the vectorized WKB fast path in later passes / final;
+                # attrs ride exactly one part (the first), zeros on the
+                # rest, so partial sums stay exact
+                first = True
+                for border_flag, plist in ((1, on), (0, noton)):
+                    for part in plist:
+                        row = {k: v for k, v in zip(groupby, key)}
+                        if first:
+                            row.update(state)
+                            first = False
+                        else:
+                            row.update(_zero_state(agg_columns, holistic))
+                        rows.append(row)
+                        geoms.append(
+                            (POLYGON, [[ensure_closed(r) for r in part]])
+                        )
+                        border_out.append(border_flag)
+            # ONE array build + ONE wkb encode for the whole group
+            all_wkb = to_wkb(GeometryArray.from_parts(geoms)) if geoms else []
+            arrs: dict = {}
+            for k in groupby:
+                arrs[k] = pa.array([r[k] for r in rows])
+            for name in partial_names:
+                arrs[name] = pa.array([r[name] for r in rows])
+            arrs["__border"] = pa.array(border_out, pa.int8())
+            arrs[_GEOM] = pa.array(all_wkb, pa.binary())
             return pa.table(arrs)
 
         return per_group
 
-    # pass 0 works on raw rows; contributions become lists after pass 0,
-    # so normalize raw rows to single-element lists first
-    def listify(batch: pa.Table) -> pa.Table:
-        for c in carry:
-            col = batch.column(c)
-            offsets = pa.array(np.arange(len(batch) + 1, dtype=np.int32))
-            lst = pa.ListArray.from_arrays(offsets, col.combine_chunks())
-            batch = batch.set_column(batch.schema.get_field_index(c), c, lst)
-        return batch
+    import os as _os
+    import sys as _sys
+    import time as _time
 
-    def flatten_lists(group_col: pa.ChunkedArray) -> list:
-        out = []
-        for row in group_col.to_pylist():
-            out.extend(row)
-        return out
-
-    current = ds.map_batches(
-        lambda b: listify(b.select(list(dict.fromkeys([*groupby, *carry, _GEOM])))),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
+    _verbose = bool(_os.environ.get("GFR_DISSOLVE_VERBOSE"))
+    current = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
     finals: list[ray.data.Dataset] = []
     size = size0
     for p in range(max_passes):
-        last = p == max_passes - 1
+        _t0 = _time.perf_counter()
         staged = current.map_batches(assign(size), batch_format="pyarrow")
         result = staged.groupby("__cell").map_groups(
-            pass_fn(size, last), batch_format="pyarrow"
+            pass_fn(size), batch_format="pyarrow"
         ).materialize()
         on = result.filter(expr="__border == 1")
-        noton = result.filter(expr="__border == 0").drop_columns(["__border"])
+        noton = result.filter(expr="__border == 0")
         finals.append(noton)
         n_on = on.count()
+        if _verbose:
+            print(
+                f"[dissolve] pass {p} size={size} onborder={n_on} "
+                f"{_time.perf_counter() - _t0:.2f}s",
+                file=_sys.stderr, flush=True,
+            )
         if n_on == 0:
             break
-        if n_on <= 4096 or last:
-            # residual is small — the final per-groupkey union absorbs it
-            # directly instead of another full shuffle pass (the
-            # reference's "last pass" collapse, _geoops_gpd.py:1389-1392)
-            finals.append(on.drop_columns(["__border"]))
+        if n_on <= 4096 or p == max_passes - 1:
+            finals.append(on)
             break
         current = on.drop_columns(["__border"])
-        size *= 4  # coarser pass — parent cells (strictly decreasing
-        # tile count, termination guarantee like _geoops_gpd.py:1396-1399)
+        size *= 4
 
     merged = finals[0]
     for f in finals[1:]:
         merged = merged.union(f)
+    _tf = _time.perf_counter()
 
-    # final: one more groupby over group keys to merge cross-pass pieces
     def final_group(group: pa.Table) -> pa.Table:
         ga = from_wkb(group.column(_GEOM).to_pylist())
-        unioned = _union_group_polygons(ga, np.arange(len(ga)))
-        code, parts = parts_to_geom(unioned)
-        g = GeometryArray.from_parts([(code, parts)])
+        border = group.column("__border").to_numpy(zero_copy_only=False)
+        # interior (notonborder) pieces are strictly inside their cell
+        # and can never touch anything — only the leftover border pieces
+        # need the union sweep; everything else passes straight through
+        bidx = np.flatnonzero(border == 1)
+        parts: list[list[np.ndarray]] = []
+        if len(bidx):
+            parts.extend(_union_group_polygons(ga, bidx))
+        for i in np.flatnonzero(border == 0):
+            parts.extend(ga._parts_of(int(i)))
+        code, pparts = parts_to_geom(parts)
+        g = GeometryArray.from_parts([(code, pparts)])
         cols = {k: group.column(k).slice(0, 1) for k in groupby}
-        # dedup contributions by doc_id (rows split across tiles appear
-        # in several pieces — fid_orig-dedup analogue _geoops_gpd.py:2288)
-        doc_lists = flatten_lists(group.column("doc_id"))
-        seen: dict = {}
-        keep_mask = []
-        for d in doc_lists:
-            keep_mask.append(d not in seen)
-            seen[d] = True
-        for src, func, out_name in agg_columns:
-            vals = flatten_lists(group.column(src))
-            vals = [v for v, k in zip(vals, keep_mask) if k]
-            cols[out_name] = pa.array([_agg_from_lists(vals, func)])
+        state = _combine_partials(group, np.arange(len(group)), agg_columns, holistic)
+        for out_name, v in _finalize_partials(state, agg_columns, holistic).items():
+            cols[out_name] = pa.array([v])
         cols[_GEOM] = pa.array(to_wkb(g), pa.binary())
         return pa.table(cols)
 
@@ -395,15 +552,37 @@ def dissolve(
         out = tagged.groupby("__g").map_groups(
             lambda g: final_group(g.drop_columns(["__g"])), batch_format="pyarrow"
         )
+    if _verbose:
+        out = out.materialize()
+        print(
+            f"[dissolve] final union {_time.perf_counter() - _tf:.2f}s",
+            file=_sys.stderr, flush=True,
+        )
     if explodecollections:
-        from .geometry_batch import explode_batch
+        from .geometry_batch import encode_geometry, explode_batch
 
         def explode_fn(batch: pa.Table) -> pa.Table:
             ga = decode_geometry(batch)
             out_b, out_ga = explode_batch(batch, ga)
-            from .geometry_batch import encode_geometry
-
             return encode_geometry(out_b, out_ga)
 
         out = out.map_batches(explode_fn, batch_format="pyarrow")
+    return out
+
+
+def _zero_state(agg_columns, holistic=frozenset()) -> dict:
+    scalars, lists_ = _partial_cols(agg_columns, holistic)
+    out = {}
+    for i, src, func, names in scalars:
+        if func in ("count",):
+            out[names[0]] = 0.0
+        elif func == "mean":
+            out[names[0]] = 0.0
+            out[names[1]] = 0.0
+        elif func == "sum":
+            out[names[0]] = 0.0
+        else:  # min/max: neutral = None → NaN in float col
+            out[names[0]] = None
+    for i, src, func, names in lists_:
+        out[names[0]] = []
     return out

@@ -530,10 +530,45 @@ def buffer(
                         # holes of the original shrink: approximate by
                         # keeping holes shrunk via convex shrink
                         out_parts.extend(merged)
-                else:
+                elif _is_convex(outer) and len(part) == 1:
                     shr = _shrink_convex_ring(outer, -distance)
                     if len(shr) >= 4:
                         out_parts.append([shr])
+                else:
+                    # erosion of a non-convex / holed polygon:
+                    # P ⊖ d = P − buffer(∂P, d) (boundary capsules)
+                    d = -distance
+                    caps = []
+                    for ring in part:
+                        rr = ensure_closed(np.asarray(ring, dtype=np.float64))
+                        for k in range(len(rr) - 1):
+                            caps.append(
+                                [[_capsule(rr[k], rr[k + 1], d, quad_segs, "round")]]
+                            )
+                    cap_union = union_all_parts(caps) if caps else []
+                    from .overlay import polygon_overlay as _po
+
+                    closed_part = [ensure_closed(r) for r in part]
+                    if cap_union:
+                        eroded = _po([closed_part], cap_union, "difference")
+                    else:
+                        eroded = [closed_part]
+                    out_parts.extend(eroded)
+            if distance > 0 and len(out_parts) > 1:
+                # offset parts of a multipolygon can come to overlap —
+                # ST_Buffer returns their union
+                bxs = np.array(
+                    [
+                        [p[0][:, 0].min(), p[0][:, 1].min(),
+                         p[0][:, 0].max(), p[0][:, 1].max()]
+                        for p in out_parts
+                    ]
+                )
+                from .strtree import bbox_join as _bj
+
+                ia_, ib_ = _bj(bxs, bxs)
+                if (ia_ != ib_).any():
+                    out_parts = union_all_parts([[p] for p in out_parts])
             geoms.append(parts_to_geom(out_parts))
     return GeometryArray.from_parts(geoms)
 

@@ -79,6 +79,57 @@ def _exact_knn(
     return np.asarray(out_i, dtype=np.int64), np.asarray(out_d)
 
 
+def _broadcast_knn(
+    ds1: ray.data.Dataset,
+    ds2: ray.data.Dataset,
+    k: int,
+    radius: float,
+    expand: bool,
+    ordered1: list[str],
+    ordered2: list[str],
+    f2: list[pa.Field],
+) -> ray.data.Dataset:
+    """Exact kNN with the whole layer2 broadcast once (ray.put): per
+    batch, vectorized bbox lower-bound distances + exact refinement."""
+    import ray as _ray
+
+    tbl2 = pa.concat_tables(_ray.get(ds2.to_arrow_refs())).combine_chunks()
+    tbl2 = tbl2.select(ordered2)
+    ga2 = from_wkb(tbl2.column(_GEOM))
+    rects2 = detect_rects(ga2)
+    ids2 = tbl2.column("doc_id").to_numpy()
+    ga2.bounds()  # precompute cache before broadcast
+    ref = _ray.put((tbl2, ga2, rects2, ids2))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        t2, ga2_local, r2, i2 = _ray.get(ref)
+        ga1 = from_wkb(batch.column(_GEOM))
+        cens = centroid(ga1) if len(ga1) else np.empty((0, 2))
+        rows1, rows2, poss, dists = [], [], [], []
+        for i in range(len(ga1)):
+            js, ds_ = _exact_knn(ga1, i, cens[i], ga2_local, k, r2, i2)
+            if not expand:
+                keep = ds_ <= radius
+                js, ds_ = js[keep], ds_[keep]
+            for rank, (j, d) in enumerate(zip(js, ds_), start=1):
+                rows1.append(i)
+                rows2.append(int(j))
+                poss.append(rank)
+                dists.append(float(d))
+        left = batch.select(ordered1).take(pa.array(rows1, pa.int64()))
+        right = t2.take(pa.array(rows2, pa.int64()))
+        cols = {"l1_" + c: left.column(c) for c in ordered1}
+        cols.update({"l2_" + c: right.column(c) for c in ordered2})
+        cols["pos"] = pa.array(poss, pa.int64())
+        cols["distance"] = pa.array(dists, pa.float64())
+        return pa.table(cols)
+
+    return ds1.map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=OPTIONS.batch_size,
+    )
+
+
 def join_nearest(
     ds1: ray.data.Dataset,
     ds2: ray.data.Dataset,
@@ -89,6 +140,7 @@ def join_nearest(
     cols2: list[str] | None = None,
     size: float | None = None,
     max_rounds: int = 6,
+    broadcast_threshold: int = 100_000,
 ) -> ray.data.Dataset:
     """kNN join emitting (l1_*, l2_*, pos, distance); pos is the 1-based
     rank by planar distance (ties broken by layer2 doc_id via the stable
@@ -102,6 +154,16 @@ def join_nearest(
     f1 = _prefixed_schema(ds1.schema().base_schema, "l1_", ordered1)
     f2 = _prefixed_schema(ds2.schema().base_schema, "l2_", ordered2)
     all_fields = f1 + f2
+
+    # broadcast fast path: a small layer2 (≲100k rows) is shipped ONCE
+    # via ray.put and every batch runs exact kNN against it — no rounds,
+    # no shuffle (the broadcast-small-side rule; the cell-ring path below
+    # is the both-sides-large scale path)
+    n2 = ds2.count()
+    if n2 <= broadcast_threshold:
+        return _broadcast_knn(
+            ds1, ds2, nb_nearest, radius, expand, ordered1, ordered2, f2
+        )
 
     def project(ds, side, expand_dist):
         prefix = f"l{side + 1}_"

@@ -77,16 +77,48 @@ def _geom_of_pair_op(ga1: GeometryArray, i: int, cand: GeometryArray,
 def _pairwise_overlay_geoms(
     ga1: GeometryArray, ia: np.ndarray, ga2: GeometryArray, ib: np.ndarray
 ) -> list[bytes | None]:
-    """Pairwise g1 ∩ g2 per candidate pair, WKB-encoded; empty → None."""
-    geoms = []
-    for k in range(len(ia)):
+    """Pairwise g1 ∩ g2 per candidate pair, WKB-encoded; empty → None.
+
+    rect×rect pairs (the dominant case) take a fully vectorized path:
+    the intersection of two axis-aligned rectangles IS the overlap box —
+    no sweep, one batched WKB construction."""
+    from ..geom.wkb import _fast_encode
+    from .relation import detect_rects
+
+    n = len(ia)
+    if n == 0:
+        return []
+    r1, r2 = detect_rects(ga1), detect_rects(ga2)
+    fast = (
+        r1[ia] & r2[ib]
+        & (ga1.types[ia] == POLYGON)
+        & (ga2.types[ib] == POLYGON)
+    )
+    out: list[bytes | None] = [None] * n
+    if fast.any():
+        k = np.flatnonzero(fast)
+        b1 = ga1.bounds()[ia[k]]
+        b2 = ga2.bounds()[ib[k]]
+        x0 = np.maximum(b1[:, 0], b2[:, 0])
+        y0 = np.maximum(b1[:, 1], b2[:, 1])
+        x1 = np.minimum(b1[:, 2], b2[:, 2])
+        y1 = np.minimum(b1[:, 3], b2[:, 3])
+        ok = (x1 > x0) & (y1 > y0)
+        kk = k[ok]
+        if len(kk):
+            from ..io.synth import rect_wkb
+
+            arr = rect_wkb(x0[ok], y0[ok], x1[ok], y1[ok])
+            blobs = arr.to_pylist()
+            for pos, kk_i in enumerate(kk):
+                out[kk_i] = blobs[pos]
+    for k in np.flatnonzero(~fast):
         i, j = int(ia[k]), int(ib[k])
         code, parts = _geom_of_pair_op(ga1, i, ga2, np.array([j]), "intersection")
-        geoms.append((code, parts))
-    out = GeometryArray.from_parts(geoms) if geoms else GeometryArray.empty(0)
-    wkb = to_wkb(out)
-    empt = out.is_empty()
-    return [None if empt[k] else wkb[k] for k in range(len(wkb))]
+        g = GeometryArray.from_parts([(code, parts)])
+        if not g.is_empty()[0]:
+            out[k] = to_wkb(g)[0]
+    return out
 
 
 def intersection(

@@ -227,7 +227,7 @@ def join_by_location(
     ordered1 = list(dict.fromkeys(["doc_id", *cols1, _GEOM]))
     ordered2 = list(dict.fromkeys(["doc_id", *cols2, _GEOM]))
     flags = _match_flags(ds1, ds2, q, size, salt)
-    unmatched = flags.filter(lambda r: r["matched"] == 0)
+    unmatched = flags.filter(expr="matched == 0")
     l1_full = _prefix_dataset(ds1, "l1_", ordered1)
     anti = l1_full.join(
         unmatched.map_batches(
@@ -417,6 +417,57 @@ def _match_flags(
     )
 
 
+def _matched_pairs_stream(
+    ds1: ray.data.Dataset,
+    ds2: ray.data.Dataset,
+    q: RelationQuery,
+    size: float,
+    salt: bool,
+    expand1: float = 0.0,
+    distance: float | None = None,
+    with_area: bool = False,
+    emit_candidates: bool = False,
+) -> ray.data.Dataset:
+    """Per-cell stream of OWNED candidate pairs for layer1:
+    (l1_doc_id, matched, area). No per-doc aggregate — consumers dedup /
+    reduce the (small) matched stream themselves. ~#pairs rows instead of
+    ~#layer1 rows, which skips the 10^6-group shuffle of _match_flags."""
+
+    def group_fn(g1, ga1, g2, ga2, cell):
+        b1 = ga1.bounds()
+        if expand1:
+            b1 = b1.copy()
+            b1[:, :2] -= expand1
+            b1[:, 2:] += expand1
+        ia, ib = bbox_join(ga1.bounds(), ga2.bounds(), expand=expand1)
+        if len(ia):
+            ref = _ref_cell(b1[ia], ga2.bounds()[ib], size)
+            own = ref == cell
+            ia, ib = ia[own], ib[own]
+        if distance is not None:
+            ok = pair_distances(ga1, ia, ga2, ib) <= distance if len(ia) else np.zeros(0, bool)
+        else:
+            ok = evaluate_pairs(q, ga1, ia, ga2, ib) if len(ia) else np.zeros(0, bool)
+        if not emit_candidates:
+            ia, ib = ia[ok], ib[ok]
+            ok = np.ones(len(ia), dtype=bool)
+        area = np.zeros(len(ia), dtype=np.float64)
+        if with_area and len(ia):
+            area[ok] = _pair_intersection_areas(ga1, ia[ok], ga2, ib[ok])
+        return pa.table(
+            {
+                "l1_doc_id": g1.column("l1_doc_id").take(pa.array(ia)),
+                "matched": pa.array(ok.astype(np.int8), pa.int8()),
+                "area": pa.array(area, pa.float64()),
+            }
+        )
+
+    return cell_cogroup(
+        ds1, ds2, group_fn, ["doc_id"], ["doc_id"], size=size,
+        expand1=expand1, salt=salt,
+    )
+
+
 def export_by_location(
     ds1: ray.data.Dataset,
     ds2: ray.data.Dataset,
@@ -429,43 +480,109 @@ def export_by_location(
     """Spatial semi-join: keep layer1 rows where EXISTS a layer2 row
     satisfying the query (geoops.export_by_location →
     _geoops_sql.py:1541-1736). Disjoint-satisfiable queries also keep
-    rows with zero bbox candidates (include_disjoint, :1617-1630)."""
+    rows with zero bbox candidates (include_disjoint, :1617-1630).
+
+    Shape: one cell co-shuffle emitting only the owned candidate pairs,
+    a tiny driver-side reduce of the matched-id stream, then a broadcast
+    semi-filter over the wide layer1 rows (spans never shuffled)."""
     size = size or OPTIONS.cell_size
     q = RelationQuery(query)
     include_disjoint = q.mentions_disjoint_true
-    flags = _match_flags(
-        ds1, ds2, q, size, salt=salt,
-        with_area=bool(area_inters_column_name or min_area_intersect),
+    with_area = bool(area_inters_column_name or min_area_intersect)
+    pairs = _matched_pairs_stream(
+        ds1, ds2, q, size, salt,
+        with_area=with_area, emit_candidates=include_disjoint,
     )
-    if include_disjoint:
-        keep = flags.filter(
-            lambda r: r["matched"] == 1 or r["n_cand"] == 0
-        )
+    rows = pairs.take_all()
+    ids = np.array([r["l1_doc_id"] for r in rows], dtype=np.int64)
+    matched = np.array([r["matched"] for r in rows], dtype=np.int8)
+    areas = np.array([r["area"] for r in rows], dtype=np.float64)
+    m_ids = ids[matched == 1]
+    if with_area and len(m_ids):
+        order = np.argsort(m_ids, kind="stable")
+        sid = m_ids[order]
+        sar = areas[matched == 1][order]
+        uniq, starts = np.unique(sid, return_index=True)
+        sums = np.add.reduceat(sar, starts)
+        m_ids, m_areas = uniq, sums
     else:
-        keep = flags.filter(lambda r: r["matched"] == 1)
-    if min_area_intersect:
-        keep = keep.filter(lambda r: r["area"] >= min_area_intersect)
-    sel_cols = ["l1_doc_id"] + (["area"] if area_inters_column_name else [])
-    keep = keep.map_batches(
-        lambda b: b.select(sel_cols).rename_columns(
-            ["l1_doc_id"]
-            + ([area_inters_column_name] if area_inters_column_name else [])
-        ),
-        batch_format="pyarrow",
-    )
-    # re-attach the FULL layer1 row (incl. the heavy spans payload) by
-    # hash join on doc_id — spans never rode through the cell shuffle,
-    # which is what makes span-sequence equality trivially true
-    # (SURVEY.md §7.4 "very wide records"); spans pack to JSON around the
-    # join (acero rejects nested non-key columns) and unpack after
+        m_ids = np.unique(m_ids)
+        m_areas = None
+    if min_area_intersect and m_areas is not None:
+        keep_m = m_areas >= min_area_intersect
+        m_ids, m_areas = m_ids[keep_m], m_areas[keep_m]
+    if include_disjoint:
+        cand_ids = np.unique(ids)
+        keep_tbl = None  # computed per batch: matched OR no candidates
+    import ray as _ray
+
+    ref = _ray.put((m_ids, m_areas, np.unique(ids) if include_disjoint else None))
     full_cols = [c for c in ds1.schema().base_schema.names if c != _GEOM] + [_GEOM]
-    l1 = _prefix_dataset(ds1, "l1_", full_cols).map_batches(
-        lambda b: _pack_spans(b, "l1_spans"), batch_format="pyarrow"
+    l1 = _prefix_dataset(ds1, "l1_", full_cols)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        kid, kar, cand = _ray.get(ref)
+        mine = batch.column("l1_doc_id").to_numpy()
+        pos = np.searchsorted(kid, mine)
+        pos_c = np.clip(pos, 0, max(len(kid) - 1, 0))
+        hit = (kid[pos_c] == mine) if len(kid) else np.zeros(len(mine), bool)
+        if cand is not None:
+            pc2 = np.clip(np.searchsorted(cand, mine), 0, max(len(cand) - 1, 0))
+            no_cand = ~((cand[pc2] == mine) if len(cand) else np.zeros(len(mine), bool))
+            hit = hit | no_cand
+        idx = np.flatnonzero(hit)
+        out = batch.take(pa.array(idx))
+        if area_inters_column_name:
+            vals = np.full(len(idx), np.nan)
+            if kar is not None and len(kid):
+                sel_hit = kid[pos_c[idx]] == mine[idx]
+                vals[sel_hit] = kar[pos_c[idx][sel_hit]]
+            out = out.append_column(
+                area_inters_column_name, pa.array(vals, pa.float64())
+            )
+        return out
+
+    return l1.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _broadcast_semi_attach(
+    l1: ray.data.Dataset,
+    keep: ray.data.Dataset,
+    id_col: str,
+    area_col: str | None = None,
+) -> ray.data.Dataset:
+    """Semi-join l1 against the (small) keep set by broadcasting the
+    sorted id array via ray.put; optional per-id scalar column attached
+    by the same binary search. Scales to ~10^8 matched ids per broadcast;
+    beyond that, shard the id set or fall back to a hash join."""
+    import ray as _ray
+
+    rows = keep.take_all()
+    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    order = np.argsort(ids)
+    ids = ids[order]
+    areas = (
+        np.array([rows[i][area_col] for i in order], dtype=np.float64)
+        if area_col
+        else None
     )
-    out = l1.join(keep, join_type="inner", num_partitions=16, on=("l1_doc_id",))
-    return out.map_batches(
-        lambda b: _unpack_spans(b, "l1_spans"), batch_format="pyarrow"
-    )
+    ref = _ray.put((ids, areas))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        kid, kar = _ray.get(ref)
+        mine = batch.column(id_col).to_numpy()
+        pos = np.searchsorted(kid, mine)
+        pos_c = np.clip(pos, 0, max(len(kid) - 1, 0))
+        hit = (len(kid) > 0) & (kid[pos_c] == mine)
+        idx = np.flatnonzero(hit)
+        out = batch.take(pa.array(idx))
+        if area_col:
+            out = out.append_column(
+                area_col, pa.array(kar[pos_c[idx]], pa.float64())
+            )
+        return out
+
+    return l1.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def export_by_distance(
@@ -477,17 +594,29 @@ def export_by_distance(
 ) -> ray.data.Dataset:
     """Semi-join within distance (geoops.export_by_distance →
     _geoops_sql.py:1739-1802): bbox expanded by max_distance + exact
-    ST_Distance <= d EXISTS."""
+    ST_Distance <= d EXISTS — pair-stream + broadcast semi-filter, no
+    per-doc shuffle."""
     size = size or OPTIONS.cell_size
-    flags = _match_flags(
-        ds1, ds2, RelationQuery("intersects is True"), size,
-        salt=salt, expand1=max_distance, distance=max_distance,
+    pairs = _matched_pairs_stream(
+        ds1, ds2, RelationQuery("intersects is True"), size, salt,
+        expand1=max_distance, distance=max_distance,
     )
-    keep = flags.filter(lambda r: r["matched"] == 1).map_batches(
-        lambda b: b.select(["l1_doc_id"]), batch_format="pyarrow"
-    )
-    l1 = _prefix_dataset(ds1, "l1_", ["doc_id", *(_attr_cols(ds1)), _GEOM])
-    return l1.join(keep, join_type="inner", num_partitions=16, on=("l1_doc_id",))
+    import ray as _ray
+
+    rows = pairs.take_all()
+    m_ids = np.unique(np.array([r["l1_doc_id"] for r in rows], dtype=np.int64))
+    ref = _ray.put(m_ids)
+    full_cols = [c for c in ds1.schema().base_schema.names if c != _GEOM] + [_GEOM]
+    l1 = _prefix_dataset(ds1, "l1_", full_cols)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        kid = _ray.get(ref)
+        mine = batch.column("l1_doc_id").to_numpy()
+        pos = np.clip(np.searchsorted(kid, mine), 0, max(len(kid) - 1, 0))
+        hit = (kid[pos] == mine) if len(kid) else np.zeros(len(mine), bool)
+        return batch.take(pa.array(np.flatnonzero(hit)))
+
+    return l1.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def join_attributes(

@@ -1,0 +1,95 @@
+"""Compound ops + lineage checkpoint/resume tests."""
+
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+
+from geofileops_ray.io.synth import parcels_dataset, zones_dataset
+from geofileops_ray.stages.compound import (
+    concat,
+    dissolve_within_distance,
+    select_two_layers,
+    union_full_self,
+)
+from geofileops_ray.state import checkpointed_write, finished_partitions
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_union_full_self_flat_and_covered(ray_session, oracle):
+    # zones are pairwise disjoint → pieces == zones, each covered once
+    r = union_full_self(zones_dataset(SF), agg_cols=["naam"]).take_all()
+    assert len(r) == 5
+    assert all(x["nb_covering"] == 1 for x in r)
+
+    # parcels overlap in the urban cluster → some pieces multi-covered;
+    # total flat area must equal the union area of all parcels (oracle:
+    # distinct unit cells — parcels have integer coords)
+    from geofileops_ray.geom import from_wkb
+    from geofileops_ray.geom.measure import area
+    from geofileops_ray.io.synth import PARCELS_CTE
+
+    p = union_full_self(parcels_dataset(SF), agg_cols=["OIDN"]).take_all()
+    ga = from_wkb([x["geometry"] for x in p])
+    total = float(np.sum(area(ga)))
+    want = oracle.execute(
+        f"""WITH {PARCELS_CTE.strip()},
+        cells AS (SELECT DISTINCT CAST(p.minx AS BIGINT)+gx.g cx,
+                         CAST(p.miny AS BIGINT)+gy.g cy
+                  FROM parcels p, generate_series(0,15) gx(g), generate_series(0,15) gy(g)
+                  WHERE p.minx + gx.g < p.maxx AND p.miny + gy.g < p.maxy)
+        SELECT COUNT(*) FROM cells"""
+    ).fetchone()[0]
+    assert abs(total - want) < 1e-6
+    assert any(x["nb_covering"] > 1 for x in p)
+
+
+def test_dissolve_within_distance_merges(ray_session):
+    # zones are 25 units apart (125 pitch, 100 wide) → distance 30 merges
+    # neighbours; distance 2 keeps them apart
+    far = dissolve_within_distance(zones_dataset(SF), distance=2.0).take_all()
+    near = dissolve_within_distance(zones_dataset(SF), distance=60.0).take_all()
+    from geofileops_ray.geom import from_wkb
+
+    n_parts_far = from_wkb([r["geometry"] for r in far]).geom_offsets[-1]
+    n_parts_near = from_wkb([r["geometry"] for r in near]).geom_offsets[-1]
+    assert n_parts_near < n_parts_far
+
+
+def test_select_two_layers(ray_session):
+    out = select_two_layers(
+        parcels_dataset(SF), zones_dataset(SF),
+        "SELECT count(*) AS n_parcels, count(DISTINCT doc_id) AS n_ids FROM layer1",
+    ).take_all()
+    assert sum(r["n_parcels"] for r in out) >= 500  # replicas included
+
+
+def test_concat_null_fills(ray_session):
+    c = concat([parcels_dataset(SF), zones_dataset(SF)])
+    rows = c.take_all()
+    assert len(rows) == 505
+    zrow = [r for r in rows if r.get("naam")][0]
+    assert zrow["GEWASGROEP"] is None  # parcels-only column null-filled
+
+
+def test_checkpointed_write_resume(ray_session, tmp_path):
+    ckpt = str(tmp_path / "ckpt")
+    ds = parcels_dataset(SF).map_batches(
+        lambda b: b.append_column(
+            "__cell", pa.array((b.column("doc_id").to_numpy() % 7), pa.int64())
+        ).select(["doc_id", "__cell"]),
+        batch_format="pyarrow",
+    )
+    out = checkpointed_write(ds, ckpt)
+    assert len(out) == 7
+    assert finished_partitions(ckpt) == set(range(7))
+    # resume: nothing left to write
+    out2 = checkpointed_write(ds, ckpt)
+    assert out2 == []
+    # partial resume: delete two lineage records → only those rewrite
+    for k in (2, 5):
+        os.remove(os.path.join(ckpt, "lineage", f"{k}.json"))
+    out3 = checkpointed_write(ds, ckpt)
+    assert sorted(r["partition"] for r in out3) == [2, 5]

@@ -104,5 +104,9 @@ def checkpointed_write(
 
         ds = ds.map_batches(skip, batch_format="pyarrow", zero_copy_batch=True)
     writer = LineageWriter(checkpoint_dir, partition_col)
-    out = ds.groupby(partition_col).map_groups(writer, batch_format="pyarrow")
+
+    def write_group(group: pa.Table) -> pa.Table:
+        return writer(group)
+
+    out = ds.groupby(partition_col).map_groups(write_group, batch_format="pyarrow")
     return out.take_all()

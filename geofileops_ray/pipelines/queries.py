@@ -420,6 +420,127 @@ FROM parcels p JOIN documents d ON d.doc_id = p.doc_id
 WHERE EXISTS (SELECT 1 FROM zones z WHERE {BBOX_ON}) ORDER BY 1"""
 
 
+def q_sjoin_left(sf):
+    ds = join_by_location(
+        parcels_dataset(sf), zones_dataset(sf), "intersects is True",
+        cols1=["OIDN"], cols2=["naam"], discard_nonmatching=False,
+    )
+    return _select(ds, ["l1_doc_id", "l2_doc_id", "l2_naam"])
+
+
+O_SJOIN_LEFT = f"""{CTE}
+SELECT p.doc_id AS l1_doc_id, z.doc_id AS l2_doc_id, z.naam AS l2_naam
+FROM parcels p LEFT JOIN zones z ON {BBOX_ON} ORDER BY 1, 2"""
+
+
+def q_join_attributes(sf):
+    from ..stages.spatial_join import join_attributes
+
+    docs = ray.data.read_parquet(
+        f"{sf}/documents.parquet", columns=["doc_id", "source"]
+    )
+    ds = join_attributes(
+        parcels_dataset(sf).map_batches(
+            lambda b: b.select(["doc_id", "OIDN", "geometry"]),
+            batch_format="pyarrow",
+        ),
+        docs,
+        on=["doc_id"],
+    )
+    return _select(ds, ["doc_id", "OIDN", "source"])
+
+
+O_JOIN_ATTRS = f"""{CTE}
+SELECT p.doc_id, p.OIDN, d.source
+FROM parcels p JOIN documents d USING (doc_id) ORDER BY 1"""
+
+
+def q_dedup_geometries(sf):
+    from ..stages.spatial_join import delete_duplicate_geometries
+
+    ds = delete_duplicate_geometries(points_dataset(sf))
+    return _select(ds, ["doc_id"])
+
+
+O_DEDUP_GEOM = f"""{CTE}
+SELECT MIN(doc_id) AS doc_id FROM points GROUP BY x, y ORDER BY 1"""
+
+
+def q_union_full_self_invariants(sf):
+    """Flat self-union invariants: Σ piece areas = union area of the
+    layer; Σ piece_area × nb_covering = Σ row areas (overlaps counted
+    per covering row) — both SQL-derivable exactly."""
+    from ..stages.compound import union_full_self
+
+    pieces = union_full_self(parcels_dataset(sf), agg_cols=[]).take_all()
+    ga = from_wkb([r["geometry"] for r in pieces])
+    a = _area(ga)
+    cov = np.array([r["nb_covering"] for r in pieces], dtype=np.float64)
+    return pa.table(
+        {
+            "flat_area": pa.array(
+                [float(_round_half_up(np.array([a.sum()]), 3)[0])], pa.float64()
+            ),
+            "weighted_area": pa.array(
+                [float(_round_half_up(np.array([(a * cov).sum()]), 3)[0])],
+                pa.float64(),
+            ),
+        }
+    )
+
+
+O_UFS_INVARIANTS = f"""{CTE},
+ucells AS (
+  SELECT DISTINCT CAST(p.minx AS BIGINT)+gx.g cx, CAST(p.miny AS BIGINT)+gy.g cy
+  FROM parcels p, generate_series(0, 15) gx(g), generate_series(0, 15) gy(g)
+  WHERE p.minx + gx.g < p.maxx AND p.miny + gy.g < p.maxy)
+SELECT ROUND((SELECT CAST(COUNT(*) AS DOUBLE) FROM ucells), 3) AS flat_area,
+       ROUND((SELECT SUM(OPPERVL) FROM parcels), 3) AS weighted_area"""
+
+
+def q_concat(sf):
+    from ..stages.compound import concat
+
+    ds = concat([parcels_dataset(sf), zones_dataset(sf)])
+    return _select(ds, ["doc_id", "GEWASGROEP", "naam"])
+
+
+O_CONCAT = f"""{CTE}
+SELECT doc_id, GEWASGROEP, CAST(NULL AS VARCHAR) AS naam FROM parcels
+UNION ALL
+SELECT doc_id, CAST(NULL AS VARCHAR) AS GEWASGROEP, naam FROM zones
+ORDER BY 1"""
+
+
+def q_dissolve_within_distance(sf):
+    """rows-only check (geometry merge result not SQL-expressible)."""
+    from ..stages.compound import dissolve_within_distance
+
+    ds = dissolve_within_distance(zones_dataset(sf), distance=60.0)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ga = from_wkb(batch.column("geometry").to_pylist())
+        return pa.table(
+            {
+                "n_parts": pa.array(
+                    [int(ga.geom_offsets[-1])] * len(batch), pa.int64()
+                )
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def q_select_two_layers(sf):
+    """rows-only: per-cell user SQL (cell replication not mirrorable)."""
+    from ..stages.compound import select_two_layers
+
+    return select_two_layers(
+        parcels_dataset(sf), zones_dataset(sf),
+        "SELECT count(*) AS n_parcels FROM layer1",
+    )
+
+
 # ------------------------------------------------------------- text queries
 
 
@@ -496,6 +617,13 @@ QUERIES = {
     "update_column_area": q_update_column,
     "warp_affine": q_warp,
     "spans_roundtrip": q_spans_roundtrip,
+    "sjoin_left": q_sjoin_left,
+    "join_attributes": q_join_attributes,
+    "delete_duplicate_geometries": q_dedup_geometries,
+    "union_full_self_invariants": q_union_full_self_invariants,
+    "concat_layers": q_concat,
+    "dissolve_within_distance": q_dissolve_within_distance,
+    "select_two_layers": q_select_two_layers,
     # text / training-data
     "token_count": lambda sf: ta.token_count(_docs(sf)),
     "quality_score": lambda sf: ta.quality_score(_docs(sf)),
@@ -531,6 +659,11 @@ ORACLES = {
     "update_column_area": O_UPDATE_COLUMN,
     "warp_affine": O_WARP,
     "spans_roundtrip": O_SPANS,
+    "sjoin_left": O_SJOIN_LEFT,
+    "join_attributes": O_JOIN_ATTRS,
+    "delete_duplicate_geometries": O_DEDUP_GEOM,
+    "union_full_self_invariants": O_UFS_INVARIANTS,
+    "concat_layers": O_CONCAT,
     "token_count": ta.TOKEN_COUNT_SQL,
     "quality_score": ta.QUALITY_SQL,
     "language_id": ta.LANG_ID_SQL,

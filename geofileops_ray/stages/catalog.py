@@ -1,0 +1,195 @@
+"""Catalog / schema-evolution ops + layer utilities.
+
+Reference surface (SURVEY.md §2.1): get_layerinfo (fileops.py:322-460),
+add/drop/rename/update_column (fileops.py:847-1620), copy_layer
+(fileops.py:3043-3373), plus the subdivide stage used before two-layer
+ops on complex geometries (_geoops_sql.py:1358-1444,
+_sqlite_userdefined.py:217-270 gfo_subdivide).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+from ray.data.aggregate import Max, Min
+
+from ..config import OPTIONS
+from ..geom import GeometryArray, from_wkb, to_wkb
+from ..geom.array import POLYGON, TYPE_NAMES
+from ..geom.overlay import parts_to_geom, polygon_overlay
+from .geometry_batch import add_bounds, decode_geometry
+
+_GEOM = "geometry"
+
+
+@dataclass
+class LayerInfo:
+    """LayerInfo analogue (geofileops fileops.py:216-286): featurecount,
+    total_bounds, geometry type name, column names/types."""
+
+    featurecount: int
+    total_bounds: tuple[float, float, float, float]
+    geometrytypename: str
+    columns: dict[str, str]
+
+
+def layer_info(ds: ray.data.Dataset) -> LayerInfo:
+    sch = ds.schema().base_schema
+    cols = {f.name: str(f.type) for f in sch if f.name != _GEOM}
+    b = (
+        ds.map_batches(
+            lambda t: add_bounds(t).select(["minx", "miny", "maxx", "maxy"]),
+            batch_format="pyarrow",
+        ).aggregate(Min("minx"), Min("miny"), Max("maxx"), Max("maxy"))
+    )
+    n = ds.count()
+    sample = ds.limit(1).take_all()
+    tname = "UNKNOWN"
+    if sample:
+        tname = TYPE_NAMES.get(int(from_wkb([sample[0][_GEOM]]).types[0]), "UNKNOWN")
+    return LayerInfo(
+        featurecount=n,
+        total_bounds=(b["min(minx)"], b["min(miny)"], b["max(maxx)"], b["max(maxy)"]),
+        geometrytypename=tname,
+        columns=cols,
+    )
+
+
+def add_column(ds: ray.data.Dataset, name: str, value) -> ray.data.Dataset:
+    """Constant or per-row callable column (fileops.add_column; computed
+    SQL expressions go through stages.single_layer.update_column)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        if callable(value):
+            vals = pa.array([value(r) for r in batch.to_pylist()])
+        else:
+            vals = pa.array([value] * len(batch))
+        if name in batch.column_names:
+            batch = batch.drop_columns([name])
+        return batch.append_column(name, vals)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def drop_column(ds: ray.data.Dataset, name: str) -> ray.data.Dataset:
+    return ds.map_batches(
+        lambda b: b.drop_columns([name]) if name in b.column_names else b,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def rename_column(ds: ray.data.Dataset, old: str, new: str) -> ray.data.Dataset:
+    def fn(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(
+            [new if c == old else c for c in batch.column_names]
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def copy_layer(
+    src_path: str,
+    dst_path: str,
+    columns: list[str] | None = None,
+    where: str | None = None,
+    transform=None,
+) -> None:
+    """copy_layer analogue: read → optional filter/projection/transform →
+    parallel write (no temp files / single-writer merge)."""
+    from ..io.readwrite import read_layer, write_layer
+
+    ds = read_layer(src_path, columns=columns)
+    if where:
+        ds = ds.filter(expr=where)
+    if transform is not None:
+        ds = transform(ds)
+    write_layer(ds, dst_path)
+
+
+def subdivide(
+    ds: ray.data.Dataset, max_coords: int | None = None
+) -> ray.data.Dataset:
+    """Split geometries with more than ``max_coords`` coordinates along a
+    grid (reference gfo_subdivide / pygeoops.subdivide, default trigger
+    2000 coords for difference, 15000 for intersection,
+    _geoops_sql.py:1893-1929). Output rows carry ``orig_doc_id`` + a
+    ``part_seq`` so downstream re-union by original fid is a groupby."""
+    max_coords = max_coords or OPTIONS.subdivide_coords
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ga = decode_geometry(batch)
+        nc = ga.num_coords()
+        big = np.flatnonzero(nc > max_coords)
+        if len(big) == 0:
+            out = batch.append_column(
+                "orig_doc_id", batch.column("doc_id")
+            )
+            return out.append_column(
+                "part_seq", pa.array(np.zeros(len(batch), np.int64))
+            )
+        keep_rows: list[int] = []
+        out_geoms: list[tuple[int, list]] = []
+        seqs: list[int] = []
+        bigset = set(int(i) for i in big)
+        for i in range(len(ga)):
+            if i not in bigset:
+                keep_rows.append(i)
+                out_geoms.append((int(ga.types[i]), ga._parts_of(i)))
+                seqs.append(0)
+                continue
+            b = ga.bounds()[i]
+            # quadtree split until each cell piece is under the budget
+            pieces = [(b[0], b[1], b[2], b[3])]
+            done: list = []
+            for _ in range(8):
+                nxt = []
+                for rect in pieces:
+                    res = polygon_overlay(
+                        ga._parts_of(i),
+                        [[_rect_ring(rect)]],
+                        "intersection",
+                    )
+                    ncoords = sum(len(r) for p in res for r in p)
+                    if ncoords <= max_coords or (
+                        rect[2] - rect[0] < 1e-9
+                    ):
+                        if res:
+                            done.append(res)
+                    else:
+                        mx = (rect[0] + rect[2]) / 2
+                        my = (rect[1] + rect[3]) / 2
+                        nxt.extend(
+                            [
+                                (rect[0], rect[1], mx, my),
+                                (mx, rect[1], rect[2], my),
+                                (rect[0], my, mx, rect[3]),
+                                (mx, my, rect[2], rect[3]),
+                            ]
+                        )
+                pieces = nxt
+                if not pieces:
+                    break
+            for seq, res in enumerate(done):
+                keep_rows.append(i)
+                out_geoms.append(parts_to_geom(res))
+                seqs.append(seq)
+        out = batch.take(pa.array(keep_rows, pa.int64()))
+        ga_out = GeometryArray.from_parts(out_geoms)
+        wkb = pa.array(to_wkb(ga_out), pa.binary())
+        out = out.set_column(out.schema.get_field_index(_GEOM), _GEOM, wkb)
+        out = out.append_column("orig_doc_id", out.column("doc_id"))
+        return out.append_column("part_seq", pa.array(seqs, pa.int64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _rect_ring(rect) -> np.ndarray:
+    x0, y0, x1, y1 = rect
+    return np.array(
+        [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]], dtype=np.float64
+    )

@@ -582,9 +582,6 @@ def q_media_features(sf):
     ds = extract_media_features(parcels_dataset(sf))
 
     def fn(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        feats = batch.column("feature")
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
@@ -594,6 +591,34 @@ def q_media_features(sf):
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def q_media_metadata(sf):
+    """Media rows extracted from interleaved spans with typed metadata
+    (width/height derived from md5(media_ref) — bit-reproducible in
+    DuckDB via hex-substring arithmetic)."""
+    from ..textops.multimodal import synth_media_from_spans
+
+    ds = synth_media_from_spans(parcels_dataset(sf))
+    return _select(ds, ["doc_id", "media_ref", "media_type", "width", "height"])
+
+
+O_MEDIA_METADATA = f"""{CTE},
+m AS (
+  SELECT doc_id,
+    'media://' || CAST(((doc_id * 2654435761) % 4294967296) % 1000 AS VARCHAR) AS ref
+  FROM documents)
+SELECT doc_id, ref AS media_ref, 'image' AS media_type,
+  CAST(16 + CAST(('0x' || substr(md5(ref), 1, 2)) AS INT) % 64 AS INT) AS width,
+  CAST(16 + CAST(('0x' || substr(md5(ref), 3, 2)) AS INT) % 64 AS INT) AS height
+FROM m ORDER BY doc_id"""
+
+
+def q_windowed_events(sf):
+    from ..textops.events import tumbling_window_agg
+
+    ev = ray.data.read_parquet(f"{sf}/events.parquet")
+    return tumbling_window_agg(ev, window_seconds=3600).drop_columns([])
 
 
 # ------------------------------------------------------------- registry
@@ -639,6 +664,8 @@ QUERIES = {
     "lsh_topk10": q_lsh_topk,
     "minhash_dedup_pairs": q_minhash_pairs,
     "media_features": q_media_features,
+    "media_metadata": q_media_metadata,
+    "windowed_events": q_windowed_events,
 }
 
 ORACLES = {
@@ -674,6 +701,10 @@ ORACLES = {
     "ngram_jaccard": td.ngram_jaccard_sql(threshold=0.2),
     "embedding_topk10": ts.topk_sql(0, 10),
     "embedding_neardup": ts.neardup_sql(0.4),
+    "media_metadata": O_MEDIA_METADATA,
+    "windowed_events": __import__(
+        "geofileops_ray.textops.events", fromlist=["tumbling_window_sql"]
+    ).tumbling_window_sql(3600),
 }
 
 

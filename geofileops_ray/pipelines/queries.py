@@ -541,6 +541,100 @@ def q_select_two_layers(sf):
     )
 
 
+def q_symmetric_difference(sf):
+    from ..stages.overlay_ops import symmetric_difference
+
+    ds = symmetric_difference(
+        parcels_dataset(sf), zones_dataset(sf), cols1=[], cols2=[]
+    )
+    ds = _with_geom_area(ds, "area_part")
+    return _select(ds, ["l1_doc_id", "l2_doc_id", "area_part"])
+
+
+# diff(zone, parcels) area oracle: zone area − Σ over distinct parcel
+# unit cells (integer lattice) of the cell∩zone overlap — exact because
+# parcel coords are integers and zones are half-integer rectangles.
+_ZDIFF_CELLS = """
+pzc AS (
+  SELECT DISTINCT z.doc_id AS zid, z.minx zx0, z.miny zy0, z.maxx zx1, z.maxy zy1,
+         CAST(p.minx AS BIGINT)+gx.g AS cx, CAST(p.miny AS BIGINT)+gy.g AS cy
+  FROM parcels p
+  JOIN zones z ON p.minx < z.maxx AND p.maxx > z.minx
+              AND p.miny < z.maxy AND p.maxy > z.miny,
+       generate_series(0, 15) gx(g), generate_series(0, 15) gy(g)
+  WHERE p.minx + gx.g < p.maxx AND p.miny + gy.g < p.maxy
+    AND p.minx + gx.g + 1 > z.minx AND p.minx + gx.g < z.maxx
+    AND p.miny + gy.g + 1 > z.miny AND p.miny + gy.g < z.maxy),
+zcover AS (
+  SELECT zid, SUM((LEAST(CAST(cx AS DOUBLE) + 1, zx1) - GREATEST(CAST(cx AS DOUBLE), zx0))
+              * (LEAST(CAST(cy AS DOUBLE) + 1, zy1) - GREATEST(CAST(cy AS DOUBLE), zy0))) cov
+  FROM pzc GROUP BY zid)
+"""
+
+O_SYMDIFF = f"""{CTE},
+{_ZDIFF_CELLS.strip()}
+SELECT doc_id AS l1_doc_id, CAST(NULL AS BIGINT) AS l2_doc_id,
+       ROUND(a, 4) AS area_part FROM (
+  SELECT p.doc_id, p.OPPERVL - SUM(CASE WHEN z.doc_id IS NULL THEN 0
+    ELSE {OVERLAP_AREA} END) a
+  FROM parcels p LEFT JOIN zones z ON {OVER_ON}
+  GROUP BY 1, p.OPPERVL) t WHERE a > 0
+UNION ALL
+SELECT CAST(NULL AS BIGINT) AS l1_doc_id, z.doc_id AS l2_doc_id,
+       ROUND((z.maxx - z.minx) * (z.maxy - z.miny) - COALESCE(c.cov, 0), 4)
+FROM zones z LEFT JOIN zcover c ON c.zid = z.doc_id
+WHERE (z.maxx - z.minx) * (z.maxy - z.miny) - COALESCE(c.cov, 0) > 0
+ORDER BY 1, 2"""
+
+
+def q_union_overlay(sf):
+    from ..stages.overlay_ops import union as union_op
+
+    ds = union_op(parcels_dataset(sf), zones_dataset(sf), cols1=[], cols2=[])
+    ds = _with_geom_area(ds, "area_part")
+    return _select(ds, ["l1_doc_id", "l2_doc_id", "area_part"])
+
+
+O_UNION_OVERLAY = f"""{CTE},
+{_ZDIFF_CELLS.strip()}
+SELECT p.doc_id AS l1_doc_id, z.doc_id AS l2_doc_id,
+       ROUND({OVERLAP_AREA}, 4) AS area_part
+FROM parcels p JOIN zones z ON {OVER_ON}
+UNION ALL
+SELECT doc_id, CAST(NULL AS BIGINT), ROUND(a, 4) FROM (
+  SELECT p.doc_id, p.OPPERVL - SUM(CASE WHEN z.doc_id IS NULL THEN 0
+    ELSE {OVERLAP_AREA} END) a
+  FROM parcels p LEFT JOIN zones z ON {OVER_ON}
+  GROUP BY 1, p.OPPERVL) t WHERE a > 0
+UNION ALL
+SELECT CAST(NULL AS BIGINT), z.doc_id,
+       ROUND((z.maxx - z.minx) * (z.maxy - z.miny) - COALESCE(c.cov, 0), 4)
+FROM zones z LEFT JOIN zcover c ON c.zid = z.doc_id
+WHERE (z.maxx - z.minx) * (z.maxy - z.miny) - COALESCE(c.cov, 0) > 0
+ORDER BY 1, 2"""
+
+
+def q_identity(sf):
+    from ..stages.overlay_ops import identity as identity_op
+
+    ds = identity_op(parcels_dataset(sf), zones_dataset(sf), cols1=[], cols2=[])
+    ds = _with_geom_area(ds, "area_part")
+    return _select(ds, ["l1_doc_id", "l2_doc_id", "area_part"])
+
+
+O_IDENTITY = f"""{CTE}
+SELECT p.doc_id AS l1_doc_id, z.doc_id AS l2_doc_id,
+       ROUND({OVERLAP_AREA}, 4) AS area_part
+FROM parcels p JOIN zones z ON {OVER_ON}
+UNION ALL
+SELECT doc_id, CAST(NULL AS BIGINT), ROUND(a, 4) FROM (
+  SELECT p.doc_id, p.OPPERVL - SUM(CASE WHEN z.doc_id IS NULL THEN 0
+    ELSE {OVERLAP_AREA} END) a
+  FROM parcels p LEFT JOIN zones z ON {OVER_ON}
+  GROUP BY 1, p.OPPERVL) t WHERE a > 0
+ORDER BY 1, 2"""
+
+
 # ------------------------------------------------------------- text queries
 
 
@@ -649,6 +743,9 @@ QUERIES = {
     "concat_layers": q_concat,
     "dissolve_within_distance": q_dissolve_within_distance,
     "select_two_layers": q_select_two_layers,
+    "symmetric_difference_areas": q_symmetric_difference,
+    "union_overlay_areas": q_union_overlay,
+    "identity_areas": q_identity,
     # text / training-data
     "token_count": lambda sf: ta.token_count(_docs(sf)),
     "quality_score": lambda sf: ta.quality_score(_docs(sf)),
@@ -691,6 +788,9 @@ ORACLES = {
     "delete_duplicate_geometries": O_DEDUP_GEOM,
     "union_full_self_invariants": O_UFS_INVARIANTS,
     "concat_layers": O_CONCAT,
+    "symmetric_difference_areas": O_SYMDIFF,
+    "union_overlay_areas": O_UNION_OVERLAY,
+    "identity_areas": O_IDENTITY,
     "token_count": ta.TOKEN_COUNT_SQL,
     "quality_score": ta.QUALITY_SQL,
     "language_id": ta.LANG_ID_SQL,

@@ -40,7 +40,127 @@ NAMED_PREDICATES = (
     "within",
 )
 
-_TOKEN = re.compile(r"\s*(\(|\)|and\b|or\b|not\b|is\b|True\b|False\b|[a-z_]+)", re.I)
+
+def _rect_relate(b1: np.ndarray, b2: np.ndarray, pt1: bool, pt2: bool) -> str:
+    """Exact DE-9IM matrix for axis-aligned rectangles / points given
+    their bounds (point = degenerate bounds). Row i = {interior,
+    boundary, exterior} of A ∩ {I, B, E} of B."""
+    ax0, ay0, ax1, ay1 = b1
+    bx0, by0, bx1, by1 = b2
+
+    def seg_overlap(lo1, hi1, lo2, hi2, open_):
+        lo, hi = max(lo1, lo2), min(hi1, hi2)
+        return hi > lo if open_ else hi >= lo
+
+    if pt1 and pt2:
+        same = ax0 == bx0 and ay0 == by0
+        return "0FFFFFFF2" if same else "FF0FFF0F2"
+    if pt1:
+        in_open = bx0 < ax0 < bx1 and by0 < ay0 < by1
+        on_b = (
+            (ax0 in (bx0, bx1) and by0 <= ay0 <= by1)
+            or (ay0 in (by0, by1) and bx0 <= ax0 <= bx1)
+        )
+        if in_open:
+            return "0FFFFF212"
+        if on_b:
+            return "F0FFFF212"
+        return "FF0FFF212"
+    if pt2:
+        # DE-9IM of (rect, point) = transpose of (point, rect)
+        t = _rect_relate(b2, b1, True, False)
+        return "".join(t[3 * (k % 3) + k // 3] for k in range(9))
+    # rect × rect
+    ii = (min(ax1, bx1) > max(ax0, bx0)) and (min(ay1, by1) > max(ay0, by0))
+    a_in_b = ax0 >= bx0 and ax1 <= bx1 and ay0 >= by0 and ay1 <= by1
+    b_in_a = bx0 >= ax0 and bx1 <= ax1 and by0 >= ay0 and by1 <= ay1
+    closed_int = (min(ax1, bx1) >= max(ax0, bx0)) and (
+        min(ay1, by1) >= max(ay0, by0)
+    )
+
+    def boundary_in_open(inner, outer):
+        """∂inner ∩ int(outer) ≠ ∅ for rects (per-edge test)."""
+        ix0, iy0, ix1, iy1 = inner
+        ox0, oy0, ox1, oy1 = outer
+        for x in (ix0, ix1):  # vertical edges x fixed, y∈[iy0, iy1]
+            if ox0 < x < ox1 and min(iy1, oy1) > max(iy0, oy0):
+                return True
+        for y in (iy0, iy1):
+            if oy0 < y < oy1 and min(ix1, ox1) > max(ix0, ox0):
+                return True
+        return False
+
+    ib = boundary_in_open(b2, b1)  # int(A) ∩ ∂B
+    bi = boundary_in_open(b1, b2)
+    # ∂A ∩ ∂B: 1 if a collinear edge overlap of positive length, else 0
+    # if closed boxes touch at isolated points, else F
+    bb = "F"
+    a_strict_in_b = ax0 > bx0 and ax1 < bx1 and ay0 > by0 and ay1 < by1
+    b_strict_in_a = bx0 > ax0 and bx1 < ax1 and by0 > ay0 and by1 < ay1
+    if closed_int and not a_strict_in_b and not b_strict_in_a:
+        col = False
+        for x in (ax0, ax1):
+            if x in (bx0, bx1) and min(ay1, by1) > max(ay0, by0):
+                col = True
+        for y in (ay0, ay1):
+            if y in (by0, by1) and min(ax1, bx1) > max(ax0, bx0):
+                col = True
+        # collinear edge overlap → dim 1; otherwise the boundary curves
+        # meet at isolated points (corners / crossings) → dim 0
+        bb = "1" if col else "0"
+    return "".join(
+        [
+            "2" if ii else "F",
+            "1" if ib else "F",
+            "F" if a_in_b else "2",
+            "1" if bi else "F",
+            bb,
+            "F" if a_in_b else "1",
+            "F" if b_in_a else "2",
+            "F" if b_in_a else "1",
+            "2",
+        ]
+    )
+
+
+def relate_matrix(ga1, i: int, ga2, j: int) -> str:
+    """DE-9IM matrix for a pair (ST_Relate analogue; raw-mask queries
+    compile through this, reference _geoops_sql.py:2516-2578). Exact for
+    the axis-aligned rect / point shapes; other geometry raises (named
+    predicates cover the general surface — documented limitation)."""
+    r1 = detect_rects(ga1.take(np.array([i])))
+    r2 = detect_rects(ga2.take(np.array([j])))
+    from ..geom.array import POINT
+
+    if not (r1[0] and r2[0]):
+        raise NotImplementedError(
+            "raw DE-9IM masks are exact for rectangle/point geometries; "
+            "use named predicates for arbitrary shapes"
+        )
+    return _rect_relate(
+        ga1.bounds()[i], ga2.bounds()[j],
+        bool(ga1.types[i] == POINT), bool(ga2.types[j] == POINT),
+    )
+
+
+def mask_matches(matrix: str, mask: str) -> bool:
+    """DE-9IM mask match: '*' any, 'T' any non-F dimension, 'F' empty,
+    digit exact (ST_RelateMatch semantics)."""
+    for mc, xc in zip(mask, matrix):
+        if mc == "*":
+            continue
+        if mc == "T" and xc == "F":
+            return False
+        if mc == "F" and xc != "F":
+            return False
+        if mc in "012" and xc != mc:
+            return False
+    return True
+
+_MASK_RE = re.compile(r"^[TF012\*]{9}$")
+_TOKEN = re.compile(
+    r"\s*(\(|\)|[TF012\*]{9}(?![\w*])|and\b|or\b|not\b|is\b|True\b|False\b|[a-z_]+)"
+)
 
 
 class RelationQuery:
@@ -107,11 +227,16 @@ class RelationQuery:
             if self._eat() != ")":
                 raise ValueError("unbalanced parens")
             return node
-        pred = self._eat().lower()
-        if pred not in NAMED_PREDICATES:
-            raise ValueError(
-                f"unknown predicate {pred!r}; supported: {NAMED_PREDICATES}"
-            )
+        tok = self._eat()
+        if _MASK_RE.match(tok):
+            pred = f"mask:{tok}"  # raw DE-9IM mask (ST_RelateMatch path)
+        else:
+            pred = tok.lower()
+            if pred not in NAMED_PREDICATES:
+                raise ValueError(
+                    f"unknown predicate {pred!r}; supported: "
+                    f"{NAMED_PREDICATES} or a 9-char DE-9IM mask"
+                )
         if self._eat().lower() != "is":
             raise ValueError("expected 'is' after predicate")
         val = self._eat()
@@ -134,10 +259,15 @@ class RelationQuery:
         """Whether the query can be satisfied by a pair of disjoint
         geometries — in that case rows with NO candidates must also match
         (reference probes this live with two disjoint squares,
-        _geoops_sql.py:2494-2513; we evaluate the AST symbolically)."""
-        results = {
-            p: np.array([p == "disjoint"]) for p in self.predicates
-        }
+        _geoops_sql.py:2494-2513; we evaluate the AST symbolically, masks
+        against the disjoint-rects DE-9IM matrix)."""
+        disjoint_matrix = "FF2FF1212"
+        results = {}
+        for p in self.predicates:
+            if p.startswith("mask:"):
+                results[p] = np.array([mask_matches(disjoint_matrix, p[5:])])
+            else:
+                results[p] = np.array([p == "disjoint"])
         return bool(self.evaluate(results)[0])
 
     def evaluate(self, results: dict[str, np.ndarray]) -> np.ndarray:
@@ -263,19 +393,26 @@ def evaluate_pairs(
     r1 = detect_rects(ga1)
     r2 = detect_rects(ga2)
     fast = r1[ia] & r2[ib]
+    named = {p for p in query.predicates if not p.startswith("mask:")}
+    masks = [p for p in query.predicates if p.startswith("mask:")]
     results = {p: np.zeros(m, dtype=bool) for p in query.predicates}
     if fast.any():
         k = np.flatnonzero(fast)
         sub = _rect_pair_predicates(
-            ga1.bounds()[ia[k]], ga2.bounds()[ib[k]], query.predicates
+            ga1.bounds()[ia[k]], ga2.bounds()[ib[k]], named
         )
         for p, v in sub.items():
             results[p][k] = v
     slow = np.flatnonzero(~fast)
     for k in slow:
         i, j = int(ia[k]), int(ib[k])
-        for p in query.predicates:
+        for p in named:
             results[p][k] = PREDICATES[p](ga1, i, ga2, j)
+    for p in masks:
+        mask = p[5:]
+        for k in range(m):
+            mat = relate_matrix(ga1, int(ia[k]), ga2, int(ib[k]))
+            results[p][k] = mask_matches(mat, mask)
     return query.evaluate(results)
 
 

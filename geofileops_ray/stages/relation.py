@@ -196,6 +196,8 @@ class RelationQuery:
         return self._tokens[self._pos] if self._pos < len(self._tokens) else None
 
     def _eat(self):
+        if self._pos >= len(self._tokens):
+            raise ValueError(f"unexpected end of spatial query: {self.raw!r}")
         t = self._tokens[self._pos]
         self._pos += 1
         return t

@@ -660,6 +660,14 @@ def q_neardup(sf):
     return ts.embedding_neardup_pairs(_emb(sf), threshold=0.4)
 
 
+def q_ivf_topk(sf):
+    import pyarrow.parquet as pq
+
+    qv = pq.read_table(f"{sf}/embeddings.parquet", columns=["embedding"])
+    qvec = qv.column("embedding")[0].as_py()
+    return ts.ivf_topk(_emb(sf), np.array([qvec]), k=10)
+
+
 def q_lsh_topk(sf):
     import pyarrow.parquet as pq
 
@@ -759,6 +767,7 @@ QUERIES = {
     "embedding_neardup": q_neardup,
     # approximate / stub paths (rows-only checks; no oracle by design)
     "lsh_topk10": q_lsh_topk,
+    "ivf_topk10": q_ivf_topk,
     "minhash_dedup_pairs": q_minhash_pairs,
     "media_features": q_media_features,
     "media_metadata": q_media_metadata,

@@ -143,10 +143,14 @@ def subdivide(
                 seqs.append(0)
                 continue
             b = ga.bounds()[i]
-            # quadtree split until each cell piece is under the budget
+            # quadtree split until each cell piece is under the budget;
+            # a split that no longer reduces the piece's coordinate count
+            # (budget below the minimum closed-ring size) stops — bounded
+            # work even for unsatisfiable budgets
+            budget = max(max_coords, 8)
             pieces = [(b[0], b[1], b[2], b[3])]
             done: list = []
-            for _ in range(8):
+            for _ in range(6):
                 nxt = []
                 for rect in pieces:
                     res = polygon_overlay(
@@ -154,12 +158,11 @@ def subdivide(
                         [[_rect_ring(rect)]],
                         "intersection",
                     )
+                    if not res:
+                        continue
                     ncoords = sum(len(r) for p in res for r in p)
-                    if ncoords <= max_coords or (
-                        rect[2] - rect[0] < 1e-9
-                    ):
-                        if res:
-                            done.append(res)
+                    if ncoords <= budget or rect[2] - rect[0] < 1e-9:
+                        done.append(res)
                     else:
                         mx = (rect[0] + rect[2]) / 2
                         my = (rect[1] + rect[3]) / 2
@@ -174,6 +177,12 @@ def subdivide(
                 pieces = nxt
                 if not pieces:
                     break
+            for rect in pieces:  # leftover splits at max depth
+                res = polygon_overlay(
+                    ga._parts_of(i), [[_rect_ring(rect)]], "intersection"
+                )
+                if res:
+                    done.append(res)
             for seq, res in enumerate(done):
                 keep_rows.append(i)
                 out_geoms.append(parts_to_geom(res))

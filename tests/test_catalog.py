@@ -33,14 +33,25 @@ def test_column_ops(ray_session):
 
 
 def test_subdivide_preserves_area(ray_session):
-    ds = subdivide(parcels_dataset(SF), max_coords=4)  # every rect splits
-    rows = ds.take_all()
-    assert len(rows) > 500
-    ga = from_wkb([r["geometry"] for r in rows])
-    total = float(np.sum(area(ga)))
-    orig = parcels_dataset(SF).take_all()
-    ga0 = from_wkb([r["geometry"] for r in orig])
-    assert abs(total - float(np.sum(area(ga0)))) < 1e-6
-    # re-union by orig id gives back one geometry per original
-    ids = {r["orig_doc_id"] for r in rows}
-    assert ids == {r["doc_id"] for r in orig}
+    # one complex sawtooth polygon (202 coords) — the reference's
+    # subdivide trigger shape (complex geometries, not small rects)
+    import ray.data
+
+    from geofileops_ray.geom import to_wkb
+    from geofileops_ray.geom.array import GeometryArray
+
+    xs = np.arange(50, dtype=float)
+    top = np.stack([xs, 10 + (xs % 2)], axis=1)
+    bot = np.stack([xs[::-1], np.zeros(50)], axis=1)
+    ring = np.concatenate([top, bot, top[:1]], axis=0)
+    ga = GeometryArray.from_parts([(3, [[ring]])])
+    wkb = to_wkb(ga)[0]
+    ds = ray.data.from_items([{"doc_id": 1, "geometry": wkb}])
+    rows = subdivide(ds, max_coords=30).take_all()
+    assert len(rows) > 1
+    out = from_wkb([r["geometry"] for r in rows])
+    assert abs(float(np.sum(area(out))) - float(area(ga)[0])) < 1e-6
+    assert {r["orig_doc_id"] for r in rows} == {1}
+    # small geometries pass through untouched
+    small = subdivide(parcels_dataset(SF), max_coords=2000).take_all()
+    assert len(small) == 500

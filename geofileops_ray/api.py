@@ -1,0 +1,73 @@
+"""Reference-shaped public API façade.
+
+One namespace with the geofileops public names (geoops.py / fileops.py
+surface) so a user of the reference can switch imports:
+
+    import geofileops as gfo            →  from geofileops_ray import api as gfo
+    gfo.buffer(input_path, output_path) →  gfo.buffer(ds, distance) -> Dataset
+
+The reference operates file→file; this engine operates
+Dataset→Dataset (file endpoints via read_layer/write_layer/copy_layer).
+Every callable cites the reference dispatch point it mirrors.
+"""
+
+from __future__ import annotations
+
+# single layer (geoops.py:399-1905)
+from .stages.single_layer import (  # noqa: F401
+    apply,
+    apply_vectorized,
+    buffer,
+    clip_by_geometry,
+    convexhull,
+    export_by_bounds,
+    isvalid,
+    makevalid,
+    select,
+    simplify,
+    update_column,
+    warp,
+)
+
+# two layer (geoops.py:1908-3871)
+from .stages.overlay_ops import (  # noqa: F401
+    clip,
+    difference,
+    identity,
+    intersection,
+    symmetric_difference,
+    union,
+)
+from .stages.spatial_join import (  # noqa: F401
+    delete_duplicate_geometries,
+    export_by_distance,
+    export_by_location,
+    join_attributes as join,
+    join_by_location,
+)
+from .stages.knn import join_nearest  # noqa: F401
+from .stages.compound import (  # noqa: F401
+    concat,
+    dissolve_within_distance,
+    select_two_layers,
+    union_full_self,
+)
+
+# aggregations (geoops.py:37-1259)
+from .stages.dissolve import dissolve  # noqa: F401
+
+# catalog / files (fileops.py)
+from .io.readwrite import read_layer as read_file  # noqa: F401
+from .io.readwrite import write_layer as to_file  # noqa: F401
+from .stages.catalog import (  # noqa: F401
+    add_column,
+    copy_layer,
+    drop_column,
+    layer_info as get_layerinfo,
+    rename_column,
+    subdivide,
+)
+
+# deprecated aliases kept by the reference (geoops.py:2267, :2683)
+erase = difference
+split = identity

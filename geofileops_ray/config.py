@@ -44,6 +44,10 @@ class Options:
     sliver_tolerance: float = _env_float("GFR_SLIVER_TOLERANCE", 0.001)
     # lineage checkpoint directory ("" disables checkpointing)
     checkpoint_dir: str = os.environ.get("GFR_CHECKPOINT_DIR", "")
+    # blocks to split single-file parquet reads into (GFR_READ_BLOCKS,
+    # read in io/synth.read_documents) — parallelism floor when the
+    # source has fewer fragments than the cluster has slots
+    read_blocks: int = _env_int("GFR_READ_BLOCKS", 64)
 
 
 OPTIONS = Options()

@@ -521,18 +521,97 @@ def dissolve(
         merged = merged.union(f)
     _tf = _time.perf_counter()
 
+    # final pre-assembly: collapse each batch to ONE row per group key
+    # (interior pieces packed as concatenated WKB + offsets — no big
+    # sort; the subsequent groupby shuffles ~#batches×#keys tiny rows
+    # instead of every piece)
+    def final_partial(batch: pa.Table) -> pa.Table:
+        _t0 = _time.perf_counter() if _verbose else 0.0
+        if groupby:
+            kc = [batch.column(k).to_pylist() for k in groupby]
+            keys_b = list(zip(*kc))
+        else:
+            keys_b = [()] * len(batch)
+        border_b = batch.column("__border").to_numpy(zero_copy_only=False)
+        wkb_col = batch.column(_GEOM).to_pylist()
+        rows_out: list[dict] = []
+        for key in sorted(set(keys_b)):
+            idx = np.array([i for i, k in enumerate(keys_b) if k == key])
+            interior = idx[border_b[idx] == 0]
+            borderi = idx[border_b[idx] == 1]
+            int_blob = b"".join(wkb_col[i] for i in interior)
+            int_offs = np.cumsum(
+                [0] + [len(wkb_col[i]) for i in interior]
+            ).astype(np.int64)
+            brd_blob = b"".join(wkb_col[i] for i in borderi)
+            brd_offs = np.cumsum(
+                [0] + [len(wkb_col[i]) for i in borderi]
+            ).astype(np.int64)
+            row = {k: v for k, v in zip(groupby, key)}
+            row.update(_combine_partials(batch, idx, agg_columns, holistic))
+            row["__int_blob"] = int_blob
+            row["__int_offs"] = int_offs.tolist()
+            row["__brd_blob"] = brd_blob
+            row["__brd_offs"] = brd_offs.tolist()
+            rows_out.append(row)
+        cols: dict = {}
+        for k in groupby:
+            cols[k] = pa.array([r[k] for r in rows_out])
+        for name in partial_names:
+            cols[name] = pa.array([r[name] for r in rows_out])
+        cols["__int_blob"] = pa.array(
+            [r["__int_blob"] for r in rows_out], pa.large_binary()
+        )
+        cols["__int_offs"] = pa.array(
+            [r["__int_offs"] for r in rows_out], pa.list_(pa.int64())
+        )
+        cols["__brd_blob"] = pa.array(
+            [r["__brd_blob"] for r in rows_out], pa.large_binary()
+        )
+        cols["__brd_offs"] = pa.array(
+            [r["__brd_offs"] for r in rows_out], pa.list_(pa.int64())
+        )
+        if _verbose:
+            print(
+                f"[dissolve-worker] final_partial rows={len(batch)} "
+                f"{_time.perf_counter() - _t0:.2f}s", flush=True,
+            )
+        return pa.table(cols)
+
+    def _unpack(blob: bytes, offs: list[int]) -> list[bytes]:
+        return [blob[offs[i] : offs[i + 1]] for i in range(len(offs) - 1)]
+
+    merged = merged.map_batches(final_partial, batch_format="pyarrow")
+
     def final_group(group: pa.Table) -> pa.Table:
-        ga = from_wkb(group.column(_GEOM).to_pylist())
-        border = group.column("__border").to_numpy(zero_copy_only=False)
-        # interior (notonborder) pieces are strictly inside their cell
-        # and can never touch anything — only the leftover border pieces
-        # need the union sweep; everything else passes straight through
-        bidx = np.flatnonzero(border == 1)
+        _t0 = _time.perf_counter() if _verbose else 0.0
+        # unpack the per-batch partial assemblies
+        int_wkbs: list[bytes] = []
+        brd_wkbs: list[bytes] = []
+        for i in range(len(group)):
+            int_wkbs.extend(
+                _unpack(
+                    group.column("__int_blob")[i].as_py(),
+                    group.column("__int_offs")[i].as_py(),
+                )
+            )
+            brd_wkbs.extend(
+                _unpack(
+                    group.column("__brd_blob")[i].as_py(),
+                    group.column("__brd_offs")[i].as_py(),
+                )
+            )
         parts: list[list[np.ndarray]] = []
-        if len(bidx):
-            parts.extend(_union_group_polygons(ga, bidx))
-        for i in np.flatnonzero(border == 0):
-            parts.extend(ga._parts_of(int(i)))
+        if brd_wkbs:
+            # only the leftover border pieces need the union sweep —
+            # interior pieces are strictly inside their cell and can
+            # never touch anything
+            gb = from_wkb(brd_wkbs)
+            parts.extend(_union_group_polygons(gb, np.arange(len(gb))))
+        if int_wkbs:
+            gi = from_wkb(int_wkbs)
+            for i in range(len(gi)):
+                parts.extend(gi._parts_of(i))
         code, pparts = parts_to_geom(parts)
         g = GeometryArray.from_parts([(code, pparts)])
         cols = {k: group.column(k).slice(0, 1) for k in groupby}
@@ -540,6 +619,12 @@ def dissolve(
         for out_name, v in _finalize_partials(state, agg_columns, holistic).items():
             cols[out_name] = pa.array([v])
         cols[_GEOM] = pa.array(to_wkb(g), pa.binary())
+        if _verbose:
+            print(
+                f"[dissolve-worker] final_group pieces={len(int_wkbs)}+"
+                f"{len(brd_wkbs)} {_time.perf_counter() - _t0:.2f}s",
+                flush=True,
+            )
         return pa.table(cols)
 
     if groupby:

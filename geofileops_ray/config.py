@@ -37,6 +37,9 @@ class Options:
     # (reference default: 2000 for difference, 15000 for intersection,
     # geofileops _geoops_sql.py:1893-1929)
     subdivide_coords: int = _env_int("GFR_SUBDIVIDE_COORDS", 2000)
+    # max reduced-id rows pulled to the driver for a broadcast semi-filter;
+    # above this the filter runs as a distributed hash join instead
+    broadcast_id_limit: int = _env_int("GFR_BROADCAST_ID_LIMIT", 20_000_000)
     # number of shuffle partitions for groupby/join stages (0 = let Ray pick)
     shuffle_partitions: int = _env_int("GFR_SHUFFLE_PARTITIONS", 0)
     # sliver tolerance applied to overlay outputs (GFO_SLIVER_TOLERANCE

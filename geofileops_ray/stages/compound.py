@@ -39,6 +39,34 @@ from .overlay_ops import _geom_of_pair_op
 
 _GEOM = "geometry"
 
+_SM64_MASK = (1 << 63) - 1  # keep ids positive in int64
+
+
+def _splitmix64(x: int) -> int:
+    x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    return x ^ (x >> 31)
+
+
+def _pair_key(id1: int, id2: int) -> int:
+    """Collision-free-in-practice 63-bit key for an (id1 < id2) piece
+    pair: splitmix64 mix of both ids (the old arithmetic key
+    ids1*1000003 + ids2 % 1000003 collided whenever ids2 ≥ 1000003 —
+    routine from round 2 on, when piece ids are already products)."""
+    return (_splitmix64(id1 ^ _splitmix64(id2))) & _SM64_MASK
+
+
+def _splitmix64_np(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 over int64 → non-negative int64."""
+    with np.errstate(over="ignore"):
+        x = x.astype(np.uint64)
+        x = x + np.uint64(0x9E3779B97F4A7C15)
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        x = x ^ (x >> np.uint64(31))
+    return (x & np.uint64(_SM64_MASK)).astype(np.int64)
+
 
 def _self_round(
     ds: ray.data.Dataset, size: float
@@ -119,9 +147,7 @@ def _self_round(
                     g = GeometryArray.from_parts([(code, parts)])
                     if not g.is_empty()[0]:
                         i = sel[k]
-                        out_id.append(
-                            int(ids1[i]) * 1000003 + int(ids2[i]) % 1000003
-                        )
+                        out_id.append(_pair_key(int(ids1[i]), int(ids2[i])))
                         out_wkb.append(to_wkb(g)[0])
         return pa.table(
             {
@@ -162,12 +188,13 @@ def union_full_self(
         diff, inters = _self_round(current, size)
 
         def tag(batch: pa.Table, _r: int = rnd) -> pa.Table:
-            # piece id = doc_id * max_rounds + round (unique per round)
+            # piece id = mix(doc_id, round): round-r ids may already be
+            # 63-bit pair keys, so arithmetic tagging would overflow
+            ids = batch.column("doc_id").to_numpy()
+            pid = _splitmix64_np(ids ^ np.int64(_splitmix64(_r + 1) & _SM64_MASK))
             return pa.table(
                 {
-                    "piece_id": pc.add(
-                        pc.multiply(batch.column("doc_id"), max_rounds), _r
-                    ),
+                    "piece_id": pa.array(pid, pa.int64()),
                     _GEOM: batch.column(_GEOM),
                 }
             )

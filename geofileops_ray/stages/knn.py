@@ -198,11 +198,16 @@ def join_nearest(
     remaining = ds1
     results: list[ray.data.Dataset] = []
     E = radius
-    for rnd in range(max_rounds if expand else 1):
+    n_rounds = max_rounds if expand else 1
+    for rnd in range(n_rounds):
         t1 = project(remaining, 0, 0.0)
         t2 = project(ds2, 1, E)
         tagged = t1.union(t2)
         bound = E
+        # on the LAST round, emit the best-effort top-k for rows that
+        # still aren't provably complete instead of silently dropping
+        # them (reference knn2 keeps expanding until max_items found)
+        last_round = rnd == n_rounds - 1
 
         def per_group(group: pa.Table) -> pa.Table:
             g1 = group.filter(pc.equal(group.column("__side"), 0)).select(
@@ -224,8 +229,8 @@ def join_nearest(
                     js, ds_ = js[keep], ds_[keep]
                     done = True
                 else:
-                    done = len(js) >= nb_nearest and (
-                        len(ds_) == 0 or ds_[-1] <= bound
+                    done = last_round or (
+                        len(js) >= nb_nearest and (len(ds_) == 0 or ds_[-1] <= bound)
                     )
                 if done:
                     for rank, (j, d) in enumerate(zip(js, ds_), start=1):

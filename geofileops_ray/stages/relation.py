@@ -360,7 +360,10 @@ def _rect_pair_predicates(
         elif p == "disjoint":
             out[p] = ~inter
         elif p == "touches":
-            out[p] = inter & ~interiors
+            # point/point pairs never touch: the boundary of a point is
+            # empty, so the DE-9IM boundary terms are all F (matches the
+            # generic predicate path and PostGIS/GEOS semantics)
+            out[p] = inter & ~interiors & ~(deg1 & deg2)
         elif p == "covers":
             out[p] = cov12
         elif p == "coveredby":

@@ -193,6 +193,20 @@ def join_by_location(
     (:2213-2233)."""
     size = size or OPTIONS.cell_size
     q = RelationQuery(query)
+    if q.mentions_disjoint_true:
+        # join emits candidate PAIRS, so a disjoint-satisfiable query is
+        # ill-defined (it would have to emit the cross product); the
+        # reference appends "and intersects is True" with a warning
+        # (avoid_disjoint, _geoops_sql.py:2469-2485) — mirror that.
+        import warnings
+
+        query = f"({query}) and intersects is True"
+        warnings.warn(
+            "spatial relation query is satisfied by disjoint features; "
+            f"'intersects is True' was added: {query}",
+            stacklevel=2,
+        )
+        q = RelationQuery(query)
     need_area = area_inters_column_name or min_area_intersect
     cols1 = list(cols1 or _attr_cols(ds1))
     cols2 = list(cols2 or _attr_cols(ds2))
@@ -330,19 +344,24 @@ def _pair_intersection_areas(
     from .relation import detect_rects
 
     out = np.zeros(len(ia), dtype=np.float64)
+    if len(ia) == 0:
+        return out
     r1, r2 = detect_rects(ga1), detect_rects(ga2)
     b1a, b2a = ga1.bounds(), ga2.bounds()
-    for k in range(len(ia)):
+    fast = r1[ia] & r2[ib]
+    if fast.any():
+        k = np.flatnonzero(fast)
+        b1 = b1a[ia[k]]
+        b2 = b2a[ib[k]]
+        w = np.minimum(b1[:, 2], b2[:, 2]) - np.maximum(b1[:, 0], b2[:, 0])
+        h = np.minimum(b1[:, 3], b2[:, 3]) - np.maximum(b1[:, 1], b2[:, 1])
+        out[k] = np.maximum(w, 0) * np.maximum(h, 0)
+    for k in np.flatnonzero(~fast):
         i, j = int(ia[k]), int(ib[k])
-        if r1[i] and r2[j]:
-            w = min(b1a[i, 2], b2a[j, 2]) - max(b1a[i, 0], b2a[j, 0])
-            h = min(b1a[i, 3], b2a[j, 3]) - max(b1a[i, 1], b2a[j, 1])
-            out[k] = max(w, 0) * max(h, 0)
-        else:
-            parts = polygon_overlay(ga1._parts_of(i), ga2._parts_of(j), "intersection")
-            out[k] = sum(abs(ring_signed_area(r)) for p in parts for r in p[:1]) - sum(
-                abs(ring_signed_area(r)) for p in parts for r in p[1:]
-            )
+        parts = polygon_overlay(ga1._parts_of(i), ga2._parts_of(j), "intersection")
+        out[k] = sum(abs(ring_signed_area(r)) for p in parts for r in p[:1]) - sum(
+            abs(ring_signed_area(r)) for p in parts for r in p[1:]
+        )
     return out
 
 
@@ -468,6 +487,85 @@ def _matched_pairs_stream(
     )
 
 
+def _semi_filter_by_ids(
+    l1: ray.data.Dataset,
+    keep: ray.data.Dataset,
+    mode: str,
+    area_col: str | None,
+    broadcast_limit: int,
+) -> ray.data.Dataset:
+    """Filter the wide layer1 rows by a (materialized, reduced) id
+    Dataset. ``mode='keep'``: keep ids present (attaching ``area_col``);
+    ``mode='drop'``: keep ids ABSENT (the De-Morgan complement set).
+
+    Path choice by measured cardinality: small id sets are pulled once to
+    the driver and broadcast via ``ray.put`` (one object-store read per
+    task); big sets go through a distributed hash join — no driver
+    materialization ever exceeds ``broadcast_limit`` rows."""
+    import ray as _ray
+
+    n = keep.count()  # metadata count — `keep` is materialized
+    if n <= broadcast_limit:
+        rows = keep.take_all()
+        ids = np.array([r["l1_doc_id"] for r in rows], dtype=np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        areas = (
+            np.array([rows[i]["area"] for i in order], dtype=np.float64)
+            if area_col
+            else None
+        )
+        ref = _ray.put((ids, areas))
+
+        def fn(batch: pa.Table) -> pa.Table:
+            kid, kar = _ray.get(ref)
+            mine = batch.column("l1_doc_id").to_numpy()
+            pos = np.clip(np.searchsorted(kid, mine), 0, max(len(kid) - 1, 0))
+            hit = (kid[pos] == mine) if len(kid) else np.zeros(len(mine), bool)
+            if mode == "drop":
+                hit = ~hit
+            idx = np.flatnonzero(hit)
+            out = batch.take(pa.array(idx))
+            if area_col:
+                out = out.append_column(
+                    area_col, pa.array(kar[pos[idx]], pa.float64())
+                )
+            return out
+
+        return l1.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+    # distributed path: hash join (semi via inner, anti via left_outer +
+    # null-marker filter)
+    if mode == "keep":
+        cols = ["l1_doc_id"] + (["area"] if area_col else [])
+        out = l1.join(
+            keep.map_batches(lambda b: b.select(cols), batch_format="pyarrow"),
+            join_type="inner", num_partitions=max(32, n // 1_000_000),
+            on=("l1_doc_id",),
+        )
+        if area_col:
+            out = out.map_batches(
+                lambda b: b.rename_columns(
+                    [area_col if c == "area" else c for c in b.column_names]
+                ),
+                batch_format="pyarrow",
+            )
+        return out
+    marked = keep.map_batches(
+        lambda b: pa.table(
+            {
+                "l1_doc_id": b.column("l1_doc_id"),
+                "__drop": pa.array(np.ones(len(b), np.int8)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = l1.join(
+        marked, join_type="left_outer",
+        num_partitions=max(32, n // 1_000_000), on=("l1_doc_id",),
+    )
+    return joined.filter(expr="__drop is null").drop_columns(["__drop"])
+
+
 def export_by_location(
     ds1: ray.data.Dataset,
     ds2: ray.data.Dataset,
@@ -476,73 +574,61 @@ def export_by_location(
     min_area_intersect: float | None = None,
     size: float | None = None,
     salt: bool = False,
+    broadcast_limit: int | None = None,
 ) -> ray.data.Dataset:
-    """Spatial semi-join: keep layer1 rows where EXISTS a layer2 row
-    satisfying the query (geoops.export_by_location →
-    _geoops_sql.py:1541-1736). Disjoint-satisfiable queries also keep
-    rows with zero bbox candidates (include_disjoint, :1617-1630).
+    """Spatial semi-join: keep layer1 rows where the query holds
+    (geoops.export_by_location → _geoops_sql.py:1541-1736).
 
-    Shape: one cell co-shuffle emitting only the owned candidate pairs,
-    a tiny driver-side reduce of the matched-id stream, then a broadcast
-    semi-filter over the wide layer1 rows (spans never shuffled)."""
+    Disjoint-satisfiable queries follow the reference's De Morgan rewrite
+    (:2436-2445): the query must hold for ALL bbox candidates (NOT EXISTS
+    a candidate failing it), and rows with zero candidates are kept
+    (:1617-1630) — NOT merely "exists a candidate satisfying it".
+
+    Shape: one cell co-shuffle emitting only the owned candidate pairs →
+    distributed groupby(l1_doc_id) reduce (never a driver take_all of the
+    pair stream) → semi-filter of the wide layer1 rows, broadcast when
+    the reduced id set is measured small, hash join otherwise."""
     size = size or OPTIONS.cell_size
     q = RelationQuery(query)
     include_disjoint = q.mentions_disjoint_true
     with_area = bool(area_inters_column_name or min_area_intersect)
+    broadcast_limit = broadcast_limit or OPTIONS.broadcast_id_limit
     pairs = _matched_pairs_stream(
         ds1, ds2, q, size, salt,
         with_area=with_area, emit_candidates=include_disjoint,
     )
-    rows = pairs.take_all()
-    ids = np.array([r["l1_doc_id"] for r in rows], dtype=np.int64)
-    matched = np.array([r["matched"] for r in rows], dtype=np.int8)
-    areas = np.array([r["area"] for r in rows], dtype=np.float64)
-    m_ids = ids[matched == 1]
-    if with_area and len(m_ids):
-        order = np.argsort(m_ids, kind="stable")
-        sid = m_ids[order]
-        sar = areas[matched == 1][order]
-        uniq, starts = np.unique(sid, return_index=True)
-        sums = np.add.reduceat(sar, starts)
-        m_ids, m_areas = uniq, sums
-    else:
-        m_ids = np.unique(m_ids)
-        m_areas = None
-    if min_area_intersect and m_areas is not None:
-        keep_m = m_areas >= min_area_intersect
-        m_ids, m_areas = m_ids[keep_m], m_areas[keep_m]
-    if include_disjoint:
-        cand_ids = np.unique(ids)
-        keep_tbl = None  # computed per batch: matched OR no candidates
-    import ray as _ray
+    from ray.data.aggregate import Count, Sum
 
-    ref = _ray.put((m_ids, m_areas, np.unique(ids) if include_disjoint else None))
+    flags = (
+        pairs.groupby("l1_doc_id")
+        .aggregate(Sum("matched"), Count(), Sum("area"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "l1_doc_id": b.column("l1_doc_id"),
+                    "n_match": b.column("sum(matched)").cast(pa.int64()),
+                    "n_cand": b.column("count()"),
+                    "area": b.column("sum(area)"),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
     full_cols = [c for c in ds1.schema().base_schema.names if c != _GEOM] + [_GEOM]
     l1 = _prefix_dataset(ds1, "l1_", full_cols)
-
-    def fn(batch: pa.Table) -> pa.Table:
-        kid, kar, cand = _ray.get(ref)
-        mine = batch.column("l1_doc_id").to_numpy()
-        pos = np.searchsorted(kid, mine)
-        pos_c = np.clip(pos, 0, max(len(kid) - 1, 0))
-        hit = (kid[pos_c] == mine) if len(kid) else np.zeros(len(mine), bool)
-        if cand is not None:
-            pc2 = np.clip(np.searchsorted(cand, mine), 0, max(len(cand) - 1, 0))
-            no_cand = ~((cand[pc2] == mine) if len(cand) else np.zeros(len(mine), bool))
-            hit = hit | no_cand
-        idx = np.flatnonzero(hit)
-        out = batch.take(pa.array(idx))
-        if area_inters_column_name:
-            vals = np.full(len(idx), np.nan)
-            if kar is not None and len(kid):
-                sel_hit = kid[pos_c[idx]] == mine[idx]
-                vals[sel_hit] = kar[pos_c[idx][sel_hit]]
-            out = out.append_column(
-                area_inters_column_name, pa.array(vals, pa.float64())
-            )
-        return out
-
-    return l1.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+    if include_disjoint:
+        # keep rows where ALL candidates satisfy the query, or no
+        # candidates exist → drop-set = ids with any failing candidate
+        # (smaller than the keep-set and covers zero-candidate rows)
+        drop = flags.filter(expr="n_match < n_cand").materialize()
+        return _semi_filter_by_ids(l1, drop, "drop", None, broadcast_limit)
+    kept = flags.filter(expr="n_match > 0")
+    if min_area_intersect:
+        kept = kept.filter(expr=f"area >= {float(min_area_intersect)}")
+    kept = kept.materialize()
+    return _semi_filter_by_ids(
+        l1, kept, "keep", area_inters_column_name, broadcast_limit
+    )
 
 
 def _broadcast_semi_attach(
@@ -591,32 +677,29 @@ def export_by_distance(
     max_distance: float,
     size: float | None = None,
     salt: bool = False,
+    broadcast_limit: int | None = None,
 ) -> ray.data.Dataset:
     """Semi-join within distance (geoops.export_by_distance →
     _geoops_sql.py:1739-1802): bbox expanded by max_distance + exact
-    ST_Distance <= d EXISTS — pair-stream + broadcast semi-filter, no
-    per-doc shuffle."""
+    ST_Distance <= d EXISTS — pair stream → distributed groupby dedup →
+    broadcast / hash-join semi-filter (no unbounded driver take_all)."""
     size = size or OPTIONS.cell_size
+    broadcast_limit = broadcast_limit or OPTIONS.broadcast_id_limit
     pairs = _matched_pairs_stream(
         ds1, ds2, RelationQuery("intersects is True"), size, salt,
         expand1=max_distance, distance=max_distance,
     )
-    import ray as _ray
-
-    rows = pairs.take_all()
-    m_ids = np.unique(np.array([r["l1_doc_id"] for r in rows], dtype=np.int64))
-    ref = _ray.put(m_ids)
+    kept = (
+        pairs.groupby("l1_doc_id")
+        .aggregate(Max("matched"))
+        .map_batches(
+            lambda b: b.select(["l1_doc_id"]), batch_format="pyarrow"
+        )
+        .materialize()
+    )
     full_cols = [c for c in ds1.schema().base_schema.names if c != _GEOM] + [_GEOM]
     l1 = _prefix_dataset(ds1, "l1_", full_cols)
-
-    def fn(batch: pa.Table) -> pa.Table:
-        kid = _ray.get(ref)
-        mine = batch.column("l1_doc_id").to_numpy()
-        pos = np.clip(np.searchsorted(kid, mine), 0, max(len(kid) - 1, 0))
-        hit = (kid[pos] == mine) if len(kid) else np.zeros(len(mine), bool)
-        return batch.take(pa.array(np.flatnonzero(hit)))
-
-    return l1.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+    return _semi_filter_by_ids(l1, kept, "keep", None, broadcast_limit)
 
 
 def join_attributes(
@@ -650,20 +733,49 @@ def delete_duplicate_geometries(
     FIRST_VALUE by priority (reference :198-225)."""
     import hashlib
 
+    def _canon_ring(ring: np.ndarray) -> bytes:
+        """Canonical byte form of a closed ring: CCW orientation, start
+        rotated to the lexicographically smallest vertex — so rings with
+        the same point set but different connectivity hash differently
+        (ST_Equals-faithful, unlike a bare vertex multiset)."""
+        from ..geom.overlay import ensure_ccw, ensure_closed
+
+        r = ensure_ccw(ensure_closed(np.round(ring, 9)))[:-1]
+        if len(r) == 0:
+            return b""
+        k = int(np.lexsort((r[:, 1], r[:, 0]))[0])
+        return np.roll(r, -k, axis=0).tobytes()
+
     def keyed(batch: pa.Table) -> pa.Table:
         ga = decode_geometry(batch)
-        keys = []
-        for i in range(len(ga)):
-            # normalized form: sorted unique vertex multiset + type
-            pts = np.unique(
-                np.round(
-                    ga.coords[ga.geom_coord_ranges()[0][i] : ga.geom_coord_ranges()[1][i]],
-                    9,
-                ),
-                axis=0,
-            )
-            hsh = hashlib.sha1(pts.tobytes() + bytes([ga.part_types(i) % 256])).hexdigest()[:16]
-            keys.append(hsh)
+        n = len(ga)
+        keys: list[str | None] = [None] * n
+        lo, hi = ga.geom_coord_ranges()
+        # vectorized fast path: pure point rows key on their coordinate
+        from ..geom.array import POINT, POLYGON
+
+        is_pt = (ga.types == POINT) & (hi - lo == 1)
+        if is_pt.any():
+            pts = np.round(ga.coords[lo[is_pt.nonzero()[0]]], 9)
+            for j, i in enumerate(np.flatnonzero(is_pt)):
+                keys[i] = f"P{pts[j, 0]}_{pts[j, 1]}"
+        for i in np.flatnonzero(~is_pt):
+            # structure-preserving key: per part, canonical rings (outer
+            # first, holes sorted); parts sorted — invariant to part/ring
+            # order and ring start/orientation, sensitive to connectivity
+            parts = ga._parts_of(int(i))
+            pt = ga.part_types(int(i))
+            part_blobs = []
+            for part in parts:
+                if pt == POLYGON:
+                    rings = [_canon_ring(part[0])] + sorted(
+                        _canon_ring(r) for r in part[1:]
+                    )
+                else:
+                    rings = [np.round(r, 9).tobytes() for r in part]
+                part_blobs.append(b"\x01".join(rings))
+            blob = b"\x02".join(sorted(part_blobs)) + bytes([pt % 256])
+            keys[i] = hashlib.sha1(blob).hexdigest()[:16]
         return batch.append_column("__geomkey", pa.array(keys, pa.string()))
 
     keyed_ds = ds.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)

@@ -204,3 +204,124 @@ def test_delete_duplicate_geometries(ray_session):
     pts = points_dataset(SF).take_all()
     uniq = {(r["x"], r["y"]) for r in pts}
     assert len(res) == len(uniq)
+
+
+def _geom_ds(rows):
+    """Tiny in-memory layer from [(doc_id, (code, parts))]."""
+    import pyarrow as pa
+    import ray.data
+
+    from geofileops_ray.geom import GeometryArray, to_wkb
+
+    ga = GeometryArray.from_parts([g for _i, g in rows])
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([i for i, _g in rows], pa.int64()),
+                "geometry": pa.array(to_wkb(ga), pa.binary()),
+            }
+        )
+    )
+
+
+def _rect(x0, y0, x1, y1):
+    ring = np.array(
+        [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]], dtype=np.float64
+    )
+    return (3, [[ring]])
+
+
+def _tri(a, b, c):
+    ring = np.array([a, b, c, a], dtype=np.float64)
+    return (3, [[ring]])
+
+
+def test_export_by_location_disjoint_all_candidates(ray_session):
+    """De-Morgan semantics for disjoint-satisfiable queries (reference
+    _geoops_sql.py:2436-2445): 'intersects is False' keeps a row only if
+    NO candidate intersects — not if SOME bbox candidate is disjoint."""
+    # T is a bbox-candidate of R but geometrically disjoint (hypotenuse
+    # x+y=22 cuts the shared bbox corner off)
+    R = (1, _rect(0, 0, 10, 10))
+    far = (2, _rect(100, 100, 110, 110))  # zero candidates → kept
+    l1 = _geom_ds([R, far])
+    T = _tri((8, 14), (14, 8), (14, 14))
+    A = _rect(5, 5, 8, 8)  # intersects R
+
+    only_disjoint = _geom_ds([(10, T)])
+    res = export_by_location(l1, only_disjoint, "intersects is False").take_all()
+    assert sorted(r["l1_doc_id"] for r in res) == [1, 2]
+
+    mixed = _geom_ds([(10, T), (11, A)])
+    res = export_by_location(l1, mixed, "intersects is False").take_all()
+    # R has one intersecting candidate (A) → dropped even though T is a
+    # disjoint bbox candidate (the old EXISTS semantics kept it)
+    assert sorted(r["l1_doc_id"] for r in res) == [2]
+
+
+def test_join_by_location_disjoint_guard(ray_session):
+    """Disjoint-satisfiable join queries get 'and intersects is True'
+    appended with a warning (reference avoid_disjoint,
+    _geoops_sql.py:2469-2485)."""
+    import warnings
+
+    l1 = _geom_ds([(1, _rect(0, 0, 10, 10))])
+    l2 = _geom_ds([(10, _rect(5, 5, 8, 8)), (11, _rect(50, 50, 60, 60))])
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        res = join_by_location(l1, l2, "touches is False").take_all()
+    assert any("intersects is True" in str(x.message) for x in w)
+    assert sorted((r["l1_doc_id"], r["l2_doc_id"]) for r in res) == [(1, 10)]
+
+
+def test_touches_point_point_false(ray_session):
+    """Two identical points: touches must be False on the rect/point fast
+    path too (point boundaries are empty — DE-9IM)."""
+    from geofileops_ray.geom import GeometryArray
+    from geofileops_ray.stages.relation import RelationQuery, evaluate_pairs
+
+    pt = (1, [[np.array([[3.0, 4.0]])]])
+    ga = GeometryArray.from_parts([pt, pt])
+    q = RelationQuery("touches is True")
+    ok = evaluate_pairs(q, ga, np.array([0]), ga, np.array([1]))
+    assert not ok[0]
+
+
+def test_delete_duplicates_structural_key(ray_session):
+    """Same vertex set, different connectivity → NOT duplicates."""
+    sq = _rect(0, 0, 10, 10)
+    # same 4 corners, bowtie order (different ring sequence)
+    bow_ring = np.array(
+        [[0, 0], [10, 10], [10, 0], [0, 10], [0, 0]], dtype=np.float64
+    )
+    bow = (3, [[bow_ring]])
+    ds = _geom_ds([(1, sq), (2, bow), (3, sq)])
+    res = delete_duplicate_geometries(ds).take_all()
+    assert sorted(r["doc_id"] for r in res) == [1, 2]
+
+
+def test_join_nearest_best_effort_last_round(ray_session):
+    """Cell-ring kNN: rows still unfinished after max_rounds emit the
+    best-effort top-k instead of disappearing (reference knn2 keeps
+    expanding until max_items found)."""
+    l1 = _geom_ds([(1, (1, [[np.array([[0.0, 0.0]])]]))])
+    l2 = _geom_ds(
+        [(10, _rect(3, 0, 4, 1)), (11, _rect(0, 5, 1, 6)), (12, _rect(7, 7, 8, 8))]
+    )
+    res = join_nearest(
+        l1, l2, nb_nearest=5, radius=1.0, max_rounds=4,
+        cols1=[], cols2=[], broadcast_threshold=0, size=10.0,
+    ).take_all()
+    # only 3 candidates exist; all must surface with ranks 1..3
+    assert sorted(r["pos"] for r in res) == [1, 2, 3]
+
+
+def test_pair_key_no_collision():
+    from geofileops_ray.stages.compound import _pair_key
+
+    ids = [(1, 1000003), (1, 2000006), (2, 3), (1000003, 2000007),
+           (123456789012, 987654321098)]
+    keys = {_pair_key(a, b) for a, b in ids}
+    assert len(keys) == len(ids)
+    # the OLD arithmetic key collided on these two:
+    assert (1 * 1000003 + 1000003 % 1000003) == (1 * 1000003 + 2000006 % 1000003)

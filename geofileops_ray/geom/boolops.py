@@ -78,45 +78,38 @@ def _crossing_ys(segs: np.ndarray) -> np.ndarray:
     boxes[:, 1] = np.minimum(segs[:, 1], segs[:, 3])
     boxes[:, 2] = np.maximum(segs[:, 0], segs[:, 2])
     boxes[:, 3] = np.maximum(segs[:, 1], segs[:, 3])
-    # sort-sweep on minx
+    # sort-sweep on minx, candidate pairs enumerated fully vectorized
+    # (one repeat/arange for all (i, j>i, minx_j <= maxx_i) windows)
     order = np.argsort(boxes[:, 0], kind="stable")
     b = boxes[order]
-    out = []
-    # vectorized window: for each i, candidates j>i with b[j].minx <= b[i].maxx
     hi = np.searchsorted(b[:, 0], b[:, 2], side="right")
-    for ii in range(m - 1):
-        h = hi[ii]
-        if h <= ii + 1:
-            continue
-        js = np.arange(ii + 1, h)
-        bb = b[js]
-        mask = (bb[:, 1] <= b[ii, 3]) & (bb[:, 3] >= b[ii, 1])
-        if not mask.any():
-            continue
-        i = order[ii]
-        jglob = order[js[mask]]
-        p1 = segs[i, 0:2]
-        p2 = segs[i, 2:4]
-        q1 = segs[jglob, 0:2]
-        q2 = segs[jglob, 2:4]
-        r = p2 - p1
-        s = q2 - q1
-        denom = r[0] * s[:, 1] - r[1] * s[:, 0]
-        ok = np.abs(denom) > 1e-300
-        if not ok.any():
-            continue
-        qp = q1 - p1
-        with np.errstate(divide="ignore", invalid="ignore"):
-            t = (qp[:, 0] * s[:, 1] - qp[:, 1] * s[:, 0]) / denom
-            u = (qp[:, 0] * r[1] - qp[:, 1] * r[0]) / denom
-        tol = 1e-12
-        proper = ok & (t > tol) & (t < 1 - tol) & (u > tol) & (u < 1 - tol)
-        if proper.any():
-            ys = p1[1] + t[proper] * r[1]
-            out.append(ys)
-    if not out:
+    counts = np.maximum(hi[: m - 1] - np.arange(1, m), 0)
+    P = int(counts.sum())
+    if P == 0:
         return np.empty(0)
-    return np.concatenate(out)
+    ii = np.repeat(np.arange(m - 1, dtype=np.int64), counts)
+    base = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+    jj = (ii + 1) + (np.arange(P, dtype=np.int64) - np.repeat(base, counts))
+    mask = (b[jj, 1] <= b[ii, 3]) & (b[jj, 3] >= b[ii, 1])
+    if not mask.any():
+        return np.empty(0)
+    ig = order[ii[mask]]
+    jg = order[jj[mask]]
+    p1 = segs[ig, 0:2]
+    r = segs[ig, 2:4] - p1
+    q1 = segs[jg, 0:2]
+    s = segs[jg, 2:4] - q1
+    denom = r[:, 0] * s[:, 1] - r[:, 1] * s[:, 0]
+    ok = np.abs(denom) > 1e-300
+    qp = q1 - p1
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = (qp[:, 0] * s[:, 1] - qp[:, 1] * s[:, 0]) / denom
+        u = (qp[:, 0] * r[:, 1] - qp[:, 1] * r[:, 0]) / denom
+    tol = 1e-12
+    proper = ok & (t > tol) & (t < 1 - tol) & (u > tol) & (u < 1 - tol)
+    if not proper.any():
+        return np.empty(0)
+    return p1[proper, 1] + t[proper] * r[proper, 1]
 
 
 # ----------------------------------------------------------------- the sweep
@@ -160,12 +153,31 @@ def _sweep(segs: np.ndarray, tags: np.ndarray, keep) -> Parts:
     side_edges: list[tuple[float, float, float, float]] = []  # directed p0->p1
     hline: dict[float, list[tuple[float, float, int]]] = {}
 
-    for si in range(len(ys) - 1):
-        y0, y1 = ys[si], ys[si + 1]
-        mid = 0.5 * (y0 + y1)
-        act = np.flatnonzero((ymin < mid) & (ymax > mid))
-        if len(act) < 2:
+    # strip→segment incidence lists, built vectorized (replaces an O(m)
+    # active-set scan PER STRIP — quadratic on big unions — with one
+    # repeat/argsort over total incidences)
+    nstrips = len(ys) - 1
+    mids = 0.5 * (ys[:-1] + ys[1:])
+    si0 = np.searchsorted(mids, ymin, side="right")
+    si1 = np.searchsorted(mids, ymax, side="left")
+    counts = np.maximum(si1 - si0, 0)
+    seg_of_inc = np.repeat(np.arange(len(segs), dtype=np.int64), counts)
+    base = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+    strip_of_inc = np.repeat(si0, counts) + (
+        np.arange(len(seg_of_inc), dtype=np.int64) - np.repeat(base, counts)
+    )
+    inc_order = np.argsort(strip_of_inc, kind="stable")
+    inc_seg = seg_of_inc[inc_order]
+    inc_strip = strip_of_inc[inc_order]
+    strip_starts = np.searchsorted(inc_strip, np.arange(nstrips + 1))
+
+    for si in range(nstrips):
+        lo_i, hi_i = strip_starts[si], strip_starts[si + 1]
+        if hi_i - lo_i < 2:
             continue
+        y0, y1 = ys[si], ys[si + 1]
+        mid = mids[si]
+        act = inc_seg[lo_i:hi_i]
         xm = _x_at(segs, act, mid)
         order = np.argsort(xm, kind="stable")
         sa = act[order]

@@ -105,11 +105,34 @@ def _fast_decode(values: list) -> GeometryArray | None:
         if v is None:
             return None
         lens[i] = len(v)
-    if (lens < 21).any():
-        return None
     buf = np.frombuffer(b"".join(values), dtype=np.uint8)
     offs = np.zeros(n, dtype=np.int64)
     np.cumsum(lens[:-1], out=offs[1:])
+    return _fast_decode_packed(buf, offs, lens)
+
+
+def from_wkb_packed(blob: bytes, offsets: np.ndarray) -> GeometryArray:
+    """Decode a packed concatenation of WKB blobs given its boundary
+    offsets (n+1 int) — the zero-join path for pre-assembled piece blobs
+    (dissolve final stage). Falls back to list decode for shapes outside
+    the vectorized point/single-ring-polygon fast path."""
+    offsets = np.asarray(offsets, dtype=np.int64)
+    n = len(offsets) - 1
+    buf = np.frombuffer(blob, dtype=np.uint8)
+    fast = _fast_decode_packed(buf, offsets[:-1], np.diff(offsets))
+    if fast is not None:
+        return fast
+    return from_wkb(
+        [bytes(blob[offsets[i] : offsets[i + 1]]) for i in range(n)]
+    )
+
+
+def _fast_decode_packed(
+    buf: np.ndarray, offs: np.ndarray, lens: np.ndarray
+) -> GeometryArray | None:
+    n = len(offs)
+    if n == 0 or (lens < 21).any():
+        return None
     if not (buf[offs] == 1).all():
         return None
     t = (
@@ -149,7 +172,12 @@ def _fast_decode(values: list) -> GeometryArray | None:
         ncoords[pidx] = npts
     data_off = np.where(is_pt, offs + 5, offs + 13)
     hdr = data_off - offs
-    if (lens == lens[0]).all() and (hdr == hdr[0]).all():
+    if (
+        (lens == lens[0]).all()
+        and (hdr == hdr[0]).all()
+        and offs[0] == 0
+        and len(buf) == n * int(lens[0])
+    ):
         # uniform blobs (synthetic layers, buffered outputs): plain
         # reshape + slice — no index materialization at all
         L, H = int(lens[0]), int(hdr[0])
@@ -329,6 +357,71 @@ def _fast_encode(arr: GeometryArray) -> list[bytes] | None:
     return [blob[starts[i] : starts[i] + sizes[i]] for i in range(n)]
 
 
+def _scatter_le32(out: np.ndarray, pos: np.ndarray, vals: np.ndarray) -> None:
+    v = vals.astype(np.int64)
+    out[pos] = (v & 0xFF).astype(np.uint8)
+    out[pos + 1] = ((v >> 8) & 0xFF).astype(np.uint8)
+    out[pos + 2] = ((v >> 16) & 0xFF).astype(np.uint8)
+    out[pos + 3] = ((v >> 24) & 0xFF).astype(np.uint8)
+
+
+def encode_polygonal_one(arr: GeometryArray, i: int) -> bytes:
+    """Vectorized WKB encode of ONE (multi)polygon geometry with any
+    number of parts/rings/holes — slab construction from the offset
+    arrays, no per-part python (dissolve's final union emits multipolygons
+    with 10^4-10^5 parts; the recursive _encode_one path is the per-part
+    bytearray loop this replaces)."""
+    g0, g1 = int(arr.geom_offsets[i]), int(arr.geom_offsets[i + 1])
+    nparts = g1 - g0
+    t = int(arr.types[i])
+    multi = t == MULTIPOLYGON
+    if nparts == 0:
+        return _encode_one(t, [])
+    r_lo = arr.part_offsets[g0 : g1]
+    r_hi = arr.part_offsets[g0 + 1 : g1 + 1]
+    R0, R1 = int(r_lo[0]), int(r_hi[-1])
+    nrings_pp = (r_hi - r_lo).astype(np.int64)
+    if (nrings_pp == 0).any():
+        return _encode_one(t, arr._parts_of(i))
+    ring_npts = (arr.ring_offsets[R0 + 1 : R1 + 1] - arr.ring_offsets[R0:R1]).astype(
+        np.int64
+    )
+    ring_bytes = 4 + 16 * ring_npts
+    seg = (r_lo - R0).astype(np.int64)
+    part_bytes = 9 + np.add.reduceat(ring_bytes, seg)
+    header = 9 if multi else 0
+    pstarts = header + np.concatenate([[0], np.cumsum(part_bytes[:-1])]).astype(
+        np.int64
+    )
+    total = header + int(part_bytes.sum())
+    out = np.zeros(total, dtype=np.uint8)
+    if multi:
+        out[0] = 1
+        out[1] = MULTIPOLYGON
+        _scatter_le32(out, np.array([5]), np.array([nparts]))
+    out[pstarts] = 1
+    out[pstarts + 1] = POLYGON
+    _scatter_le32(out, pstarts + 5, nrings_pp)
+    # ring destinations: part start + 9 + bytes of preceding rings in part
+    ring_cum = np.concatenate([[0], np.cumsum(ring_bytes)]).astype(np.int64)
+    part_of_ring = np.repeat(np.arange(nparts, dtype=np.int64), nrings_pp)
+    ring_dst = (
+        pstarts[part_of_ring] + 9 + (ring_cum[:-1] - ring_cum[seg][part_of_ring])
+    )
+    _scatter_le32(out, ring_dst, ring_npts)
+    # coords: contiguous source slab scattered to per-ring destinations
+    c0 = int(arr.ring_offsets[R0])
+    c1 = int(arr.ring_offsets[R1])
+    src = np.ascontiguousarray(arr.coords[c0:c1], dtype="<f8").view(np.uint8).reshape(-1)
+    nbytes = 16 * ring_npts
+    tot_b = int(nbytes.sum())
+    bstarts = np.concatenate([[0], np.cumsum(nbytes[:-1])]).astype(np.int64)
+    seq = np.arange(tot_b, dtype=np.int64)
+    dst_idx = np.repeat(ring_dst + 4 - bstarts, nbytes) + seq
+    out[dst_idx] = src
+    return out.tobytes()
+
+
 def to_wkb(arr: GeometryArray) -> list[bytes | None]:
     """Encode a GeometryArray to a list of WKB bytes (None for missing)."""
     fast = _fast_encode(arr)
@@ -339,6 +432,11 @@ def to_wkb(arr: GeometryArray) -> list[bytes | None]:
         code = int(arr.types[i])
         if code == MISSING:
             out.append(None)
+            continue
+        if code in (POLYGON, MULTIPOLYGON) and (
+            arr.geom_offsets[i + 1] - arr.geom_offsets[i] > 8
+        ):
+            out.append(encode_polygonal_one(arr, i))
             continue
         out.append(_encode_one(code, arr._parts_of(i)))
     return out

@@ -366,12 +366,12 @@ def dissolve(
     }
     list_names = [names[0] for *_x, names in lists_]
 
-    def assign(size):
+    def assign(size, origin):
         from ..tiling.cells import assign_cells
 
         def fn(batch: pa.Table) -> pa.Table:
             ga = decode_geometry(batch)
-            b = ga.bounds()
+            b = ga.bounds() - origin
             rows, cells = assign_cells(b, size)
             out = batch.take(pa.array(rows))
             # attrs ride ONLY the copy in the row's center cell; other
@@ -403,9 +403,14 @@ def dissolve(
                     lens = np.diff(offs)
                     lens[is_rep] = 0
                     keep_rows = np.flatnonzero(~is_rep)
-                    take_idx = []
-                    for r in keep_rows:
-                        take_idx.extend(range(offs[r], offs[r + 1]))
+                    # vectorized flat-index gather of the kept rows' ranges
+                    klens = offs[keep_rows + 1] - offs[keep_rows]
+                    total = int(klens.sum())
+                    kstarts = np.repeat(offs[keep_rows], klens)
+                    base = np.concatenate([[0], np.cumsum(klens)[:-1]])
+                    take_idx = kstarts + (
+                        np.arange(total, dtype=np.int64) - np.repeat(base, klens)
+                    )
                     new_offs = np.zeros(len(out) + 1, dtype=np.int32)
                     np.cumsum(lens, out=new_offs[1:])
                     new_flat = flat.take(pa.array(take_idx, pa.int64()))
@@ -420,10 +425,11 @@ def dissolve(
 
         return fn
 
-    def pass_fn(size):
+    def pass_fn(size, origin):
         def per_group(group: pa.Table) -> pa.Table:
             cell = int(group.column("__cell")[0].as_py())
-            rect = cell_bounds(cell, size)
+            r0 = cell_bounds(cell, size)
+            rect = (r0[0] + origin, r0[1] + origin, r0[2] + origin, r0[3] + origin)
             ga = from_wkb(group.column(_GEOM).to_pylist())
             if groupby:
                 key_cols = [group.column(k).to_pylist() for k in groupby]
@@ -494,9 +500,16 @@ def dissolve(
     size = size0
     for p in range(max_passes):
         _t0 = _time.perf_counter()
-        staged = current.map_batches(assign(size), batch_format="pyarrow")
+        # per-pass grid-origin shift (golden-ratio fractions): cell borders
+        # of different passes never coincide, so a piece sitting exactly on
+        # a pass-p border becomes interior in pass p+1 instead of cycling
+        # as "onborder" at every scale (the reference's shrinking grids
+        # re-derive extents per pass for the same reason,
+        # _geoops_gpd.py:1370-1474)
+        origin = size * (((p + 1) * 0.6180339887498949) % 1.0)
+        staged = current.map_batches(assign(size, origin), batch_format="pyarrow")
         result = staged.groupby("__cell").map_groups(
-            pass_fn(size), batch_format="pyarrow"
+            pass_fn(size, origin), batch_format="pyarrow"
         ).materialize()
         on = result.filter(expr="__border == 1")
         noton = result.filter(expr="__border == 0")
@@ -526,51 +539,81 @@ def dissolve(
     # sort; the subsequent groupby shuffles ~#batches×#keys tiny rows
     # instead of every piece)
     def final_partial(batch: pa.Table) -> pa.Table:
+        """Collapse a batch to one row per group key, vectorized: sort by
+        (keys, __border), find run boundaries with Arrow compare kernels,
+        reduce scalar partials with np.reduceat, and pack each run's WKB
+        blobs as ONE memoryview slice of the sorted binary column's data
+        buffer (contiguous after take) — no per-piece Python."""
+        import pyarrow.compute as pc
+
         _t0 = _time.perf_counter() if _verbose else 0.0
-        if groupby:
-            kc = [batch.column(k).to_pylist() for k in groupby]
-            keys_b = list(zip(*kc))
-        else:
-            keys_b = [()] * len(batch)
-        border_b = batch.column("__border").to_numpy(zero_copy_only=False)
-        wkb_col = batch.column(_GEOM).to_pylist()
-        rows_out: list[dict] = []
-        for key in sorted(set(keys_b)):
-            idx = np.array([i for i, k in enumerate(keys_b) if k == key])
-            interior = idx[border_b[idx] == 0]
-            borderi = idx[border_b[idx] == 1]
-            int_blob = b"".join(wkb_col[i] for i in interior)
-            int_offs = np.cumsum(
-                [0] + [len(wkb_col[i]) for i in interior]
-            ).astype(np.int64)
-            brd_blob = b"".join(wkb_col[i] for i in borderi)
-            brd_offs = np.cumsum(
-                [0] + [len(wkb_col[i]) for i in borderi]
-            ).astype(np.int64)
-            row = {k: v for k, v in zip(groupby, key)}
-            row.update(_combine_partials(batch, idx, agg_columns, holistic))
-            row["__int_blob"] = int_blob
-            row["__int_offs"] = int_offs.tolist()
-            row["__brd_blob"] = brd_blob
-            row["__brd_offs"] = brd_offs.tolist()
-            rows_out.append(row)
+        n = len(batch)
+        sort_keys = [(k, "ascending") for k in groupby] + [("__border", "ascending")]
+        b = batch.take(pc.sort_indices(batch, sort_keys=sort_keys)) if n else batch
+        change = np.zeros(n, dtype=bool)
+        if n:
+            change[0] = True
+        for k in groupby:
+            col = b.column(k).combine_chunks()
+            if n > 1:
+                neq = pc.not_equal(col.slice(1), col.slice(0, n - 1))
+                change[1:] |= neq.to_numpy(zero_copy_only=False).astype(bool)
+        gstarts = np.flatnonzero(change)
+        gends = np.concatenate([gstarts[1:], [n]]) if len(gstarts) else gstarts
+        border = b.column("__border").to_numpy(zero_copy_only=False) if n else np.zeros(0)
+        geom = b.column(_GEOM).combine_chunks()
+        if isinstance(geom, pa.ChunkedArray):
+            geom = geom.chunk(0) if geom.num_chunks else pa.array([], pa.binary())
+        goffs = np.frombuffer(geom.buffers()[1], dtype=np.int32)[
+            geom.offset : geom.offset + n + 1
+        ].astype(np.int64) if n else np.zeros(1, np.int64)
+        gdata = (
+            np.frombuffer(geom.buffers()[2], dtype=np.uint8) if n else np.zeros(0, np.uint8)
+        )
+        # scalar partial reductions per run
+        red: dict[str, np.ndarray] = {}
+        for i, src, func, names in scalars:
+            if func in ("count", "sum"):
+                v = np.nan_to_num(b.column(names[0]).to_numpy(zero_copy_only=False))
+                red[names[0]] = np.add.reduceat(v, gstarts) if n else np.zeros(0)
+            elif func == "min":
+                v = b.column(names[0]).to_numpy(zero_copy_only=False)
+                red[names[0]] = np.fmin.reduceat(v, gstarts) if n else np.zeros(0)
+            elif func == "max":
+                v = b.column(names[0]).to_numpy(zero_copy_only=False)
+                red[names[0]] = np.fmax.reduceat(v, gstarts) if n else np.zeros(0)
+            elif func == "mean":
+                s = np.nan_to_num(b.column(names[0]).to_numpy(zero_copy_only=False))
+                c = np.nan_to_num(b.column(names[1]).to_numpy(zero_copy_only=False))
+                red[names[0]] = np.add.reduceat(s, gstarts) if n else np.zeros(0)
+                red[names[1]] = np.add.reduceat(c, gstarts) if n else np.zeros(0)
         cols: dict = {}
         for k in groupby:
-            cols[k] = pa.array([r[k] for r in rows_out])
-        for name in partial_names:
-            cols[name] = pa.array([r[name] for r in rows_out])
-        cols["__int_blob"] = pa.array(
-            [r["__int_blob"] for r in rows_out], pa.large_binary()
-        )
-        cols["__int_offs"] = pa.array(
-            [r["__int_offs"] for r in rows_out], pa.list_(pa.int64())
-        )
-        cols["__brd_blob"] = pa.array(
-            [r["__brd_blob"] for r in rows_out], pa.large_binary()
-        )
-        cols["__brd_offs"] = pa.array(
-            [r["__brd_offs"] for r in rows_out], pa.list_(pa.int64())
-        )
+            cols[k] = b.column(k).take(pa.array(gstarts, pa.int64()))
+        for i, src, func, names in scalars:
+            for name in names:
+                cols[name] = pa.array(red[name], pa.float64())
+        for i, src, func, names in lists_:
+            # runs are contiguous → merged list = flat[floffs[s]:floffs[e]]
+            lst = b.column(names[0]).combine_chunks()
+            if isinstance(lst, pa.ChunkedArray):
+                lst = lst.chunk(0) if lst.num_chunks else pa.array([], pa.list_(pa.string()))
+            floffs = np.asarray(lst.offsets)
+            newoffs = floffs[np.append(gstarts, n)] if n else np.zeros(1, np.int32)
+            cols[names[0]] = pa.ListArray.from_arrays(
+                pa.array(newoffs, pa.int32()), lst.flatten()
+            )
+        int_blob, int_offs, brd_blob, brd_offs = [], [], [], []
+        for s, e in zip(gstarts, gends):
+            split = s + int(np.searchsorted(border[s:e], 1))
+            int_blob.append(gdata[goffs[s] : goffs[split]].tobytes())
+            int_offs.append((goffs[s : split + 1] - goffs[s]).tolist())
+            brd_blob.append(gdata[goffs[split] : goffs[e]].tobytes())
+            brd_offs.append((goffs[split : e + 1] - goffs[split]).tolist())
+        cols["__int_blob"] = pa.array(int_blob, pa.large_binary())
+        cols["__int_offs"] = pa.array(int_offs, pa.list_(pa.int64()))
+        cols["__brd_blob"] = pa.array(brd_blob, pa.large_binary())
+        cols["__brd_offs"] = pa.array(brd_offs, pa.list_(pa.int64()))
         if _verbose:
             print(
                 f"[dissolve-worker] final_partial rows={len(batch)} "
@@ -578,51 +621,78 @@ def dissolve(
             )
         return pa.table(cols)
 
-    def _unpack(blob: bytes, offs: list[int]) -> list[bytes]:
-        return [blob[offs[i] : offs[i + 1]] for i in range(len(offs) - 1)]
-
     merged = merged.map_batches(final_partial, batch_format="pyarrow")
+
+    def _packed_ga(group: pa.Table, blob_col: str, offs_col: str):
+        """Decode all rows' packed piece blobs as ONE GeometryArray —
+        blobs concatenated, per-row offset lists rebased, vectorized
+        packed decode (no per-piece byte slicing)."""
+        from ..geom.wkb import from_wkb_packed
+
+        blobs = group.column(blob_col).to_pylist()
+        blob = b"".join(blobs)
+        lst = group.column(offs_col).combine_chunks()
+        if isinstance(lst, pa.ChunkedArray):
+            lst = lst.chunk(0) if lst.num_chunks else pa.array([], pa.list_(pa.int64()))
+        flat = lst.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        loffs = np.asarray(lst.offsets, dtype=np.int64)
+        blens = np.array([len(b) for b in blobs], dtype=np.int64)
+        base = np.concatenate([[0], np.cumsum(blens[:-1])])
+        rebased = flat + np.repeat(base, np.diff(loffs))
+        drop_first = np.ones(len(flat), dtype=bool)
+        drop_first[loffs[:-1]] = False  # each row's offsets start with 0
+        all_offs = np.concatenate([[0], rebased[drop_first]]).astype(np.int64)
+        n = len(all_offs) - 1
+        if n == 0:
+            return None, 0
+        return from_wkb_packed(blob, all_offs), n
 
     def final_group(group: pa.Table) -> pa.Table:
         _t0 = _time.perf_counter() if _verbose else 0.0
-        # unpack the per-batch partial assemblies
-        int_wkbs: list[bytes] = []
-        brd_wkbs: list[bytes] = []
-        for i in range(len(group)):
-            int_wkbs.extend(
-                _unpack(
-                    group.column("__int_blob")[i].as_py(),
-                    group.column("__int_offs")[i].as_py(),
-                )
-            )
-            brd_wkbs.extend(
-                _unpack(
-                    group.column("__brd_blob")[i].as_py(),
-                    group.column("__brd_offs")[i].as_py(),
-                )
-            )
-        parts: list[list[np.ndarray]] = []
-        if brd_wkbs:
+        from ..geom.array import MULTIPOLYGON
+        from ..geom.array import concat as ga_concat
+        from ..geom.wkb import encode_polygonal_one
+
+        pieces: list[GeometryArray] = []
+        gb, n_brd = _packed_ga(group, "__brd_blob", "__brd_offs")
+        if gb is not None:
             # only the leftover border pieces need the union sweep —
             # interior pieces are strictly inside their cell and can
             # never touch anything
-            gb = from_wkb(brd_wkbs)
-            parts.extend(_union_group_polygons(gb, np.arange(len(gb))))
-        if int_wkbs:
-            gi = from_wkb(int_wkbs)
-            for i in range(len(gi)):
-                parts.extend(gi._parts_of(i))
-        code, pparts = parts_to_geom(parts)
-        g = GeometryArray.from_parts([(code, pparts)])
+            uparts = _union_group_polygons(gb, np.arange(len(gb)))
+            if uparts:
+                pieces.append(
+                    GeometryArray.from_parts([(MULTIPOLYGON, uparts)])
+                )
+        gi, n_int = _packed_ga(group, "__int_blob", "__int_offs")
+        if gi is not None:
+            pieces.append(gi)
+        if pieces:
+            combined = ga_concat(pieces)
+            nparts = len(combined.part_offsets) - 1
+            # ONE output (multi)polygon assembled at the offset level —
+            # every part of every piece becomes a part, zero per-part python
+            g = GeometryArray(
+                types=np.array(
+                    [POLYGON if nparts == 1 else MULTIPOLYGON], np.int8
+                ),
+                geom_offsets=np.array([0, nparts], np.int64),
+                part_offsets=combined.part_offsets,
+                ring_offsets=combined.ring_offsets,
+                coords=combined.coords,
+            )
+            wkb_out = encode_polygonal_one(g, 0)
+        else:
+            wkb_out = None
         cols = {k: group.column(k).slice(0, 1) for k in groupby}
         state = _combine_partials(group, np.arange(len(group)), agg_columns, holistic)
         for out_name, v in _finalize_partials(state, agg_columns, holistic).items():
             cols[out_name] = pa.array([v])
-        cols[_GEOM] = pa.array(to_wkb(g), pa.binary())
+        cols[_GEOM] = pa.array([wkb_out], pa.binary())
         if _verbose:
             print(
-                f"[dissolve-worker] final_group pieces={len(int_wkbs)}+"
-                f"{len(brd_wkbs)} {_time.perf_counter() - _t0:.2f}s",
+                f"[dissolve-worker] final_group pieces={n_int}+{n_brd} "
+                f"{_time.perf_counter() - _t0:.2f}s",
                 flush=True,
             )
         return pa.table(cols)

@@ -162,7 +162,16 @@ def _per_row_overlay(
     salt: bool = False,
 ) -> ray.data.Dataset:
     """Common spine of clip (op='intersection', drop no-candidate rows)
-    and difference (op='difference', pass-through no-candidate rows)."""
+    and difference (op='difference', pass-through no-candidate rows).
+
+    Scale shape: a layer1 row whose bbox fits in ONE cell sees its FULL
+    candidate set inside that cell's group (any bbox-overlapping layer2
+    row was replicated there too), so it is resolved locally — no
+    shuffle. Only rows whose bbox straddles cells go through the
+    ``groupby(l1_doc_id)`` gather (mirroring the reference's operand
+    shape — the op always runs against the UNION of all candidates,
+    _geoops_sql.py:1000-1028 — while keeping the wide shuffle to the
+    straddler minority instead of one group per input row)."""
     size = size or OPTIONS.cell_size
 
     def group_fn(g1, ga1, g2, ga2, cell):
@@ -172,30 +181,82 @@ def _per_row_overlay(
             ref = _ref_cell(b1[ia], ga2.bounds()[ib], size)
             own = ref == cell
             ia, ib = ia[own], ib[own]
-        own_rows = np.flatnonzero(_owner_cell(b1, size) == cell)
-        # pair rows carry the candidate's wkb; owner rows a null candidate
-        pair_part = g1.drop_columns(["l1_" + _GEOM]).take(pa.array(ia))
+        owner = _owner_cell(b1, size) == cell
+        one_cell = (
+            np.floor(b1[:, 0] / size) == np.floor(b1[:, 2] / size)
+        ) & (np.floor(b1[:, 1] / size) == np.floor(b1[:, 3] / size))
+        local = owner & one_cell
+        attrs = g1.drop_columns(["l1_" + _GEOM])
+        n_attr = attrs.num_columns
+        # ---- local resolution for single-cell rows
+        order = np.argsort(ia, kind="stable") if len(ia) else np.empty(0, np.int64)
+        ia_s, ib_s = ia[order], ib[order]
+        starts = np.searchsorted(ia_s, np.arange(len(g1)))
+        stops = np.searchsorted(ia_s, np.arange(len(g1)) + 1)
+        done_idx: list[int] = []
+        done_wkb: list[bytes] = []
+        for i in np.flatnonzero(local):
+            js = ib_s[starts[i] : stops[i]]
+            if len(js) == 0:
+                if keep_no_candidate_rows:
+                    done_idx.append(int(i))
+                    done_wkb.append(g1.column("l1_" + _GEOM)[int(i)].as_py())
+                continue
+            code, parts = _geom_of_pair_op(ga1, int(i), ga2, js, op)
+            out_ga = GeometryArray.from_parts([(code, parts)])
+            if not out_ga.is_empty()[0]:
+                done_idx.append(int(i))
+                done_wkb.append(to_wkb(out_ga)[0])
+        done_part = attrs.take(pa.array(done_idx, pa.int64()))
+        done_part = done_part.append_column("__g1", pa.nulls(len(done_idx), pa.binary()))
+        done_part = done_part.append_column("__cand", pa.nulls(len(done_idx), pa.binary()))
+        done_part = done_part.append_column(_GEOM, pa.array(done_wkb, pa.binary()))
+        done_part = done_part.append_column(
+            "__done", pa.array(np.ones(len(done_idx), dtype=bool))
+        )
+        # ---- straddlers: emit owned pairs + one owner row, gather later
+        keep_pair = ~local[ia] if len(ia) else np.zeros(0, bool)
+        pia, pib = ia[keep_pair], ib[keep_pair]
+        pair_part = attrs.take(pa.array(pia))
         pair_part = pair_part.append_column(
-            "__g1", g1.column("l1_" + _GEOM).take(pa.array(ia))
+            "__g1", g1.column("l1_" + _GEOM).take(pa.array(pia))
         )
         pair_part = pair_part.append_column(
-            "__cand", g2.column("l2_" + _GEOM).take(pa.array(ib))
+            "__cand", g2.column("l2_" + _GEOM).take(pa.array(pib))
         )
-        own_part = g1.drop_columns(["l1_" + _GEOM]).take(pa.array(own_rows))
+        own_rows = np.flatnonzero(owner & ~local)
+        own_part = attrs.take(pa.array(own_rows))
         own_part = own_part.append_column(
             "__g1", g1.column("l1_" + _GEOM).take(pa.array(own_rows))
         )
         own_part = own_part.append_column(
             "__cand", pa.nulls(len(own_rows), pa.binary())
         )
-        return pa.concat_tables([pair_part, own_part])
+        pend = pa.concat_tables([pair_part, own_part])
+        pend = pend.append_column(_GEOM, pa.nulls(len(pend), pa.binary()))
+        pend = pend.append_column(
+            "__done", pa.array(np.zeros(len(pend), dtype=bool))
+        )
+        return pa.concat_tables([done_part, pend])
 
-    paired = cell_cogroup(ds1, ds2, group_fn, cols1, ["doc_id"], size=size, salt=salt)
+    # one materialization so the two filter branches don't re-execute the
+    # cogroup; size ≈ output rows + straddler pairs (spillable blocks)
+    paired = cell_cogroup(
+        ds1, ds2, group_fn, cols1, ["doc_id"], size=size, salt=salt
+    ).materialize()
+
+    def strip(batch: pa.Table) -> pa.Table:
+        return batch.drop_columns(["__g1", "__cand", "__done"])
+
+    done_ds = paired.filter(expr="__done == True").map_batches(
+        strip, batch_format="pyarrow"
+    )
+    pending = paired.filter(expr="__done == False")
 
     def per_doc(group: pa.Table) -> pa.Table:
         cands = [c for c in group.column("__cand").to_pylist() if c is not None]
         g1_wkb = group.column("__g1")[0].as_py()
-        base = group.slice(0, 1).drop_columns(["__g1", "__cand"])
+        base = group.slice(0, 1).drop_columns(["__g1", "__cand", "__done", _GEOM])
         ga1 = from_wkb([g1_wkb])
         if not cands:
             if not keep_no_candidate_rows:
@@ -210,7 +271,8 @@ def _per_row_overlay(
             return base.slice(0, 0).append_column(_GEOM, pa.array([], pa.binary()))
         return base.append_column(_GEOM, pa.array(to_wkb(out_ga), pa.binary()))
 
-    return paired.groupby("l1_doc_id").map_groups(per_doc, batch_format="pyarrow")
+    resolved = pending.groupby("l1_doc_id").map_groups(per_doc, batch_format="pyarrow")
+    return done_ds.union(resolved)
 
 
 def clip(

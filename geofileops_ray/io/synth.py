@@ -279,6 +279,188 @@ def zones_dataset(sf_dir: str, repeat: int = 1) -> ray.data.Dataset:
     )
 
 
+# -------------------------------------------------- triangles (layer 4, irregular)
+
+
+def tri_wkb(ax, ay, bx, by, cx, cy) -> pa.Array:
+    """Vectorized WKB POLYGON (one CCW closed 4-point ring) per triangle.
+
+    77 bytes/row: header(13) + 4 xy pairs. Zero Python loops."""
+    n = len(ax)
+    coords = np.empty((n, 8), dtype="<f8")
+    coords[:, 0], coords[:, 1] = ax, ay
+    coords[:, 2], coords[:, 3] = bx, by
+    coords[:, 4], coords[:, 5] = cx, cy
+    coords[:, 6], coords[:, 7] = ax, ay
+    out = np.empty((n, 77), dtype=np.uint8)
+    header = np.frombuffer(
+        b"\x01\x03\x00\x00\x00\x01\x00\x00\x00\x04\x00\x00\x00", dtype=np.uint8
+    )
+    out[:, :13] = header
+    out[:, 13:] = coords.view(np.uint8).reshape(n, 64)
+    offsets = pa.array(np.arange(n + 1, dtype=np.int32) * 77)
+    return pa.Array.from_buffers(
+        pa.binary(), n, [None, offsets.buffers()[1], pa.py_buffer(out.tobytes())]
+    )
+
+
+def _tri_params(doc_id: np.ndarray):
+    """Pure-int64 triangle parameters, SQL-mirrorable (TRIANGLES_CTE).
+
+    Docs come in PAIRS (pair = doc_id // 2) that tile one rectangle along
+    a hash-chosen diagonal: the two right triangles share the full
+    diagonal edge, so dissolve/union must merge NON-AXIS-ALIGNED edges —
+    the general sweep path, not the rect fast path. w ≠ h always (avoids
+    45° cases where trig hits exact float branch points)."""
+    pair = doc_id // 2
+    s = doc_id % 2
+    hp = (pair.astype(np.int64) * _MULT) % _MOD
+    pgx, pgy = pair % 100, pair // 100
+    x0 = (pgx * 10 + hp % 2).astype(np.float64)
+    y0 = (pgy * 10 + (hp // 2) % 2).astype(np.float64)
+    w = (4 + (hp // 4) % 4).astype(np.int64)
+    h0 = (4 + (hp // 16) % 4).astype(np.int64)
+    h = h0 + (h0 == w)
+    dt = (hp // 64) % 2  # 0 = main diagonal, 1 = anti-diagonal
+    ori = (dt * 2 + s).astype(np.int64)  # 0 SE, 1 NW, 2 SW, 3 NE
+    return pair, hp, x0, y0, w.astype(np.float64), h.astype(np.float64), ori
+
+
+def synth_triangles_batch(batch: pa.Table) -> pa.Table:
+    """documents batch → irregular right-triangle layer (4 orientations,
+    varying slopes). Everything derives from doc_id, mirrored exactly by
+    TRIANGLES_CTE for the DuckDB oracle."""
+    doc_id = batch.column("doc_id").to_numpy()
+    text = batch.column("text").to_pylist()
+    pair, hp, x0, y0, w, h, ori = _tri_params(doc_id)
+    x1, y1 = x0 + w, y0 + h
+    # CCW vertex triples per orientation
+    ax = np.select([ori == 0, ori == 1, ori == 2, ori == 3], [x0, x0, x0, x1])
+    ay = np.select([ori == 0, ori == 1, ori == 2, ori == 3], [y0, y0, y0, y0])
+    bx = np.select([ori == 0, ori == 1, ori == 2, ori == 3], [x1, x1, x1, x1])
+    by = np.select([ori == 0, ori == 1, ori == 2, ori == 3], [y0, y1, y0, y1])
+    cx = np.select([ori == 0, ori == 1, ori == 2, ori == 3], [x1, x0, x0, x0])
+    cy = np.select([ori == 0, ori == 1, ori == 2, ori == 3], [y1, y1, y1, y1])
+    cols = {
+        "doc_id": pa.array(doc_id, pa.int64()),
+        "spans": _spans_array(doc_id, text),
+        "geometry": tri_wkb(ax, ay, bx, by, cx, cy),
+        "pair": pa.array(pair, pa.int64()),
+        "grp": pa.array([f"T{v}" for v in hp % 5], pa.string()),
+        "tri_area": pa.array(w * h / 2.0, pa.float64()),
+        "lang": batch.column("lang"),
+    }
+    return pa.table(cols)
+
+
+# SQL mirror: bbox (x0,y0,x1,y1) + halfplane (a,b,c) with
+# triangle = bbox ∩ {a*x + b*y <= c} — integer-exact coefficients.
+TRIANGLES_CTE = """
+triangles AS (
+  SELECT doc_id, pair, grp, tri_area,
+         CAST(x0 AS DOUBLE) AS x0, CAST(y0 AS DOUBLE) AS y0,
+         CAST(x0 + w AS DOUBLE) AS x1, CAST(y0 + h AS DOUBLE) AS y1,
+         CAST(w AS DOUBLE) AS w, CAST(h AS DOUBLE) AS h,
+         CASE ori WHEN 0 THEN -h WHEN 1 THEN h WHEN 2 THEN h ELSE -h END AS a,
+         CASE ori WHEN 0 THEN w WHEN 1 THEN -w WHEN 2 THEN w ELSE -w END AS b,
+         CASE ori WHEN 0 THEN w*y0 - h*x0
+                  WHEN 1 THEN h*x0 - w*y0
+                  WHEN 2 THEN h*x0 + w*y0 + h*w
+                  ELSE -(h*x0 + w*y0 + h*w) END AS c
+  FROM (
+    SELECT doc_id, pair, 'T' || CAST(hp % 5 AS VARCHAR) AS grp,
+           CAST(w * h AS DOUBLE) / 2 AS tri_area,
+           (pair % 100) * 10 + hp % 2 AS x0,
+           (pair // 100) * 10 + (hp // 2) % 2 AS y0,
+           w, h, ((hp // 64) % 2) * 2 + doc_id % 2 AS ori
+    FROM (
+      SELECT doc_id, pair, hp, 4 + (hp // 4) % 4 AS w,
+             CASE WHEN 4 + (hp // 16) % 4 = 4 + (hp // 4) % 4
+                  THEN 5 + (hp // 16) % 4 ELSE 4 + (hp // 16) % 4 END AS h
+      FROM (SELECT doc_id, doc_id // 2 AS pair,
+                   ((doc_id // 2) * 2654435761) % 4294967296 AS hp
+            FROM documents)
+    )
+  )
+)
+"""
+
+
+def triangles_dataset(sf_dir: str, repeat: int = 1) -> ray.data.Dataset:
+    """The irregular layer-4 Dataset (right triangles, 4 orientations,
+    diagonal-tiled pairs) — exercises the general boolean/predicate
+    kernels, not the rectangle fast paths."""
+    return expand_documents(read_documents(sf_dir), repeat).map_batches(
+        synth_triangles_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+# ------------------------------------------------- bowties (layer 5, invalid)
+
+
+def synth_bowties_batch(batch: pa.Table) -> pa.Table:
+    """documents batch → layer with deliberately INVALID self-intersecting
+    rings for every doc with hash%3==0 (bowtie quad A,B,C,D where ring
+    order crosses at the rect center) and a valid rectangle otherwise —
+    the makevalid/isvalid fixture (reference tests
+    tests/single_layer_operations/)."""
+    doc_id = batch.column("doc_id").to_numpy()
+    text = batch.column("text").to_pylist()
+    h = _hash(doc_id)
+    gx = doc_id % GRID_W
+    gy = doc_id // GRID_W
+    x0 = (gx * 10 + h % 2).astype(np.float64)
+    y0 = (gy * 10 + (h // 2) % 2).astype(np.float64)
+    w = (4 + (h // 4) % 4).astype(np.float64)
+    ht = (4 + (h // 16) % 4).astype(np.float64)
+    x1, y1 = x0 + w, y0 + ht
+    bow = h % 3 == 0
+    n = len(doc_id)
+    # ring: A(x0,y0) B(x1,y0) then C/D swapped for bowties → crossing
+    coords = np.empty((n, 10), dtype="<f8")
+    coords[:, 0], coords[:, 1] = x0, y0
+    coords[:, 2], coords[:, 3] = x1, y0
+    coords[:, 4] = np.where(bow, x0, x1)
+    coords[:, 5] = y1
+    coords[:, 6] = np.where(bow, x1, x0)
+    coords[:, 7] = y1
+    coords[:, 8], coords[:, 9] = x0, y0
+    out = np.empty((n, 93), dtype=np.uint8)
+    out[:, :13] = np.frombuffer(
+        b"\x01\x03\x00\x00\x00\x01\x00\x00\x00\x05\x00\x00\x00", dtype=np.uint8
+    )
+    out[:, 13:] = coords.view(np.uint8).reshape(n, 80)
+    offsets = pa.array(np.arange(n + 1, dtype=np.int32) * 93)
+    geom = pa.Array.from_buffers(
+        pa.binary(), n, [None, offsets.buffers()[1], pa.py_buffer(out.tobytes())]
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_id, pa.int64()),
+            "spans": _spans_array(doc_id, text),
+            "geometry": geom,
+            "rect_area": pa.array(w * ht, pa.float64()),
+        }
+    )
+
+
+BOWTIES_CTE = """
+bowties AS (
+  SELECT doc_id, h % 3 = 0 AS is_bowtie, CAST(w * ht AS DOUBLE) AS rect_area
+  FROM (
+    SELECT doc_id, h, 4 + (h // 4) % 4 AS w, 4 + (h // 16) % 4 AS ht
+    FROM (SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS h FROM documents)
+  )
+)
+"""
+
+
+def bowties_dataset(sf_dir: str, repeat: int = 1) -> ray.data.Dataset:
+    return expand_documents(read_documents(sf_dir), repeat).map_batches(
+        synth_bowties_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 # ----------------------------------------------------------- points (layer 3)
 
 

@@ -25,11 +25,15 @@ from ..geom import from_wkb
 from ..geom.measure import area as _area
 from ..io import synth
 from ..io.synth import (
+    BOWTIES_CTE,
     PARCELS_CTE,
     POINTS_CTE,
+    TRIANGLES_CTE,
     ZONES_CTE,
+    bowties_dataset,
     parcels_dataset,
     points_dataset,
+    triangles_dataset,
     zones_dataset,
 )
 from ..stages import single_layer as sl
@@ -635,6 +639,215 @@ SELECT doc_id, CAST(NULL AS BIGINT), ROUND(a, 4) FROM (
 ORDER BY 1, 2"""
 
 
+# --------------------------------------------- irregular-layer (triangle) queries
+#
+# The triangle layer (io/synth.py synth_triangles_batch) is the NON-rect
+# counterpart of every fast-path-validated query above: right triangles
+# in 4 orientations with varying slopes, pair-tiled along diagonals. The
+# DuckDB mirror represents each triangle as bbox ∩ halfplane(a·x+b·y≤c)
+# and derives intersects / areas in closed form (box∩halfplane ramp
+# formula), so these oracles exercise the general sweep/predicate kernels
+# end to end.
+
+TRI_CTE = f"WITH {TRIANGLES_CTE.strip()}, {ZONES_CTE.strip()}, {BOWTIES_CTE.strip()}"
+TRI_BBOX_ON = (
+    "t.x0 <= z.maxx AND t.x1 >= z.minx AND t.y0 <= z.maxy AND t.y1 >= z.miny"
+)
+# overlap box of triangle bbox × zone
+_OB = (
+    "GREATEST(t.x0, z.minx) AS ox0, LEAST(t.x1, z.maxx) AS ox1, "
+    "GREATEST(t.y0, z.miny) AS oy0, LEAST(t.y1, z.maxy) AS oy1"
+)
+# area of (overlap box ∩ halfplane a·x+b·y≤c): 4-corner ramp inclusion-
+# exclusion — exact for any sign of a, b
+_RAMP_AREA = """(
+  POWER(GREATEST(c - LEAST(a*ox0, a*ox1) - LEAST(b*oy0, b*oy1), 0), 2)
+- POWER(GREATEST(c - GREATEST(a*ox0, a*ox1) - LEAST(b*oy0, b*oy1), 0), 2)
+- POWER(GREATEST(c - LEAST(a*ox0, a*ox1) - GREATEST(b*oy0, b*oy1), 0), 2)
++ POWER(GREATEST(c - GREATEST(a*ox0, a*ox1) - GREATEST(b*oy0, b*oy1), 0), 2)
+) / (2 * ABS(a) * ABS(b))"""
+# closed-set intersects: closed bbox overlap AND the overlap-box corner
+# nearest the triangle's right angle satisfies the halfplane
+_TRI_INTERSECTS = (
+    "ox0 <= ox1 AND oy0 <= oy1 AND LEAST(a*ox0, a*ox1) + LEAST(b*oy0, b*oy1) <= c"
+)
+
+
+def q_sjoin_tri(sf):
+    ds = join_by_location(
+        triangles_dataset(sf), zones_dataset(sf), "intersects is True",
+        cols1=["grp"], cols2=["naam"],
+    )
+    return _select(ds, ["l1_doc_id", "l2_doc_id", "l1_grp", "l2_naam"])
+
+
+O_SJOIN_TRI = f"""{TRI_CTE}
+SELECT doc_id AS l1_doc_id, zdoc AS l2_doc_id, grp AS l1_grp, naam AS l2_naam
+FROM (SELECT t.doc_id, z.doc_id zdoc, t.grp, z.naam, t.a a, t.b b, t.c c, {_OB}
+      FROM triangles t JOIN zones z ON {TRI_BBOX_ON})
+WHERE {_TRI_INTERSECTS} ORDER BY 1, 2"""
+
+
+def q_export_anti_tri(sf):
+    ds = export_by_location(
+        triangles_dataset(sf), zones_dataset(sf), "intersects is False"
+    )
+    return _select(ds, ["l1_doc_id", "l1_grp"])
+
+
+O_EXPORT_ANTI_TRI = f"""{TRI_CTE},
+hits AS (
+  SELECT DISTINCT doc_id
+  FROM (SELECT t.doc_id, t.a a, t.b b, t.c c, {_OB}
+        FROM triangles t JOIN zones z ON {TRI_BBOX_ON})
+  WHERE {_TRI_INTERSECTS})
+SELECT t.doc_id AS l1_doc_id, t.grp AS l1_grp FROM triangles t
+WHERE t.doc_id NOT IN (SELECT doc_id FROM hits) ORDER BY 1"""
+
+
+def q_intersection_tri(sf):
+    ds = intersection(
+        triangles_dataset(sf), zones_dataset(sf), cols1=["grp"], cols2=["naam"]
+    )
+    ds = _with_geom_area(ds, "area_inters")
+    return _select(ds, ["l1_doc_id", "l2_doc_id", "l1_grp", "l2_naam", "area_inters"])
+
+
+O_INTERSECTION_TRI = f"""{TRI_CTE}
+SELECT doc_id AS l1_doc_id, zdoc AS l2_doc_id, grp AS l1_grp, naam AS l2_naam,
+       ROUND({_RAMP_AREA}, 4) AS area_inters
+FROM (SELECT t.doc_id, z.doc_id zdoc, t.grp, z.naam, t.a a, t.b b, t.c c, {_OB}
+      FROM triangles t JOIN zones z ON {TRI_BBOX_ON})
+WHERE ox0 < ox1 AND oy0 < oy1 AND {_RAMP_AREA} > 0 ORDER BY 1, 2"""
+
+
+def q_difference_tri(sf):
+    from ..stages.overlay_ops import difference
+
+    ds = difference(triangles_dataset(sf), zones_dataset(sf), cols1=["grp"])
+    ds = _with_geom_area(ds, "area_diff")
+    return _select(ds, ["l1_doc_id", "l1_grp", "area_diff"])
+
+
+O_DIFFERENCE_TRI = f"""{TRI_CTE},
+ov AS (
+  SELECT doc_id, SUM({_RAMP_AREA}) cov
+  FROM (SELECT t.doc_id, t.a a, t.b b, t.c c, {_OB}
+        FROM triangles t JOIN zones z
+        ON t.x0 < z.maxx AND t.x1 > z.minx AND t.y0 < z.maxy AND t.y1 > z.miny)
+  GROUP BY doc_id)
+SELECT t.doc_id AS l1_doc_id, t.grp AS l1_grp,
+       ROUND(t.tri_area - COALESCE(ov.cov, 0), 4) AS area_diff
+FROM triangles t LEFT JOIN ov USING (doc_id)
+WHERE t.tri_area - COALESCE(ov.cov, 0) > 0 ORDER BY 1"""
+
+
+def q_clip_tri(sf):
+    ds = clip(triangles_dataset(sf), zones_dataset(sf), cols1=["grp"])
+    ds = _with_geom_area(ds, "area_clip")
+    return _select(ds, ["l1_doc_id", "l1_grp", "area_clip"])
+
+
+O_CLIP_TRI = f"""{TRI_CTE}
+SELECT doc_id AS l1_doc_id, grp AS l1_grp, ROUND(SUM(ar), 4) AS area_clip
+FROM (SELECT doc_id, grp, {_RAMP_AREA} AS ar
+      FROM (SELECT t.doc_id, t.grp, t.a a, t.b b, t.c c, {_OB}
+            FROM triangles t JOIN zones z
+            ON t.x0 < z.maxx AND t.x1 > z.minx AND t.y0 < z.maxy AND t.y1 > z.miny))
+WHERE ar > 0 GROUP BY 1, 2 HAVING SUM(ar) > 0 ORDER BY 1"""
+
+
+def q_dissolve_tri(sf):
+    """Dissolve the diagonal-tiled triangle pairs: the union kernel must
+    merge each pair along its (non-axis-aligned) shared hypotenuse into
+    ONE part with exact rectangle area — n_parts per group counts that."""
+    ds = dissolve(
+        triangles_dataset(sf),
+        groupby=["grp"],
+        agg_columns=[("tri_area", "sum", "sum_area"), ("doc_id", "count", "nb_rows")],
+    )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ga = from_wkb(batch.column("geometry").to_pylist())
+        nparts = (ga.geom_offsets[1:] - ga.geom_offsets[:-1]).astype(np.int64)
+        return pa.table(
+            {
+                "grp": batch.column("grp"),
+                "union_area": pa.array(_round_half_up(_area(ga), 3), pa.float64()),
+                "n_parts": pa.array(nparts, pa.int64()),
+                "sum_area": pa.array(
+                    _round_half_up(batch.column("sum_area").to_numpy(), 3), pa.float64()
+                ),
+                "nb_rows": batch.column("nb_rows"),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+O_DISSOLVE_TRI = f"""{TRI_CTE},
+tp AS (SELECT pair, grp, MAX(w) w, MAX(h) h, COUNT(*) nd, SUM(tri_area) sa
+       FROM triangles GROUP BY 1, 2)
+SELECT grp,
+  ROUND(SUM(CASE WHEN nd = 2 THEN w*h ELSE w*h/2 END), 3) AS union_area,
+  CAST(COUNT(*) AS BIGINT) AS n_parts,
+  ROUND(SUM(sa), 3) AS sum_area,
+  CAST(SUM(nd) AS BIGINT) AS nb_rows
+FROM tp GROUP BY 1 ORDER BY 1"""
+
+
+def q_buffer_tri(sf):
+    """Mitre-join buffer of right triangles: area has the closed form
+    A + P·d + d²·Σ tan(θᵢ/2) over exterior angles — continuous in (w, h)
+    so the numpy and DuckDB trig agree far below the ROUND tolerance."""
+    ds = sl.buffer(triangles_dataset(sf), 2.0, join_style="mitre")
+    ds = _with_geom_area(ds, "area_buf")
+    return _select(ds, ["doc_id", "grp", "area_buf"])
+
+
+O_BUFFER_TRI = f"""{TRI_CTE}
+SELECT doc_id, grp,
+  ROUND(tri_area + (w + h + SQRT(w*w + h*h)) * 2.0
+        + 4.0 * (TAN(PI()/4)
+                 + TAN((PI() - ATAN2(h, w))/2)
+                 + TAN((PI() - ATAN2(w, h))/2)), 4) AS area_buf
+FROM triangles ORDER BY 1"""
+
+
+def q_convexhull_tri(sf):
+    ds = sl.convexhull(triangles_dataset(sf))
+    ds = _with_geom_area(ds, "area_hull")
+    return _select(ds, ["doc_id", "area_hull"])
+
+
+O_CONVEXHULL_TRI = f"""{TRI_CTE}
+SELECT doc_id, ROUND(tri_area, 4) AS area_hull FROM triangles ORDER BY 1"""
+
+
+def q_isvalid(sf):
+    ds = sl.isvalid(bowties_dataset(sf))
+    return _select(ds, ["doc_id", "isvalidreason"])
+
+
+O_ISVALID = f"""{TRI_CTE}
+SELECT doc_id, 'Self-intersection' AS isvalidreason
+FROM bowties WHERE is_bowtie ORDER BY 1"""
+
+
+def q_makevalid(sf):
+    """Bowtie rings repaired by noding → two triangles of half the rect
+    area each; valid rows pass through untouched."""
+    ds = sl.makevalid(bowties_dataset(sf))
+    ds = _with_geom_area(ds, "area_fixed")
+    return _select(ds, ["doc_id", "area_fixed"])
+
+
+O_MAKEVALID = f"""{TRI_CTE}
+SELECT doc_id,
+  ROUND(CASE WHEN is_bowtie THEN rect_area / 2 ELSE rect_area END, 4) AS area_fixed
+FROM bowties ORDER BY 1"""
+
+
 # ------------------------------------------------------------- text queries
 
 
@@ -754,6 +967,17 @@ QUERIES = {
     "symmetric_difference_areas": q_symmetric_difference,
     "union_overlay_areas": q_union_overlay,
     "identity_areas": q_identity,
+    # irregular (non-rectangle) layer — general kernel coverage
+    "sjoin_intersects_tri": q_sjoin_tri,
+    "export_by_location_anti_tri": q_export_anti_tri,
+    "intersection_tri": q_intersection_tri,
+    "clip_tri": q_clip_tri,
+    "difference_tri": q_difference_tri,
+    "dissolve_tri": q_dissolve_tri,
+    "buffer_tri": q_buffer_tri,
+    "convexhull_tri": q_convexhull_tri,
+    "isvalid_bowties": q_isvalid,
+    "makevalid_bowties": q_makevalid,
     # text / training-data
     "token_count": lambda sf: ta.token_count(_docs(sf)),
     "quality_score": lambda sf: ta.quality_score(_docs(sf)),
@@ -800,6 +1024,16 @@ ORACLES = {
     "symmetric_difference_areas": O_SYMDIFF,
     "union_overlay_areas": O_UNION_OVERLAY,
     "identity_areas": O_IDENTITY,
+    "sjoin_intersects_tri": O_SJOIN_TRI,
+    "export_by_location_anti_tri": O_EXPORT_ANTI_TRI,
+    "intersection_tri": O_INTERSECTION_TRI,
+    "clip_tri": O_CLIP_TRI,
+    "difference_tri": O_DIFFERENCE_TRI,
+    "dissolve_tri": O_DISSOLVE_TRI,
+    "buffer_tri": O_BUFFER_TRI,
+    "convexhull_tri": O_CONVEXHULL_TRI,
+    "isvalid_bowties": O_ISVALID,
+    "makevalid_bowties": O_MAKEVALID,
     "token_count": ta.TOKEN_COUNT_SQL,
     "quality_score": ta.QUALITY_SQL,
     "language_id": ta.LANG_ID_SQL,

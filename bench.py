@@ -86,6 +86,7 @@ def run_benchmarks(num_cpus: int, only_flagship: bool = False, repeat: int = 0) 
     from geofileops_ray.io.synth import (
         parcels_dataset,
         points_dataset,
+        triangles_dataset,
         zones_dataset,
     )
     from geofileops_ray.stages import single_layer as sl
@@ -138,6 +139,27 @@ def run_benchmarks(num_cpus: int, only_flagship: bool = False, repeat: int = 0) 
             ).count()
         )
         results["dissolve"] = round(t, 3)
+        # irregular layer: right triangles (general sweep/predicate path,
+        # no rectangle fast paths) — same row count as the rect benchmarks
+        tri = triangles_dataset(SF_DIR, repeat).materialize()
+        _, t = timed(
+            lambda: join_by_location(
+                tri, z, "intersects is True", cols1=["grp"], cols2=["naam"],
+                salt=True,
+            ).count()
+        )
+        results["sjoin_tri"] = round(t, 3)
+        _, t = timed(
+            lambda: intersection(tri, z, cols1=["grp"], cols2=["naam"]).count()
+        )
+        results["intersection_tri"] = round(t, 3)
+        _, t = timed(
+            lambda: dissolve(
+                tri, groupby=["grp"],
+                agg_columns=[("tri_area", "sum", "sum_area")],
+            ).count()
+        )
+        results["dissolve_tri"] = round(t, 3)
         pts = points_dataset(SF_DIR, repeat).materialize()
         _, t = timed(
             lambda: join_nearest(pts, z, nb_nearest=1, cols1=[], cols2=[]).count()

@@ -175,6 +175,91 @@ def polygon_overlay(
     return boolean_op(a_parts, b_parts, op)
 
 
+def line_polygon_overlay(
+    line_parts: list[list[np.ndarray]],
+    cand: "GeometryArray",
+    js: np.ndarray,
+    op: str,
+) -> list[np.ndarray]:
+    """Overlay of a (multi)linestring against the UNION of candidate
+    polygons: ``op='intersection'`` keeps the portions inside-or-on the
+    closed polygons; ``'difference'`` keeps the strictly-outside portions
+    (ST_Intersection / ST_Difference of line × polygon extracted to the
+    line primitive, reference _geoops_sql.py:1880-1891).
+
+    Per line segment: cut at every polygon-edge crossing (collinear
+    overlaps contribute their projected endpoints), classify interval
+    midpoints against the polygon union, emit kept sub-segments. Returns
+    a list of (k,2) line coordinate arrays."""
+    from .predicates import points_in_polygon
+
+    edges = []
+    for j in js:
+        for part in cand._parts_of(int(j)):
+            for ring in part:
+                rr = ensure_closed(np.asarray(ring, dtype=np.float64))
+                if len(rr) < 2:
+                    continue
+                e = np.empty((len(rr) - 1, 4))
+                e[:, :2] = rr[:-1]
+                e[:, 2:] = rr[1:]
+                edges.append(e)
+    E = np.concatenate(edges) if edges else np.empty((0, 4))
+    pieces: list[np.ndarray] = []
+    for part in line_parts:
+        line = np.asarray(part[0], dtype=np.float64)
+        for k in range(len(line) - 1):
+            p, q = line[k], line[k + 1]
+            r = q - p
+            rn2 = float(r @ r)
+            if rn2 < 1e-300:
+                continue
+            ts = [0.0, 1.0]
+            if len(E):
+                s = E[:, 2:] - E[:, :2]
+                qp = E[:, :2] - p
+                denom = r[0] * s[:, 1] - r[1] * s[:, 0]
+                cross_qp_r = qp[:, 0] * r[1] - qp[:, 1] * r[0]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    t = (qp[:, 0] * s[:, 1] - qp[:, 1] * s[:, 0]) / denom
+                    u = cross_qp_r / denom
+                ok = (
+                    (np.abs(denom) > 1e-300)
+                    & (t >= 0) & (t <= 1) & (u >= 0) & (u <= 1)
+                )
+                if ok.any():
+                    ts.extend(t[ok].tolist())
+                # collinear edges: project endpoints onto the segment
+                col = (np.abs(denom) <= 1e-300) & (
+                    np.abs(cross_qp_r) <= 1e-9 * max(1.0, np.sqrt(rn2))
+                )
+                if col.any():
+                    t0 = ((E[col, 0] - p[0]) * r[0] + (E[col, 1] - p[1]) * r[1]) / rn2
+                    t1 = ((E[col, 2] - p[0]) * r[0] + (E[col, 3] - p[1]) * r[1]) / rn2
+                    ts.extend(np.clip(t0, 0, 1).tolist())
+                    ts.extend(np.clip(t1, 0, 1).tolist())
+            tsa = np.unique(np.clip(np.asarray(ts, dtype=np.float64), 0.0, 1.0))
+            if len(tsa) < 2:
+                continue
+            mids = p[None, :] + ((tsa[:-1] + tsa[1:]) / 2)[:, None] * r[None, :]
+            in_closed = np.zeros(len(mids), dtype=bool)
+            for j in js:
+                in_closed |= points_in_polygon(mids, cand, int(j), True)
+            keep = in_closed if op == "intersection" else ~in_closed
+            # maximal kept runs → one sub-segment each
+            padded = np.concatenate([[False], keep, [False]])
+            starts = np.flatnonzero(~padded[:-1] & padded[1:])
+            ends = np.flatnonzero(padded[:-1] & ~padded[1:])
+            for a, b in zip(starts, ends):
+                t0v, t1v = tsa[a], tsa[b]
+                if t1v - t0v < 1e-12:
+                    continue
+                pieces.append(
+                    np.stack([p + t0v * r, p + t1v * r], axis=0)
+                )
+    return pieces
+
+
 def parts_to_geom(parts: list[list[np.ndarray]]) -> tuple[int, list[list[np.ndarray]]]:
     """(type_code, parts) for GeometryArray.from_parts."""
     parts = [p for p in parts if len(p) and len(p[0]) >= 4]

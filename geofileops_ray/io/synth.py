@@ -395,6 +395,70 @@ def triangles_dataset(sf_dir: str, repeat: int = 1) -> ray.data.Dataset:
     )
 
 
+# ------------------------------------------------------ lines (layer 6)
+
+
+def synth_lines_batch(batch: pa.Table) -> pa.Table:
+    """documents batch → L-shaped 3-point polylines (axis-aligned,
+    integer coords, one per 10-unit doc cell ⇒ pairwise disjoint; zone
+    bounds are half-integers ⇒ never collinear with zone edges). Length
+    of any line∩zone is closed-form 1D interval math in SQL."""
+    doc_id = batch.column("doc_id").to_numpy()
+    text = batch.column("text").to_pylist()
+    h = _hash(doc_id)
+    gx, gy = doc_id % GRID_W, doc_id // GRID_W
+    px = (gx * 10 + h % 3).astype(np.float64)
+    py = (gy * 10 + (h // 3) % 3).astype(np.float64)
+    lh = (3 + (h // 9) % 5).astype(np.float64)
+    lv = (3 + (h // 45) % 5).astype(np.float64)
+    n = len(doc_id)
+    coords = np.empty((n, 6), dtype="<f8")
+    coords[:, 0], coords[:, 1] = px, py
+    coords[:, 2], coords[:, 3] = px + lh, py
+    coords[:, 4], coords[:, 5] = px + lh, py + lv
+    out = np.empty((n, 57), dtype=np.uint8)
+    out[:, :9] = np.frombuffer(
+        b"\x01\x02\x00\x00\x00\x03\x00\x00\x00", dtype=np.uint8
+    )
+    out[:, 9:] = coords.view(np.uint8).reshape(n, 48)
+    offsets = pa.array(np.arange(n + 1, dtype=np.int32) * 57)
+    geom = pa.Array.from_buffers(
+        pa.binary(), n, [None, offsets.buffers()[1], pa.py_buffer(out.tobytes())]
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_id, pa.int64()),
+            "spans": _spans_array(doc_id, text),
+            "geometry": geom,
+            "grp": pa.array([f"L{v}" for v in h % 4], pa.string()),
+            "line_len": pa.array(lh + lv, pa.float64()),
+        }
+    )
+
+
+LINES_CTE = """
+lines AS (
+  SELECT doc_id, grp,
+         CAST(px AS DOUBLE) px, CAST(py AS DOUBLE) py,
+         CAST(lh AS DOUBLE) lh, CAST(lv AS DOUBLE) lv,
+         CAST(lh + lv AS DOUBLE) AS line_len
+  FROM (
+    SELECT doc_id, 'L' || CAST(h % 4 AS VARCHAR) AS grp,
+           (doc_id % 100) * 10 + h % 3 AS px,
+           (doc_id // 100) * 10 + (h // 3) % 3 AS py,
+           3 + (h // 9) % 5 AS lh, 3 + (h // 45) % 5 AS lv
+    FROM (SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS h FROM documents)
+  )
+)
+"""
+
+
+def lines_dataset(sf_dir: str, repeat: int = 1) -> ray.data.Dataset:
+    return expand_documents(read_documents(sf_dir), repeat).map_batches(
+        synth_lines_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 # ------------------------------------------------- bowties (layer 5, invalid)
 
 

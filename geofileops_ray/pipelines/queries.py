@@ -824,6 +824,146 @@ O_CONVEXHULL_TRI = f"""{TRI_CTE}
 SELECT doc_id, ROUND(tri_area, 4) AS area_hull FROM triangles ORDER BY 1"""
 
 
+# ------------------------------------------------- line-layer overlays
+
+LINES_CTE_FULL = None  # composed below
+
+
+def _lines_cte() -> str:
+    from ..io.synth import LINES_CTE
+
+    return f"WITH {LINES_CTE.strip()}, {ZONES_CTE.strip()}"
+
+
+# clipped length of the L-line inside one zone (axis-parallel segments ⇒
+# 1D interval overlap; integer line coords vs half-integer zone bounds ⇒
+# no boundary-grazing ambiguity)
+_LINE_ZONE_LEN = """(
+  CASE WHEN py >= z.miny AND py <= z.maxy
+       THEN GREATEST(LEAST(px + lh, z.maxx) - GREATEST(px, z.minx), 0) ELSE 0 END
++ CASE WHEN px + lh >= z.minx AND px + lh <= z.maxx
+       THEN GREATEST(LEAST(py + lv, z.maxy) - GREATEST(py, z.miny), 0) ELSE 0 END
+)"""
+
+
+def _with_geom_length(ds, out_name: str, nd: int = 4):
+    from ..geom.measure import length as _length
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ga = from_wkb(batch.column("geometry").to_pylist())
+        batch = batch.append_column(
+            out_name, pa.array(_round_half_up(_length(ga), nd), pa.float64())
+        )
+        return batch.drop_columns(["geometry"])
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_intersection_lines(sf):
+    from ..io.synth import lines_dataset
+
+    ds = intersection(
+        lines_dataset(sf), zones_dataset(sf), cols1=["grp"], cols2=["naam"]
+    )
+    ds = _with_geom_length(ds, "len_inters")
+    return _select(ds, ["l1_doc_id", "l2_doc_id", "l1_grp", "len_inters"])
+
+
+def O_INTERSECTION_LINES() -> str:
+    return f"""{_lines_cte()}
+SELECT l.doc_id AS l1_doc_id, z.doc_id AS l2_doc_id, l.grp AS l1_grp,
+       ROUND({_LINE_ZONE_LEN}, 4) AS len_inters
+FROM lines l JOIN zones z
+ON px <= z.maxx AND px + lh >= z.minx AND py <= z.maxy AND py + lv >= z.miny
+WHERE {_LINE_ZONE_LEN} > 0
+ORDER BY 1, 2"""
+
+
+def q_difference_lines(sf):
+    from ..io.synth import lines_dataset
+    from ..stages.overlay_ops import difference
+
+    ds = difference(lines_dataset(sf), zones_dataset(sf), cols1=["grp"])
+    ds = _with_geom_length(ds, "len_diff")
+    return _select(ds, ["l1_doc_id", "l1_grp", "len_diff"])
+
+
+def O_DIFFERENCE_LINES() -> str:
+    return f"""{_lines_cte()},
+cov AS (
+  SELECT l.doc_id, SUM({_LINE_ZONE_LEN}) c
+  FROM lines l JOIN zones z
+  ON px <= z.maxx AND px + lh >= z.minx AND py <= z.maxy AND py + lv >= z.miny
+  GROUP BY 1)
+SELECT l.doc_id AS l1_doc_id, l.grp AS l1_grp,
+       ROUND(l.line_len - COALESCE(cov.c, 0), 4) AS len_diff
+FROM lines l LEFT JOIN cov USING (doc_id)
+WHERE l.line_len - COALESCE(cov.c, 0) > 0 ORDER BY 1"""
+
+
+def q_dissolve_lines(sf):
+    from ..io.synth import lines_dataset
+
+    ds = dissolve(
+        lines_dataset(sf),
+        groupby=["grp"],
+        agg_columns=[("line_len", "sum", "sum_len"), ("doc_id", "count", "nb_rows")],
+    )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        from ..geom.measure import length as _length
+
+        ga = from_wkb(batch.column("geometry").to_pylist())
+        return pa.table(
+            {
+                "grp": batch.column("grp"),
+                "union_len": pa.array(_round_half_up(_length(ga), 4), pa.float64()),
+                "sum_len": pa.array(
+                    _round_half_up(batch.column("sum_len").to_numpy(), 4), pa.float64()
+                ),
+                "nb_rows": batch.column("nb_rows"),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def O_DISSOLVE_LINES() -> str:
+    return f"""{_lines_cte()}
+SELECT grp, ROUND(SUM(line_len), 4) AS union_len, ROUND(SUM(line_len), 4) AS sum_len,
+       COUNT(*) AS nb_rows
+FROM lines GROUP BY 1 ORDER BY 1"""
+
+
+def q_reproject_3857(sf):
+    """Reprojection oracle: points scaled into valid lon/lat via an
+    affine warp, then 4326 → 3857 web mercator (exact closed form both
+    sides — LN/TAN in DuckDB mirror geom/crs.py)."""
+    ds = sl.warp(points_dataset(sf), (0.1, 0.0, -50.0, 0.0, 0.025, -12.0))
+    ds = sl.reproject(ds, 4326, 3857)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ga = from_wkb(batch.column("geometry").to_pylist())
+        lo, _ = ga.geom_coord_ranges()
+        c = ga.coords[lo]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "mx": pa.array(_round_half_up(c[:, 0], 4), pa.float64()),
+                "my": pa.array(_round_half_up(c[:, 1], 4), pa.float64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+O_REPROJECT = f"""{CTE}
+SELECT doc_id,
+  ROUND(6378137.0 * RADIANS(0.1 * x - 50.0), 4) AS mx,
+  ROUND(6378137.0 * LN(TAN(PI()/4 + RADIANS(0.025 * y - 12.0)/2)), 4) AS my
+FROM points ORDER BY 1"""
+
+
 def q_isvalid(sf):
     ds = sl.isvalid(bowties_dataset(sf))
     return _select(ds, ["doc_id", "isvalidreason"])
@@ -978,6 +1118,10 @@ QUERIES = {
     "convexhull_tri": q_convexhull_tri,
     "isvalid_bowties": q_isvalid,
     "makevalid_bowties": q_makevalid,
+    "reproject_3857": q_reproject_3857,
+    "intersection_lines": q_intersection_lines,
+    "difference_lines": q_difference_lines,
+    "dissolve_lines": q_dissolve_lines,
     # text / training-data
     "token_count": lambda sf: ta.token_count(_docs(sf)),
     "quality_score": lambda sf: ta.quality_score(_docs(sf)),
@@ -1034,6 +1178,10 @@ ORACLES = {
     "convexhull_tri": O_CONVEXHULL_TRI,
     "isvalid_bowties": O_ISVALID,
     "makevalid_bowties": O_MAKEVALID,
+    "reproject_3857": O_REPROJECT,
+    "intersection_lines": O_INTERSECTION_LINES(),
+    "difference_lines": O_DIFFERENCE_LINES(),
+    "dissolve_lines": O_DISSOLVE_LINES(),
     "token_count": ta.TOKEN_COUNT_SQL,
     "quality_score": ta.QUALITY_SQL,
     "language_id": ta.LANG_ID_SQL,

@@ -35,9 +35,15 @@ class LayerInfo:
     total_bounds: tuple[float, float, float, float]
     geometrytypename: str
     columns: dict[str, str]
+    # CRS of the layer (fileops.py:2611-2705 get_crs): engine layers are
+    # CRS-agnostic Arrow tables, so the code travels as metadata supplied
+    # at read time (io.readwrite.read_layer crs=...) — None = unknown
+    crs: "object | None" = None
 
 
-def layer_info(ds: ray.data.Dataset) -> LayerInfo:
+def layer_info(ds: ray.data.Dataset, crs_epsg: int | None = None) -> LayerInfo:
+    from ..geom.crs import get_crs
+
     sch = ds.schema().base_schema
     cols = {f.name: str(f.type) for f in sch if f.name != _GEOM}
     b = (
@@ -56,6 +62,7 @@ def layer_info(ds: ray.data.Dataset) -> LayerInfo:
         total_bounds=(b["min(minx)"], b["min(miny)"], b["max(maxx)"], b["max(maxy)"]),
         geometrytypename=tname,
         columns=cols,
+        crs=get_crs(crs_epsg),
     )
 
 
@@ -98,9 +105,12 @@ def copy_layer(
     columns: list[str] | None = None,
     where: str | None = None,
     transform=None,
+    src_crs: int | None = None,
+    dst_crs: int | None = None,
 ) -> None:
     """copy_layer analogue: read → optional filter/projection/transform →
-    parallel write (no temp files / single-writer merge)."""
+    optional reprojection (fileops.py:3043-3373 dst_crs path) → parallel
+    write (no temp files / single-writer merge)."""
     from ..io.readwrite import read_layer, write_layer
 
     ds = read_layer(src_path, columns=columns)
@@ -108,6 +118,12 @@ def copy_layer(
         ds = ds.filter(expr=where)
     if transform is not None:
         ds = transform(ds)
+    if dst_crs is not None and dst_crs != src_crs:
+        if src_crs is None:
+            raise ValueError("dst_crs given without src_crs")
+        from .single_layer import reproject
+
+        ds = reproject(ds, src_crs, dst_crs)
     write_layer(ds, dst_path)
 
 

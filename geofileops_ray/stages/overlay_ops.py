@@ -31,8 +31,13 @@ import ray.data
 
 from ..config import OPTIONS
 from ..geom import GeometryArray, bbox_join, from_wkb, to_wkb
-from ..geom.array import MULTIPOINT, POINT, POLYGON
-from ..geom.overlay import parts_to_geom, polygon_overlay, union_all_parts
+from ..geom.array import LINESTRING, MULTILINESTRING, MULTIPOINT, POINT, POLYGON
+from ..geom.overlay import (
+    line_polygon_overlay,
+    parts_to_geom,
+    polygon_overlay,
+    union_all_parts,
+)
 from ..geom.predicates import points_in_polygon
 from .spatial_join import (
     _attr_cols,
@@ -65,9 +70,19 @@ def _geom_of_pair_op(ga1: GeometryArray, i: int, cand: GeometryArray,
         if len(sel) == 1:
             return POINT, [[sel]]
         return MULTIPOINT, [[sel[k : k + 1]] for k in range(len(sel))]
+    if t1 == LINESTRING:
+        # line layer1: clip/subtract against the candidate polygon union,
+        # extracted to the line primitive (the reference's lower-primitive
+        # rule, _geoops_sql.py:1880-1891)
+        pieces = line_polygon_overlay(ga1._parts_of(i), cand, js, op)
+        if not pieces:
+            return LINESTRING, []
+        if len(pieces) == 1:
+            return LINESTRING, [[pieces[0]]]
+        return MULTILINESTRING, [[p] for p in pieces]
     if t1 != POLYGON:
         raise NotImplementedError(
-            "overlay ops support polygon and point layer1 geometries"
+            "overlay ops support polygon, line and point layer1 geometries"
         )
     cand_parts = union_all_parts([cand._parts_of(int(j)) for j in js])
     res = polygon_overlay(ga1._parts_of(i), cand_parts, op)

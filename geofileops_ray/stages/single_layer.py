@@ -240,6 +240,22 @@ def export_by_bounds(
     )
 
 
+def reproject(
+    ds: ray.data.Dataset, src_epsg: int, dst_epsg: int, **post
+) -> ray.data.Dataset:
+    """Reproject every geometry src→dst CRS (the copy_layer(dst_crs=...)
+    path of the reference, fileops.py:3043-3373) — vectorized transform
+    over the batch coordinate slab (geom/crs.py, built-in projection
+    math: 4326 / 3857 / 3812 LCC / UTM)."""
+    from ..geom.crs import transform_xy
+
+    def kernel(ga: GeometryArray) -> GeometryArray:
+        x, y = transform_xy(ga.coords[:, 0], ga.coords[:, 1], src_epsg, dst_epsg)
+        return ga.with_coords(np.stack([x, y], axis=1))
+
+    return _apply_op(ds, kernel, **post)
+
+
 def warp(
     ds: ray.data.Dataset, matrix: tuple[float, float, float, float, float, float],
     **post,

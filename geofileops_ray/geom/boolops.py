@@ -290,17 +290,25 @@ def _chain_rings(edges) -> Parts:
 
 def _drop_collinear(pts: np.ndarray) -> np.ndarray:
     """Remove vertices collinear with their neighbours (trapezoid stacking
-    produces runs of collinear corners along one source segment)."""
+    produces runs of collinear corners along one source segment).
+
+    Collinearity is ANGLE-based (|cross| ≤ eps·|e1|·|e2|, i.e. sin of the
+    turn angle below eps) — an absolute threshold scaled by coordinate
+    magnitude deletes genuinely non-collinear micro-corners (e.g. the
+    wall↔arc junctions of a finely sampled circle), visibly deforming
+    rings."""
     n = len(pts)
     if n < 3:
         return pts
     prv = np.roll(pts, 1, axis=0)
     nxt = np.roll(pts, -1, axis=0)
-    cross = (pts[:, 0] - prv[:, 0]) * (nxt[:, 1] - prv[:, 1]) - (
-        pts[:, 1] - prv[:, 1]
-    ) * (nxt[:, 0] - prv[:, 0])
-    scale = max(1.0, float(np.abs(pts).max()))
-    keep = np.abs(cross) > 1e-9 * scale
+    e1 = pts - prv
+    e2 = nxt - pts
+    cross = e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0]
+    l1 = np.hypot(e1[:, 0], e1[:, 1])
+    l2 = np.hypot(e2[:, 0], e2[:, 1])
+    dup = (l1 == 0) | (l2 == 0)
+    keep = (np.abs(cross) > 1e-10 * l1 * l2) & ~dup
     if keep.sum() < 3:
         return pts[keep]
     return pts[keep]

@@ -255,6 +255,42 @@ FROM parcels p JOIN (SELECT GEWASGROEP, CAST(COUNT(*) AS DOUBLE) a
 GROUP BY 1, 2 ORDER BY 1"""
 
 
+def q_dissolve_median_json(sf):
+    """Dissolve with the reference's remaining agg shapes: median
+    (holistic) + json row-lists incl. fid_orig (_geoops_sql.py:4685-4759)
+    and Hilbert-ordered output (geoindex column)."""
+    ds = dissolve(
+        parcels_dataset(sf),
+        groupby=["GEWASGROEP"],
+        agg_columns=[
+            ("OPPERVL", "median", "med_oppervl"),
+            ("HFDTLT", "json", "rows_json"),
+        ],
+        geoindex_column="__geoidx",
+    )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        m = _round_half_up(batch.column("med_oppervl").to_numpy(zero_copy_only=False), 3)
+        return pa.table(
+            {
+                "GEWASGROEP": batch.column("GEWASGROEP"),
+                "med_oppervl": pa.array(m, pa.float64()),
+                "rows_json": batch.column("rows_json"),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+O_DISSOLVE_MEDIAN_JSON = f"""{CTE}
+SELECT GEWASGROEP, ROUND(MEDIAN(OPPERVL), 3) AS med_oppervl,
+  '[' || string_agg(
+     '{{"HFDTLT":"' || HFDTLT || '","fid_orig":' || CAST(doc_id AS VARCHAR) || '}}',
+     ',' ORDER BY '{{"HFDTLT":"' || HFDTLT || '","fid_orig":' || CAST(doc_id AS VARCHAR) || '}}'
+  ) || ']' AS rows_json
+FROM parcels GROUP BY 1 ORDER BY 1"""
+
+
 def q_tile_assign(sf):
     from ray.data.aggregate import Max, Min
 
@@ -1090,6 +1126,7 @@ QUERIES = {
     "difference_areas": q_difference,
     "join_nearest_k2": q_join_nearest,
     "dissolve_gewasgroep": q_dissolve,
+    "dissolve_median_json": q_dissolve_median_json,
     "tile_assignments_16": q_tile_assign,
     "buffer_area": q_buffer,
     "convexhull_area": q_convexhull,
@@ -1153,6 +1190,7 @@ ORACLES = {
     "difference_areas": O_DIFFERENCE,
     "join_nearest_k2": O_JOIN_NEAREST,
     "dissolve_gewasgroep": O_DISSOLVE,
+    "dissolve_median_json": O_DISSOLVE_MEDIAN_JSON,
     "tile_assignments_16": _o_tile_assign(),
     "buffer_area": O_BUFFER,
     "convexhull_area": O_CONVEXHULL,

@@ -162,9 +162,14 @@ def subdivide(
             # quadtree split until each cell piece is under the budget;
             # a split that no longer reduces the piece's coordinate count
             # (budget below the minimum closed-ring size) stops — bounded
-            # work even for unsatisfiable budgets
+            # work even for unsatisfiable budgets.
+            # Pad the root bbox: an exact-bbox root makes the first cut
+            # edges tangent to the geometry hull (near-parallel overlay =
+            # the sweep's worst conditioning); padding keeps every cut
+            # line strictly transversal to the boundary extremes.
             budget = max(max_coords, 8)
-            pieces = [(b[0], b[1], b[2], b[3])]
+            pad = 0.01 * max(b[2] - b[0], b[3] - b[1], 1.0)
+            pieces = [(b[0] - pad, b[1] - pad, b[2] + pad, b[3] + pad)]
             done: list = []
             for _ in range(6):
                 nxt = []

@@ -236,7 +236,34 @@ def union_full_self(
         cols[_GEOM] = group.column("l1_geometry").slice(0, 1)
         return pa.table(cols)
 
-    return joined.groupby("l1_doc_id").map_groups(per_piece, batch_format="pyarrow")
+    out = joined.groupby("l1_doc_id").map_groups(per_piece, batch_format="pyarrow")
+    if agg != "columns" or not agg_cols:
+        return out
+    # COLUMNS pivot (reference _union_full.py:365-416): i<n>_<col> wide
+    # columns, width = global max covering count (probed first — same
+    # two-step as the reference's max_intersections query)
+    from ray.data.aggregate import Max
+
+    out = out.materialize()
+    maxn = int(out.aggregate(Max("nb_covering"))["max(nb_covering)"] or 0)
+
+    def pivot(batch: pa.Table) -> pa.Table:
+        res = {
+            "piece_id": batch.column("piece_id"),
+            "nb_covering": batch.column("nb_covering"),
+        }
+        for c in agg_cols:
+            vt = batch.schema.field(f"{c}_list").type.value_type
+            lists = batch.column(f"{c}_list").to_pylist()
+            for i in range(maxn):
+                res[f"i{i + 1}_{c}"] = pa.array(
+                    [(v[i] if v is not None and len(v) > i else None) for v in lists],
+                    type=vt,
+                )
+        res[_GEOM] = batch.column(_GEOM)
+        return pa.table(res)
+
+    return out.map_batches(pivot, batch_format="pyarrow")
 
 
 def dissolve_within_distance(

@@ -50,8 +50,8 @@ from .geometry_batch import decode_geometry
 _GEOM = "geometry"
 
 AGG_FUNCS = (
-    "count", "sum", "min", "max", "mean",
-    "concat", "count_distinct", "concat_distinct",
+    "count", "sum", "min", "max", "mean", "median",
+    "concat", "count_distinct", "concat_distinct", "json",
 )
 _SCALAR_FUNCS = {"count", "sum", "min", "max", "mean"}
 
@@ -72,10 +72,19 @@ def _agg_from_lists(values: list, func: str):
         return max(vals)
     if func == "mean":
         return float(np.mean(vals))
+    if func == "median":
+        # holistic — carried as a value list (reference supports median
+        # via SQLite aggregate, _geoops_sql.py:4729-4734)
+        return float(np.median(np.asarray(vals, dtype=np.float64)))
     if func == "concat":
         return ",".join(str(v) for v in vals)
     if func == "concat_distinct":
         return ",".join(sorted({str(v) for v in vals}))
+    if func == "json":
+        # values are pre-encoded json objects per covered row (incl.
+        # fid_orig — json_group_array(json_object(...)) analogue,
+        # _geoops_sql.py:4694-4717); sorted for determinism
+        return "[" + ",".join(sorted(vals)) + "]"
     raise ValueError(f"unknown agg {func}")
 
 
@@ -257,7 +266,20 @@ def _init_partials(batch: pa.Table, agg_columns, holistic=frozenset()) -> pa.Tab
             nn = np.asarray(col.is_valid()).astype(np.float64)
             batch = batch.append_column(names[1], pa.array(nn, pa.float64()))
     for i, src, func, names in lists_:
-        col = batch.column(src).combine_chunks()
+        if func == "json":
+            import json as _json
+
+            ids = batch.column("doc_id").to_pylist() if "doc_id" in batch.column_names else [None] * n
+            vals = batch.column(src).to_pylist()
+            col = pa.array(
+                [
+                    _json.dumps({src: v, "fid_orig": d}, separators=(",", ":"))
+                    for v, d in zip(vals, ids)
+                ],
+                pa.string(),
+            )
+        else:
+            col = batch.column(src).combine_chunks()
         offsets = pa.array(np.arange(n + 1, dtype=np.int32))
         batch = batch.append_column(
             names[0], pa.ListArray.from_arrays(offsets, col)
@@ -320,6 +342,7 @@ def dissolve(
     explodecollections: bool = False,
     cell_size: float | None = None,
     max_passes: int = 4,
+    geoindex_column: str | None = None,
 ) -> ray.data.Dataset:
     """Polygon dissolve via recursive tiled union with border
     reconciliation (geoops.dissolve → _geoops_gpd.py:1115-1716); point/
@@ -722,6 +745,36 @@ def dissolve(
             return encode_geometry(out_b, out_ga)
 
         out = out.map_batches(explode_fn, batch_format="pyarrow")
+    if geoindex_column:
+        # Hilbert-ordered output (reference _geoops_gpd.py:2138-2152 +
+        # ORDER BY geoindex on the final write): attach the curve index
+        # over the output bounds and distributed-sort on it
+        from ray.data.aggregate import Max as _Max
+        from ray.data.aggregate import Min as _Min
+
+        from ..tiling.grid import hilbert_distance
+        from .geometry_batch import add_bounds
+
+        out = out.materialize()
+        b = (
+            out.map_batches(
+                lambda t: add_bounds(t).select(["minx", "miny", "maxx", "maxy"]),
+                batch_format="pyarrow",
+            ).aggregate(_Min("minx"), _Min("miny"), _Max("maxx"), _Max("maxy"))
+        )
+        bounds = (b["min(minx)"], b["min(miny)"], b["max(maxx)"], b["max(maxy)"])
+
+        def attach(batch: pa.Table) -> pa.Table:
+            ga = decode_geometry(batch)
+            bb = ga.bounds()
+            cx = (bb[:, 0] + bb[:, 2]) * 0.5
+            cy = (bb[:, 1] + bb[:, 3]) * 0.5
+            return batch.append_column(
+                geoindex_column,
+                pa.array(hilbert_distance(cx, cy, bounds), pa.int64()),
+            )
+
+        out = out.map_batches(attach, batch_format="pyarrow").sort(geoindex_column)
     return out
 
 

@@ -136,6 +136,75 @@ def _pairwise_overlay_geoms(
     return out
 
 
+def _max_coords_estimate(ds: ray.data.Dataset) -> int:
+    """Cheap upper bound on the max per-geometry coordinate count of a
+    layer, from WKB byte lengths only (no decode): one column-pruned scan
+    + tiny aggregate — the subdivide probe (reference _subdivide_layer
+    scans the layer the same way, _geoops_sql.py:1358-1444)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max
+
+    def fn(b: pa.Table) -> pa.Table:
+        n = pc.max(pc.binary_length(b.column(_GEOM))).as_py() if len(b) else 0
+        return pa.table({"m": pa.array([int(n or 0)], pa.int64())})
+
+    r = ds.map_batches(fn, batch_format="pyarrow").aggregate(Max("m"))
+    return max(0, (int(r["max(m)"] or 0) - 9) // 16)
+
+
+def _subdivided_or_none(
+    ds: ray.data.Dataset, max_coords: int
+) -> ray.data.Dataset | None:
+    """Subdivide complex geometries into grid pieces retaining the
+    original doc_id (one row per piece), or None when the probe says no
+    geometry exceeds the budget (zero overhead then)."""
+    if max_coords <= 0 or _max_coords_estimate(ds) <= max_coords:
+        return None
+    from .catalog import subdivide
+
+    sub = subdivide(ds, max_coords)
+    return sub.map_batches(
+        lambda b: b.drop_columns(["orig_doc_id", "part_seq"]),
+        batch_format="pyarrow",
+    )
+
+
+def _sliver_keep_mask(ga: GeometryArray, tolerance: float) -> np.ndarray:
+    """Reference sliver rule (_get_sliver_where, _geoops_sql.py:4059-4130):
+    a polygon is a sliver iff its average width 2·area/perimeter <
+    |tolerance| AND reducing precision to |tolerance| collapses it.
+    Positive tolerance keeps non-slivers; negative keeps only slivers."""
+    from ..geom.algorithms import set_precision
+    from ..geom.measure import area as _area
+    from ..geom.measure import perimeter as _perim
+
+    tol = abs(tolerance)
+    a = _area(ga)
+    p = _perim(ga)
+    narrow = np.where(p > 0, 2.0 * a / np.where(p > 0, p, 1.0), 0.0) < tol
+    sliver = narrow.copy()
+    idx = np.flatnonzero(narrow)
+    if len(idx):
+        reduced = set_precision(ga.take(idx), tol)
+        sliver[idx] = reduced.is_empty()
+    return ~sliver if tolerance > 0 else sliver
+
+
+def _filter_slivers(ds: ray.data.Dataset, tolerance: float) -> ray.data.Dataset:
+    def fn(batch: pa.Table) -> pa.Table:
+        ga = from_wkb(batch.column(_GEOM).to_pylist())
+        keep = _sliver_keep_mask(ga, tolerance)
+        return batch.take(pa.array(np.flatnonzero(keep)))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# reference subdivide triggers: 15000 coords for intersection-family ops,
+# 2000 for difference/export (geoops.py defaults, _geoops_sql.py:1893-1929)
+_SUBDIVIDE_INTERSECTION = 15_000
+_SUBDIVIDE_DIFFERENCE = 2_000
+
+
 def intersection(
     ds1: ray.data.Dataset,
     ds2: ray.data.Dataset,
@@ -143,11 +212,24 @@ def intersection(
     cols2: list[str] | None = None,
     size: float | None = None,
     salt: bool = False,
+    subdivide_coords: int | None = None,
+    sliver_tolerance: float | None = None,
 ) -> ray.data.Dataset:
-    """Pairwise spatial intersection (inner overlay join)."""
+    """Pairwise spatial intersection (inner overlay join).
+
+    Complex inputs (> subdivide_coords coords) are auto-subdivided before
+    the cell shuffle and the per-pair pieces re-unioned per (l1, l2) id
+    pair afterwards — the reference's probe-and-reunion pass
+    (_geoops_sql.py:1893-1929, :2027-2070)."""
     size = size or OPTIONS.cell_size
     cols1 = list(cols1 or _attr_cols(ds1))
     cols2 = list(cols2 or _attr_cols(ds2))
+    sub_limit = subdivide_coords or _SUBDIVIDE_INTERSECTION
+    sub1 = _subdivided_or_none(ds1, sub_limit)
+    sub2 = _subdivided_or_none(ds2, sub_limit)
+    subdivided = sub1 is not None or sub2 is not None
+    ds1 = sub1 if sub1 is not None else ds1
+    ds2 = sub2 if sub2 is not None else ds2
 
     def group_fn(g1, ga1, g2, ga2, cell):
         ia, ib = bbox_join(ga1.bounds(), ga2.bounds())
@@ -164,7 +246,25 @@ def intersection(
             _GEOM, pa.array([w for w in wkb if w is not None], pa.binary())
         )
 
-    return cell_cogroup(ds1, ds2, group_fn, cols1, cols2, size=size, salt=salt)
+    out = cell_cogroup(ds1, ds2, group_fn, cols1, cols2, size=size, salt=salt)
+    if subdivided:
+        # re-union the per-piece intersections of each original id pair
+        # (reference ST_Union GROUP BY fids, _geoops_sql.py:2027-2070)
+        def reunion(group: pa.Table) -> pa.Table:
+            if len(group) == 1:
+                return group
+            ga = from_wkb(group.column(_GEOM).to_pylist())
+            parts = union_all_parts([ga._parts_of(i) for i in range(len(ga))])
+            g = GeometryArray.from_parts([parts_to_geom(parts)])
+            base = group.slice(0, 1).drop_columns([_GEOM])
+            return base.append_column(_GEOM, pa.array(to_wkb(g), pa.binary()))
+
+        out = out.groupby(["l1_doc_id", "l2_doc_id"]).map_groups(
+            reunion, batch_format="pyarrow"
+        )
+    if sliver_tolerance:
+        out = _filter_slivers(out, sliver_tolerance)
+    return out
 
 
 def _per_row_overlay(
@@ -175,6 +275,8 @@ def _per_row_overlay(
     cols1: list[str],
     size: float | None = None,
     salt: bool = False,
+    subdivide_coords: int | None = None,
+    sliver_tolerance: float | None = None,
 ) -> ray.data.Dataset:
     """Common spine of clip (op='intersection', drop no-candidate rows)
     and difference (op='difference', pass-through no-candidate rows).
@@ -188,6 +290,13 @@ def _per_row_overlay(
     _geoops_sql.py:1000-1028 — while keeping the wide shuffle to the
     straddler minority instead of one group per input row)."""
     size = size or OPTIONS.cell_size
+    # the op runs against the UNION of candidates, so subdividing layer2
+    # pieces (same doc_id per piece) never changes the result — only the
+    # per-pair sweep sizes (reference subdivides input2 for difference,
+    # _geoops_sql.py:1893-1929; probe is one cheap byte-length scan)
+    sub2 = _subdivided_or_none(ds2, subdivide_coords or _SUBDIVIDE_DIFFERENCE)
+    if sub2 is not None:
+        ds2 = sub2
 
     def group_fn(g1, ga1, g2, ga2, cell):
         b1 = ga1.bounds()
@@ -287,7 +396,10 @@ def _per_row_overlay(
         return base.append_column(_GEOM, pa.array(to_wkb(out_ga), pa.binary()))
 
     resolved = pending.groupby("l1_doc_id").map_groups(per_doc, batch_format="pyarrow")
-    return done_ds.union(resolved)
+    out = done_ds.union(resolved)
+    if sliver_tolerance:
+        out = _filter_slivers(out, sliver_tolerance)
+    return out
 
 
 def clip(
@@ -296,11 +408,14 @@ def clip(
     cols1: list[str] | None = None,
     size: float | None = None,
     salt: bool = False,
+    subdivide_coords: int | None = None,
+    sliver_tolerance: float | None = None,
 ) -> ray.data.Dataset:
     """g1 ∩ union(candidates), layer1 attrs only (geoops.clip)."""
     return _per_row_overlay(
         ds1, ds2, "intersection", keep_no_candidate_rows=False,
         cols1=list(cols1 or _attr_cols(ds1)), size=size, salt=salt,
+        subdivide_coords=subdivide_coords, sliver_tolerance=sliver_tolerance,
     )
 
 
@@ -310,12 +425,15 @@ def difference(
     cols1: list[str] | None = None,
     size: float | None = None,
     salt: bool = False,
+    subdivide_coords: int | None = None,
+    sliver_tolerance: float | None = None,
 ) -> ray.data.Dataset:
     """g1 − union(candidates); no-candidate rows pass through
     (geoops.difference / deprecated erase)."""
     return _per_row_overlay(
         ds1, ds2, "difference", keep_no_candidate_rows=True,
         cols1=list(cols1 or _attr_cols(ds1)), size=size, salt=salt,
+        subdivide_coords=subdivide_coords, sliver_tolerance=sliver_tolerance,
     )
 
 

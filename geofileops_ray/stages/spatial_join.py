@@ -593,6 +593,16 @@ def export_by_location(
     include_disjoint = q.mentions_disjoint_true
     with_area = bool(area_inters_column_name or min_area_intersect)
     broadcast_limit = broadcast_limit or OPTIONS.broadcast_id_limit
+    if query.strip().lower() == "intersects is true" and not with_area:
+        # EXISTS(any piece intersects) ⟺ EXISTS(whole intersects): safe to
+        # subdivide complex layer2 geometries before the shuffle
+        # (reference complexpoly path, _geoops_sql.py:1893-1929; probe =
+        # one byte-length scan, no-op on simple layers)
+        from .overlay_ops import _SUBDIVIDE_DIFFERENCE, _subdivided_or_none
+
+        sub2 = _subdivided_or_none(ds2, _SUBDIVIDE_DIFFERENCE)
+        if sub2 is not None:
+            ds2 = sub2
     pairs = _matched_pairs_stream(
         ds1, ds2, q, size, salt,
         with_area=with_area, emit_candidates=include_disjoint,

@@ -93,3 +93,35 @@ def test_checkpointed_write_resume(ray_session, tmp_path):
         os.remove(os.path.join(ckpt, "lineage", f"{k}.json"))
     out3 = checkpointed_write(ds, ckpt)
     assert sorted(r["partition"] for r in out3) == [2, 5]
+
+
+def test_union_full_self_columns_pivot(ray_session):
+    """COLUMNS pivot (reference _union_full.py:365-416): i<n>_<col> wide
+    columns, one per covering rank, padded with nulls to the global max."""
+    from geofileops_ray.io.synth import parcels_dataset
+    from geofileops_ray.stages.compound import union_full_self
+
+    SF = "/root/testdata/sf0.001"
+    out = union_full_self(
+        parcels_dataset(SF), agg="columns", agg_cols=["OIDN"]
+    ).take_all()
+    maxn = max(r["nb_covering"] for r in out)
+    assert f"i{maxn}_OIDN" in out[0]
+    for r in out:
+        vals = [r[f"i{i + 1}_OIDN"] for i in range(maxn)]
+        nonnull = [v for v in vals if v is not None]
+        assert len(nonnull) == r["nb_covering"]
+        # sorted covering ids, nulls at the tail
+        assert nonnull == sorted(nonnull)
+        assert all(v is None for v in vals[r["nb_covering"]:])
+
+
+def test_pair_key_vectorized_matches_scalar():
+    import numpy as np
+
+    from geofileops_ray.stages.compound import _splitmix64, _splitmix64_np, _SM64_MASK
+
+    xs = np.array([0, 1, 2**40, 2**62, 123456789], dtype=np.int64)
+    got = _splitmix64_np(xs)
+    want = [(_splitmix64(int(x)) & _SM64_MASK) for x in xs]
+    assert got.tolist() == want

@@ -111,9 +111,73 @@ def _dp(ring: np.ndarray, tol: float) -> np.ndarray:
     return ring[keep]
 
 
-def simplify(arr: GeometryArray, tolerance: float) -> GeometryArray:
-    """Douglas–Peucker per ring. Rings that collapse (<4 pts) are dropped
-    (matching the reference's drop-empty post-step)."""
+def _lang(ring: np.ndarray, tol: float, lookahead: int = 8) -> np.ndarray:
+    """Lang (1969) look-ahead simplification on an open or closed
+    coordinate sequence: from the current key, try the segment to the
+    point ``lookahead`` ahead; if any intermediate point's perpendicular
+    distance exceeds ``tol``, shrink the window by one and retry; the
+    first window whose intermediates all fit becomes the next key.
+    Public algorithm; mirrors the reference's SimplifyAlgorithm.LANG
+    (_geometry_util.py:36, delegated to pygeoops)."""
+    n = len(ring)
+    if n <= 2:
+        return ring
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[-1] = True
+    key = 0
+    while key < n - 1:
+        end = min(key + lookahead, n - 1)
+        while end > key + 1:
+            seg = ring[end] - ring[key]
+            ln = np.hypot(*seg)
+            pts = ring[key + 1 : end]
+            if ln < 1e-300:
+                d = np.hypot(pts[:, 0] - ring[key][0], pts[:, 1] - ring[key][1])
+            else:
+                d = (
+                    np.abs(
+                        (pts[:, 0] - ring[key][0]) * seg[1]
+                        - (pts[:, 1] - ring[key][1]) * seg[0]
+                    )
+                    / ln
+                )
+            if (d <= tol).all():
+                break
+            end -= 1
+        keep[end] = True
+        key = end
+    return ring[keep]
+
+
+def _lang_plus(ring: np.ndarray, tol: float, lookahead: int = 8) -> np.ndarray:
+    """LANG+ (_geometry_util.py:37): repeat Lang passes until no more
+    points are removed."""
+    prev = len(ring)
+    out = _lang(ring, tol, lookahead)
+    while len(out) < prev and len(out) > 2:
+        prev = len(out)
+        out = _lang(out, tol, lookahead)
+    return out
+
+
+_SIMPLIFIERS = {
+    "rdp": lambda ring, tol, la: _dp(ring, tol),
+    "lang": lambda ring, tol, la: _lang(ring, tol, la),
+    "lang+": lambda ring, tol, la: _lang_plus(ring, tol, la),
+}
+
+
+def simplify(
+    arr: GeometryArray,
+    tolerance: float,
+    algorithm: str = "rdp",
+    lookahead: int = 8,
+) -> GeometryArray:
+    """Simplify per ring with the chosen algorithm ('rdp' Douglas–Peucker,
+    'lang', 'lang+'; reference SimplifyAlgorithm, _geometry_util.py:32-38).
+    Rings that collapse (<4 pts) are dropped (matching the reference's
+    drop-empty post-step)."""
+    simp = _SIMPLIFIERS[algorithm]
     geoms = []
     for i in range(len(arr)):
         t = int(arr.types[i])
@@ -126,15 +190,15 @@ def simplify(arr: GeometryArray, tolerance: float) -> GeometryArray:
             for ri, ring in enumerate(part):
                 if arr.part_types(i) == POLYGON:
                     ring = ensure_closed(ring)
-                    # anchor DP at the ring start; keep closure
-                    s = _dp(ring, tolerance)
+                    # anchor at the ring start; keep closure
+                    s = simp(ring, tolerance, lookahead)
                     if len(s) >= 4:
                         rings_out.append(ensure_closed(s))
                     elif ri == 0:
                         rings_out = []
                         break
                 elif arr.part_types(i) == LINESTRING:
-                    s = _dp(ring, tolerance)
+                    s = simp(ring, tolerance, lookahead)
                     if len(s) >= 2:
                         rings_out.append(s)
                 else:

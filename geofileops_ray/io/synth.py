@@ -567,3 +567,72 @@ def points_dataset(sf_dir: str, repeat: int = 1) -> ray.data.Dataset:
     return expand_documents(read_documents(sf_dir), repeat).map_batches(
         synth_points_batch, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+# ------------------------------------------------- zigzags (layer 7, lines)
+
+
+def synth_zigzag_batch(batch: pa.Table) -> pa.Table:
+    """documents batch → zigzag polylines for the LANG/LANG+ simplify
+    oracles: per doc, n_pts = 6 + h%40 points at (px+i, py+(i%2)*0.25).
+    Amplitude 0.25 < tol 0.5 means every Lang look-ahead window (8)
+    accepts at full width (perpendicular ≤ vertical deviation ≤ 0.25),
+    so kept-point count is the closed form 1 + ceil((n_pts-1)/8) and
+    LANG+ converges to the 2 endpoints — both SQL-expressible
+    (ZIGZAGS_CTE)."""
+    doc_id = batch.column("doc_id").to_numpy()
+    text = batch.column("text").to_pylist()
+    h = _hash(doc_id)
+    gx, gy = doc_id % GRID_W, doc_id // GRID_W
+    px = (gx * 10).astype(np.float64)
+    py = (gy * 10).astype(np.float64)
+    n_pts = (6 + h % 40).astype(np.int64)
+    nrows = len(doc_id)
+    sizes = 9 + n_pts * 16
+    offs = np.zeros(nrows + 1, dtype=np.int64)
+    np.cumsum(sizes, out=offs[1:])
+    buf = np.zeros(int(offs[-1]), dtype=np.uint8)
+    for r in range(nrows):
+        o = int(offs[r])
+        k = int(n_pts[r])
+        buf[o] = 1
+        buf[o + 1 : o + 5] = np.frombuffer(
+            np.uint32(2).tobytes(), dtype=np.uint8
+        )
+        buf[o + 5 : o + 9] = np.frombuffer(
+            np.uint32(k).tobytes(), dtype=np.uint8
+        )
+        i = np.arange(k, dtype=np.float64)
+        coords = np.empty((k, 2), dtype="<f8")
+        coords[:, 0] = px[r] + i
+        coords[:, 1] = py[r] + (i % 2) * 0.25
+        buf[o + 9 : o + 9 + k * 16] = coords.view(np.uint8).ravel()
+    geom = pa.Array.from_buffers(
+        pa.binary(),
+        nrows,
+        [None, pa.array(offs, pa.int32()).buffers()[1], pa.py_buffer(buf.tobytes())],
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_id, pa.int64()),
+            "spans": _spans_array(doc_id, text),
+            "geometry": geom,
+            "n_pts": pa.array(n_pts, pa.int64()),
+        }
+    )
+
+
+ZIGZAGS_CTE = """
+zigzags AS (
+  SELECT doc_id,
+         (doc_id % 100) * 10 AS px, (doc_id // 100) * 10 AS py,
+         6 + h % 40 AS n_pts
+  FROM (SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS h FROM documents)
+)
+"""
+
+
+def zigzags_dataset(sf_dir: str, repeat: int = 1) -> ray.data.Dataset:
+    return expand_documents(read_documents(sf_dir), repeat).map_batches(
+        synth_zigzag_batch, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -1024,6 +1024,47 @@ SELECT doc_id,
 FROM bowties ORDER BY 1"""
 
 
+def _zigzag_simplify_query(algorithm: str):
+    """LANG / LANG+ simplify over the zigzag line layer: amplitude
+    (0.25) < tolerance (0.5) makes the kept-point count closed-form
+    (synth.ZIGZAGS_CTE docstring); endpoints always survive."""
+
+    def q(sf):
+        from ..io.synth import zigzags_dataset
+
+        ds = sl.simplify(zigzags_dataset(sf), tolerance=0.5, algorithm=algorithm)
+
+        def fn(batch: pa.Table) -> pa.Table:
+            ga = from_wkb(batch.column("geometry").to_pylist())
+            last = np.array(
+                [ga._parts_of(i)[0][0][-1] for i in range(len(ga))], dtype=np.float64
+            ).reshape(-1, 2)
+            return pa.table(
+                {
+                    "doc_id": batch.column("doc_id"),
+                    "npoints": pa.array(
+                        ga.num_coords().astype(np.int64), pa.int64()
+                    ),
+                    "x_last": pa.array(last[:, 0], pa.float64()),
+                    "y_last": pa.array(last[:, 1], pa.float64()),
+                }
+            )
+
+        return ds.map_batches(fn, batch_format="pyarrow")
+
+    return q
+
+
+def _zigzag_oracle(npoints_expr: str) -> str:
+    from ..io.synth import ZIGZAGS_CTE
+
+    return f"""WITH {ZIGZAGS_CTE.strip()}
+SELECT doc_id, CAST({npoints_expr} AS BIGINT) AS npoints,
+  CAST(px + n_pts - 1 AS DOUBLE) AS x_last,
+  CAST(py + ((n_pts - 1) % 2) * 0.25 AS DOUBLE) AS y_last
+FROM zigzags ORDER BY 1"""
+
+
 # ------------------------------------------------------------- text queries
 
 
@@ -1155,6 +1196,8 @@ QUERIES = {
     "convexhull_tri": q_convexhull_tri,
     "isvalid_bowties": q_isvalid,
     "makevalid_bowties": q_makevalid,
+    "simplify_lang_counts": _zigzag_simplify_query("lang"),
+    "simplify_langp_counts": _zigzag_simplify_query("lang+"),
     "reproject_3857": q_reproject_3857,
     "intersection_lines": q_intersection_lines,
     "difference_lines": q_difference_lines,
@@ -1216,6 +1259,8 @@ ORACLES = {
     "convexhull_tri": O_CONVEXHULL_TRI,
     "isvalid_bowties": O_ISVALID,
     "makevalid_bowties": O_MAKEVALID,
+    "simplify_lang_counts": _zigzag_oracle("1 + CEIL((n_pts - 1) / 8.0)"),
+    "simplify_langp_counts": _zigzag_oracle("2"),
     "reproject_3857": O_REPROJECT,
     "intersection_lines": O_INTERSECTION_LINES(),
     "difference_lines": O_DIFFERENCE_LINES(),

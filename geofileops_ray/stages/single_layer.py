@@ -78,8 +78,18 @@ def convexhull(ds: ray.data.Dataset, **post) -> ray.data.Dataset:
     return _apply_op(ds, alg.convex_hull, **post)
 
 
-def simplify(ds: ray.data.Dataset, tolerance: float, **post) -> ray.data.Dataset:
-    return _apply_op(ds, lambda ga: alg.simplify(ga, tolerance), **post)
+def simplify(
+    ds: ray.data.Dataset,
+    tolerance: float,
+    algorithm: str = "rdp",
+    lookahead: int = 8,
+    **post,
+) -> ray.data.Dataset:
+    """Simplify with 'rdp' | 'lang' | 'lang+' (reference geoops.simplify
+    algorithm= param, SimplifyAlgorithm _geometry_util.py:32-38)."""
+    return _apply_op(
+        ds, lambda ga: alg.simplify(ga, tolerance, algorithm, lookahead), **post
+    )
 
 
 def makevalid(ds: ray.data.Dataset, **post) -> ray.data.Dataset:

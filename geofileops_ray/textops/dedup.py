@@ -137,10 +137,16 @@ def minhash_dedup_pairs(
     band_size: int = 4,
     jaccard_threshold: float = 0.5,
     text_col: str = "text",
+    bucket_cap: int = 2_000,
 ) -> ray.data.Dataset:
     """LSH candidate pairs verified with exact n-gram Jaccard:
     shingle → minhash → band → bucket groupby → per-bucket pairs →
-    exact verification. Returns (doc_id_a, doc_id_b, jaccard)."""
+    exact verification. Returns (doc_id_a, doc_id_b, jaccard).
+
+    ``bucket_cap`` bounds the O(n²) verify inside one LSH bucket: a
+    degenerate bucket (e.g. empty-text documents all sharing one band
+    key) is truncated to its first ``bucket_cap`` doc_ids (deterministic)
+    — without a cap one hot bucket is a quadratic scale hazard."""
     sigs = minhash_signatures(ds, num_hashes, shingle_k, band_size, text_col)
     texts = ds.map_batches(
         lambda b: pa.table({"doc_id": b.column("doc_id"), "text": b.column(text_col)}),
@@ -154,7 +160,7 @@ def minhash_dedup_pairs(
         uniq: dict[int, str] = {}
         for d, t in zip(ids, txt):
             uniq[int(d)] = t
-        items = sorted(uniq)
+        items = sorted(uniq)[:bucket_cap]
         a_out, b_out, j_out = [], [], []
         for x in range(len(items)):
             sx = set(_shingles(_norm_tokens(uniq[items[x]]), shingle_k))
@@ -250,21 +256,28 @@ def simhash(
 
     def fn(batch: pa.Table) -> pa.Table:
         texts = batch.column(text_col).to_pylist()
-        out = []
-        for t in texts:
-            toks = sorted(set(_norm_tokens(t)))
-            votes = np.zeros(bits, dtype=np.int64)
-            for tok in toks:
-                h = int(hashlib.md5(tok.encode()).hexdigest()[: bits // 4], 16)
-                for b in range(bits):
-                    votes[b] += 1 if (h >> b) & 1 else -1
-            sh = 0
-            for b in range(bits):
-                if votes[b] > 0:
-                    sh |= 1 << b
-            out.append(sh)
+        # flatten unique tokens per doc with offsets, hash each UNIQUE
+        # batch token once (memoized md5), then vote fully vectorized:
+        # bit matrix (ntok × bits) → per-doc reduceat sums
+        doc_toks: list[list[str]] = [sorted(set(_norm_tokens(t))) for t in texts]
+        offs = np.zeros(len(texts) + 1, dtype=np.int64)
+        np.cumsum([len(t) for t in doc_toks], out=offs[1:])
+        flat = [tok for toks in doc_toks for tok in toks]
+        uniq = sorted(set(flat))
+        hmap = {
+            tok: int(hashlib.md5(tok.encode()).hexdigest()[: bits // 4], 16)
+            for tok in uniq
+        }
+        hs = np.fromiter((hmap[t] for t in flat), dtype=np.int64, count=len(flat))
+        bitmat = ((hs[:, None] >> np.arange(bits)[None, :]) & 1) * 2 - 1
+        votes = np.zeros((len(texts), bits), dtype=np.int64)
+        nonempty = np.flatnonzero(np.diff(offs) > 0)
+        if len(nonempty) and len(flat):
+            sums = np.add.reduceat(bitmat, offs[nonempty], axis=0)
+            votes[nonempty] = sums
+        sh = ((votes > 0).astype(np.int64) << np.arange(bits)[None, :]).sum(axis=1)
         return pa.table(
-            {"doc_id": batch.column("doc_id"), "sh": pa.array(out, pa.int64())}
+            {"doc_id": batch.column("doc_id"), "sh": pa.array(sh, pa.int64())}
         )
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
@@ -301,103 +314,111 @@ def ngram_jaccard_pairs(
     shingle_k: int = 3,
     threshold: float = 0.2,
     text_col: str = "text",
+    max_df: int = 10_000,
 ) -> ray.data.Dataset:
-    """All-pairs n-gram Jaccard ≥ threshold via inverted-index shuffle:
-    explode (shingle → doc), groupby shingle emits co-occurring doc
-    pairs with counts, then groupby pair sums intersections and computes
-    J = |∩| / (|A| + |B| − |∩|). Exact — no LSH approximation."""
+    """All-pairs n-gram Jaccard ≥ threshold via inverted-index shuffle
+    with a DOCUMENT-FREQUENCY CEILING: shingles occurring in more than
+    ``max_df`` docs are excluded from the similarity space entirely (both
+    from pair generation AND per-doc sizes — like stopword removal), so a
+    hot shingle can never trigger O(df²) pair blowup. Deterministic and
+    mirrored exactly by the SQL oracle (same df filter).
+
+    Shape: explode → groupby(shingle) {df filter + pair emission} →
+    groupby(pair) count → distributed joins with the filtered per-doc
+    sizes. J = |∩| / (|A| + |B| − |∩|) over the capped space."""
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy()
         texts = batch.column(text_col).to_pylist()
-        out_id, out_sh, out_n = [], [], []
+        out_id, out_sh = [], []
         for d, t in zip(ids, texts):
-            sh = set(_shingles(_norm_tokens(t), shingle_k))
-            for s in sh:
+            for s in set(_shingles(_norm_tokens(t), shingle_k)):
                 out_id.append(int(d))
                 out_sh.append(s)
-                out_n.append(len(sh))
         return pa.table(
             {
                 "doc_id": pa.array(out_id, pa.int64()),
                 "shingle": pa.array(out_sh, pa.string()),
-                "n_shingles": pa.array(out_n, pa.int64()),
-            }
-        )
-
-    def pairs_of_shingle(group: pa.Table) -> pa.Table:
-        ids = group.column("doc_id").to_numpy()
-        ns = group.column("n_shingles").to_numpy()
-        order = np.argsort(ids)
-        ids, ns = ids[order], ns[order]
-        a_out, b_out, na, nb_ = [], [], [], []
-        for x in range(len(ids)):
-            for y in range(x + 1, len(ids)):
-                a_out.append(int(ids[x]))
-                b_out.append(int(ids[y]))
-                na.append(int(ns[x]))
-                nb_.append(int(ns[y]))
-        return pa.table(
-            {
-                "doc_id_a": pa.array(a_out, pa.int64()),
-                "doc_id_b": pa.array(b_out, pa.int64()),
-                "na": pa.array(na, pa.int64()),
-                "nb": pa.array(nb_, pa.int64()),
-            }
-        )
-
-    def jaccard_of_pair(group: pa.Table) -> pa.Table:
-        inter = len(group)
-        na = int(group.column("na")[0].as_py())
-        nb_ = int(group.column("nb")[0].as_py())
-        j = inter / (na + nb_ - inter)
-        if j < threshold:
-            return pa.table(
-                {
-                    "doc_id_a": pa.array([], pa.int64()),
-                    "doc_id_b": pa.array([], pa.int64()),
-                    "jaccard": pa.array([], pa.float64()),
-                }
-            )
-        return pa.table(
-            {
-                "doc_id_a": group.column("doc_id_a").slice(0, 1),
-                "doc_id_b": group.column("doc_id_b").slice(0, 1),
-                "jaccard": pa.array([round(j, 6)], pa.float64()),
             }
         )
 
     exploded = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
-    pairs = exploded.groupby("shingle").map_groups(
-        pairs_of_shingle, batch_format="pyarrow"
+
+    def kept_of_shingle(group: pa.Table) -> pa.Table:
+        if len(group) > max_df:
+            return group.slice(0, 0)
+        return group
+
+    kept = exploded.groupby("shingle").map_groups(
+        kept_of_shingle, batch_format="pyarrow"
+    ).materialize()
+
+    sizes = kept.groupby("doc_id").count()
+
+    def pairs_of_shingle(group: pa.Table) -> pa.Table:
+        ids = np.sort(group.column("doc_id").to_numpy())
+        n = len(ids)
+        a_out, b_out = [], []
+        for x in range(n):
+            a_out.extend([int(ids[x])] * (n - x - 1))
+            b_out.extend(int(v) for v in ids[x + 1 :])
+        return pa.table(
+            {
+                "doc_id_a": pa.array(a_out, pa.int64()),
+                "doc_id_b": pa.array(b_out, pa.int64()),
+            }
+        )
+
+    inter = (
+        kept.groupby("shingle")
+        .map_groups(pairs_of_shingle, batch_format="pyarrow")
+        .groupby(["doc_id_a", "doc_id_b"])
+        .count()
     )
-    keyed = pairs.map_batches(
-        lambda b: b.append_column(
-            "__pair",
-            pc.binary_join_element_wise(
-                pc.cast(b.column("doc_id_a"), pa.string()),
-                pc.cast(b.column("doc_id_b"), pa.string()),
-                "_",
-            ),
+    j1 = inter.join(
+        sizes.map_batches(
+            lambda b: b.rename_columns(["doc_id_a", "na"]), batch_format="pyarrow"
         ),
-        batch_format="pyarrow",
+        join_type="inner", num_partitions=8, on=("doc_id_a",),
     )
-    return (
-        keyed.groupby("__pair")
-        .map_groups(jaccard_of_pair, batch_format="pyarrow")
-        .drop_columns([])
+    j2 = j1.join(
+        sizes.map_batches(
+            lambda b: b.rename_columns(["doc_id_b", "nb"]), batch_format="pyarrow"
+        ),
+        join_type="inner", num_partitions=8, on=("doc_id_b",),
     )
 
+    def finish(batch: pa.Table) -> pa.Table:
+        i = batch.column("count()").to_numpy().astype(np.float64)
+        na = batch.column("na").to_numpy().astype(np.float64)
+        nb_ = batch.column("nb").to_numpy().astype(np.float64)
+        j = i / (na + nb_ - i)
+        keep_m = j >= threshold
+        idx = np.flatnonzero(keep_m)
+        return pa.table(
+            {
+                "doc_id_a": batch.column("doc_id_a").take(pa.array(idx)),
+                "doc_id_b": batch.column("doc_id_b").take(pa.array(idx)),
+                "jaccard": pa.array(np.round(j[idx], 6), pa.float64()),
+            }
+        )
 
-def ngram_jaccard_sql(shingle_k: int = 3, threshold: float = 0.2) -> str:
+    return j2.map_batches(finish, batch_format="pyarrow")
+
+
+def ngram_jaccard_sql(
+    shingle_k: int = 3, threshold: float = 0.2, max_df: int = 10_000
+) -> str:
     return f"""
 WITH toks AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') t FROM documents),
-sh AS (
+sh0 AS (
   SELECT DISTINCT doc_id,
          array_to_string(list_slice(t, i, i + {shingle_k - 1}), ' ') AS shingle
   FROM (SELECT doc_id, t, unnest(range(1, GREATEST(len(t) - {shingle_k - 1}, 1) + 1)) i
         FROM toks WHERE len(t) > 0)),
+dfs AS (SELECT shingle, count(*) df FROM sh0 GROUP BY 1),
+sh AS (SELECT sh0.* FROM sh0 JOIN dfs USING (shingle) WHERE dfs.df <= {max_df}),
 sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id da, b.doc_id db, count(*) i

@@ -422,6 +422,83 @@ SELECT doc_id, 2.0 * minx + 10.0 AS minx, 0.5 * miny - 3.0 AS miny,
 FROM parcels ORDER BY 1"""
 
 
+# GCP-based warp (rubbersheeting, geoops.py:1561-1612): a 3×3 control
+# grid over the point extent. The poly2 destination is itself an exact
+# quadratic, so the order-2 least-squares fit recovers it; the tps
+# destination has non-polynomial per-gcp bumps (TPS interpolates them
+# exactly). Both oracles embed the SAME fitted coefficients the engine
+# uses as SQL constants — the model evaluation is mirrored term by term.
+_GCP_GRID = [
+    (float(x), float(y)) for x in (0.0, 600.0, 1200.0) for y in (0.0, 600.0, 1200.0)
+]
+_POLY2_GCPS = [
+    (x, y, x + 0.015 * x + 2e-5 * x * y, y - 0.01 * y + 1e-5 * x * x + 5.0)
+    for x, y in _GCP_GRID
+]
+_TPS_GCPS = [
+    (x, y, x + ((i * 37) % 11) - 5.0, y + ((i * 53) % 13) - 6.0)
+    for i, (x, y) in enumerate(_GCP_GRID)
+]
+
+
+def _q_warp_gcps(gcps, algorithm, order=None):
+    from ..geom.measure import centroid as _centroid
+
+    def q(sf):
+        ds = sl.warp_gcps(points_dataset(sf), gcps, algorithm=algorithm, order=order)
+
+        def fn(batch: pa.Table) -> pa.Table:
+            ga = from_wkb(batch.column("geometry").to_pylist())
+            cen = _centroid(ga) if len(ga) else np.empty((0, 2))
+            return pa.table(
+                {
+                    "doc_id": batch.column("doc_id"),
+                    "x": pa.array(_round_half_up(cen[:, 0], 6), pa.float64()),
+                    "y": pa.array(_round_half_up(cen[:, 1], 6), pa.float64()),
+                }
+            )
+
+        return ds.map_batches(fn, batch_format="pyarrow")
+
+    return q
+
+
+def _o_warp_poly(gcps, order):
+    from ..geom import warpfit
+
+    ax, ay, order = warpfit.fit_polynomial(gcps, order)
+    terms = [
+        "1", "p.x", "p.y", "p.x*p.x", "p.x*p.y", "p.y*p.y",
+        "p.x*p.x*p.x", "p.x*p.x*p.y", "p.x*p.y*p.y", "p.y*p.y*p.y",
+    ]
+    ex = " + ".join(f"({float(c)!r})*{t}" for c, t in zip(ax, terms))
+    ey = " + ".join(f"({float(c)!r})*{t}" for c, t in zip(ay, terms))
+    return f"""{CTE}
+SELECT doc_id, ROUND({ex}, 6) AS x, ROUND({ey}, 6) AS y
+FROM points p ORDER BY 1"""
+
+
+def _o_warp_tps(gcps):
+    from ..geom import warpfit
+
+    src, wx, wy = warpfit.fit_tps(gcps)
+    n = len(src)
+
+    def expr(w):
+        parts = [f"({float(w[n])!r}) + ({float(w[n + 1])!r})*p.x + ({float(w[n + 2])!r})*p.y"]
+        for i in range(n):
+            sx, sy = float(src[i, 0]), float(src[i, 1])
+            r2 = f"((p.x-({sx!r}))*(p.x-({sx!r})) + (p.y-({sy!r}))*(p.y-({sy!r})))"
+            parts.append(
+                f"({float(w[i])!r})*(CASE WHEN {r2} > 0 THEN {r2}*LN({r2}) ELSE 0 END)"
+            )
+        return " + ".join(parts)
+
+    return f"""{CTE}
+SELECT doc_id, ROUND({expr(wx)}, 6) AS x, ROUND({expr(wy)}, 6) AS y
+FROM points p ORDER BY 1"""
+
+
 def q_spans_roundtrip(sf):
     """Span-sequence equality through a spatial semi-join: carry spans
     through export_by_location, fingerprint the output spans — the
@@ -1174,6 +1251,8 @@ QUERIES = {
     "simplify_counts": q_simplify,
     "update_column_area": q_update_column,
     "warp_affine": q_warp,
+    "warp_poly2": _q_warp_gcps(_POLY2_GCPS, "polynomial", 2),
+    "warp_tps": _q_warp_gcps(_TPS_GCPS, "tps"),
     "spans_roundtrip": q_spans_roundtrip,
     "sjoin_left": q_sjoin_left,
     "join_attributes": q_join_attributes,
@@ -1240,6 +1319,8 @@ ORACLES = {
     "simplify_counts": O_SIMPLIFY,
     "update_column_area": O_UPDATE_COLUMN,
     "warp_affine": O_WARP,
+    "warp_poly2": _o_warp_poly(_POLY2_GCPS, 2),
+    "warp_tps": _o_warp_tps(_TPS_GCPS),
     "spans_roundtrip": O_SPANS,
     "sjoin_left": O_SJOIN_LEFT,
     "join_attributes": O_JOIN_ATTRS,

@@ -42,41 +42,121 @@ from .spatial_join import _attr_cols, _prefixed_schema
 _GEOM = "geometry"
 
 
+def _knn_block(
+    ga1: GeometryArray,
+    ga2: GeometryArray,
+    k: int,
+    rects1: np.ndarray,
+    rects2: np.ndarray,
+    ids2: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized exact kNN of every ga1 row against the whole ga2 layer
+    by planar ST_Distance, ties broken by layer2 doc_id.
+
+    Returns flat ``(rows, js, dists)`` (row-major, pos order within a
+    row) plus per-row ``counts`` and ``kth`` (distance of the k-th
+    neighbour; +inf when fewer than k exist). Bbox-to-bbox lower-bound
+    distances (a true lower bound of pair_distance, exact when both
+    sides are axis-aligned rects/points) are computed as one (chunked)
+    numpy broadcast; exact refinement runs only for non-rect pairs
+    inside the argpartition window, and the window grows until no
+    excluded candidate's lower bound can beat the current k-th exact
+    distance."""
+    n1, n2 = len(ga1), len(ga2)
+    empty = np.empty(0, np.int64)
+    if n1 == 0 or n2 == 0:
+        return (
+            empty, empty, np.empty(0, np.float64),
+            np.zeros(n1, np.int64), np.full(n1, np.inf),
+        )
+    b1 = ga1.bounds()
+    b2 = ga2.bounds()
+    tie = ids2 if ids2 is not None else np.arange(n2, dtype=np.int64)
+    all_rect2 = bool(rects2.all())
+    out_rows: list[np.ndarray] = []
+    out_js: list[np.ndarray] = []
+    out_ds: list[np.ndarray] = []
+    counts = np.zeros(n1, np.int64)
+    kth = np.full(n1, np.inf)
+    # cap the (rows × n2) lower-bound matrix at ~32 MB per chunk
+    chunk = max(1, 4_000_000 // n2)
+    kk = min(k, n2)
+    for s in range(0, n1, chunk):
+        e = min(n1, s + chunk)
+        m = e - s
+        dx = np.maximum(
+            np.maximum(b2[None, :, 0] - b1[s:e, 2, None], b1[s:e, 0, None] - b2[None, :, 2]),
+            0.0,
+        )
+        dy = np.maximum(
+            np.maximum(b2[None, :, 1] - b1[s:e, 3, None], b1[s:e, 1, None] - b2[None, :, 3]),
+            0.0,
+        )
+        lb = np.hypot(dx, dy)
+        exact_chunk = all_rect2 and bool(rects1[s:e].all())
+        mcand = n2 if exact_chunk and kk == n2 else min(n2, max(kk + 8, 2 * kk))
+        while True:
+            if mcand < n2:
+                part = np.argpartition(lb, mcand - 1, axis=1)[:, :mcand]
+                # smallest lower bound among EXCLUDED candidates per row
+                excl_lb = np.partition(lb, mcand, axis=1)[:, mcand]
+            else:
+                part = np.broadcast_to(np.arange(n2), (m, n2)).copy()
+                excl_lb = np.full(m, np.inf)
+            d = np.take_along_axis(lb, part, axis=1)
+            if not exact_chunk:
+                nr = ~(rects1[s:e, None] & rects2[part])
+                if nr.any():
+                    ri, ci = np.nonzero(nr)
+                    for a, c in zip(ri, ci):
+                        d[a, c] = pair_distance(
+                            ga1, s + int(a), ga2, int(part[a, c])
+                        )
+            order = np.lexsort((tie[part], d), axis=1)[:, :kk]
+            js = np.take_along_axis(part, order, axis=1)
+            dd = np.take_along_axis(d, order, axis=1)
+            dk = dd[:, kk - 1] if kk else np.zeros(m)
+            # a tie at the cutoff (excl_lb == dk) could still swap in a
+            # smaller doc_id — widen the window until provably complete
+            if mcand >= n2 or not (excl_lb <= dk).any():
+                break
+            mcand = min(n2, mcand * 4)
+        out_rows.append(np.repeat(np.arange(s, e, dtype=np.int64), kk))
+        out_js.append(js.ravel().astype(np.int64))
+        out_ds.append(dd.ravel())
+        counts[s:e] = kk
+        kth[s:e] = dk if kk >= k else np.inf
+    return (
+        np.concatenate(out_rows), np.concatenate(out_js),
+        np.concatenate(out_ds), counts, kth,
+    )
+
+
+def _ranks(rows: np.ndarray) -> np.ndarray:
+    """1-based position within each run of equal (sorted) row ids."""
+    if len(rows) == 0:
+        return np.empty(0, np.int64)
+    starts = np.flatnonzero(np.r_[True, rows[1:] != rows[:-1]])
+    idx = np.arange(len(rows), dtype=np.int64)
+    lens = np.diff(np.r_[starts, len(rows)])
+    return idx - np.repeat(idx[starts], lens) + 1
+
+
 def _exact_knn(
     ga1: GeometryArray,
     i: int,
-    cen: np.ndarray,
     ga2: GeometryArray,
     k: int,
-    rects2: np.ndarray,
     ids2: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """(indices, distances) of the ≤k nearest layer2 rows to geometry i,
-    exact, via lower-bound ordering; ties broken by layer2 doc_id."""
-    b2 = ga2.bounds()
-    dx = np.maximum(np.maximum(b2[:, 0] - cen[0], cen[0] - b2[:, 2]), 0)
-    dy = np.maximum(np.maximum(b2[:, 1] - cen[1], cen[1] - b2[:, 3]), 0)
-    lb = np.hypot(dx, dy)
-    tie = ids2 if ids2 is not None else np.arange(len(lb))
-    order = np.lexsort((tie, lb))
-    out_i: list[int] = []
-    out_d: list[float] = []
-    kth = np.inf
-    for j in order:
-        if lb[j] > kth and len(out_i) >= k:
-            break
-        if rects2[j]:
-            d = lb[j]  # bbox distance is exact for rects/points
-        else:
-            d = pair_distance(ga1, i, ga2, int(j))
-        if len(out_i) < k or d < kth:
-            out_i.append(int(j))
-            out_d.append(float(d))
-            srt = sorted(range(len(out_i)), key=lambda s: (out_d[s], tie[out_i[s]]))[:k]
-            out_i = [out_i[s] for s in srt]
-            out_d = [out_d[s] for s in srt]
-            kth = out_d[-1] if len(out_i) >= k else np.inf
-    return np.asarray(out_i, dtype=np.int64), np.asarray(out_d)
+    """(indices, distances) of the ≤k nearest layer2 rows to geometry i
+    by brute-force ST_Distance, ties broken by layer2 doc_id. Test
+    oracle for _knn_block — not used in the pipeline."""
+    n2 = len(ga2)
+    d = np.array([pair_distance(ga1, i, ga2, j) for j in range(n2)])
+    tie = ids2 if ids2 is not None else np.arange(n2, dtype=np.int64)
+    order = np.lexsort((tie, d))[: min(k, n2)]
+    return order.astype(np.int64), d[order]
 
 
 def _broadcast_knn(
@@ -104,23 +184,17 @@ def _broadcast_knn(
     def fn(batch: pa.Table) -> pa.Table:
         t2, ga2_local, r2, i2 = _ray.get(ref)
         ga1 = from_wkb(batch.column(_GEOM))
-        cens = centroid(ga1) if len(ga1) else np.empty((0, 2))
-        rows1, rows2, poss, dists = [], [], [], []
-        for i in range(len(ga1)):
-            js, ds_ = _exact_knn(ga1, i, cens[i], ga2_local, k, r2, i2)
-            if not expand:
-                keep = ds_ <= radius
-                js, ds_ = js[keep], ds_[keep]
-            for rank, (j, d) in enumerate(zip(js, ds_), start=1):
-                rows1.append(i)
-                rows2.append(int(j))
-                poss.append(rank)
-                dists.append(float(d))
+        rects1 = detect_rects(ga1)
+        rows1, rows2, dists, _, _ = _knn_block(ga1, ga2_local, k, rects1, r2, i2)
+        if not expand:
+            keep = dists <= radius
+            rows1, rows2, dists = rows1[keep], rows2[keep], dists[keep]
+        poss = _ranks(rows1)
         left = batch.select(ordered1).take(pa.array(rows1, pa.int64()))
         right = t2.take(pa.array(rows2, pa.int64()))
         cols = {"l1_" + c: left.column(c) for c in ordered1}
         cols.update({"l2_" + c: right.column(c) for c in ordered2})
-        cols["pos"] = pa.array(poss, pa.int64())
+        cols["pos"] = pa.array(poss.astype(np.int64), pa.int64())
         cols["distance"] = pa.array(dists, pa.float64())
         return pa.table(cols)
 
@@ -218,27 +292,38 @@ def join_nearest(
             )
             ga1 = from_wkb(g1.column("l1_" + _GEOM).to_pylist())
             ga2 = from_wkb(g2.column("l2_" + _GEOM).to_pylist())
+            rects1 = detect_rects(ga1)
             rects2 = detect_rects(ga2)
             ids2 = g2.column("l2_doc_id").to_numpy()
-            cens = centroid(ga1) if len(ga1) else np.empty((0, 2))
-            rows1, rows2, poss, dists, done_flags = [], [], [], [], []
-            for i in range(len(ga1)):
-                js, ds_ = _exact_knn(ga1, i, cens[i], ga2, nb_nearest, rects2, ids2)
-                if not expand:
-                    keep = ds_ <= bound
-                    js, ds_ = js[keep], ds_[keep]
-                    done = True
+            rows1, rows2, dists, counts, kth = _knn_block(
+                ga1, ga2, nb_nearest, rects1, rects2, ids2
+            )
+            if not expand:
+                keep = dists <= bound
+                rows1, rows2, dists = rows1[keep], rows2[keep], dists[keep]
+                done_flags = np.ones(len(ga1), dtype=bool)
+            else:
+                if last_round:
+                    done_flags = np.ones(len(ga1), dtype=bool)
                 else:
-                    done = last_round or (
-                        len(js) >= nb_nearest and (len(ds_) == 0 or ds_[-1] <= bound)
-                    )
-                if done:
-                    for rank, (j, d) in enumerate(zip(js, ds_), start=1):
-                        rows1.append(i)
-                        rows2.append(int(j))
-                        poss.append(rank)
-                        dists.append(float(d))
-                done_flags.append(done)
+                    # a row is provably complete when no layer2 row ABSENT
+                    # from this cell group can beat its k-th distance:
+                    # absent rows have geom-dist > E - reach, where reach
+                    # is the centroid→farthest-bbox-corner distance of g1
+                    # (0 for points); so require kth + reach <= E
+                    if len(ga1):
+                        b1 = ga1.bounds()
+                        cens = centroid(ga1)
+                        reach = np.hypot(
+                            np.maximum(cens[:, 0] - b1[:, 0], b1[:, 2] - cens[:, 0]),
+                            np.maximum(cens[:, 1] - b1[:, 1], b1[:, 3] - cens[:, 1]),
+                        )
+                    else:
+                        reach = np.empty(0)
+                    done_flags = (counts >= nb_nearest) & (kth + reach <= bound)
+                keep = done_flags[rows1]
+                rows1, rows2, dists = rows1[keep], rows2[keep], dists[keep]
+            poss = _ranks(rows1)
             out1 = g1.take(pa.array(rows1, pa.int64()))
             out2 = g2.take(pa.array(rows2, pa.int64()))
             cols = {c: out1.column(c) for c in out1.column_names}

@@ -282,3 +282,41 @@ def warp(
         return ga.with_coords(out)
 
     return _apply_op(ds, kernel, **post)
+
+
+def warp_gcps(
+    ds: ray.data.Dataset,
+    gcps: list[tuple],
+    algorithm: str = "polynomial",
+    order: int | None = None,
+    **post,
+) -> ray.data.Dataset:
+    """GCP-based warp (rubbersheeting) — the full geoops.warp surface
+    (geoops.py:1561-1612, _geoops_ogr.py:80-108): ``algorithm`` is
+    "polynomial" (order 1/2/3, auto-selected from the gcp count when
+    None) or "tps". The transform is fitted ONCE here on the driver
+    (geom/warpfit.py) and the small coefficient vectors ride into every
+    map_batches task as closure state — per batch the whole coordinate
+    slab is transformed in one vectorized evaluation."""
+    from ..geom import warpfit
+
+    if algorithm == "polynomial":
+        ax, ay, order = warpfit.fit_polynomial(gcps, order)
+
+        def kernel(ga: GeometryArray) -> GeometryArray:
+            xy = ga.coords
+            nx, ny = warpfit.apply_polynomial(xy[:, 0], xy[:, 1], ax, ay, order)
+            return ga.with_coords(np.stack([nx, ny], axis=1))
+
+    elif algorithm == "tps":
+        src, wx, wy = warpfit.fit_tps(gcps)
+
+        def kernel(ga: GeometryArray) -> GeometryArray:
+            xy = ga.coords
+            nx, ny = warpfit.apply_tps(xy[:, 0], xy[:, 1], src, wx, wy)
+            return ga.with_coords(np.stack([nx, ny], axis=1))
+
+    else:
+        raise ValueError(f"algorithm must be 'polynomial' or 'tps', got {algorithm!r}")
+
+    return _apply_op(ds, kernel, **post)

@@ -325,3 +325,46 @@ def test_pair_key_no_collision():
     assert len(keys) == len(ids)
     # the OLD arithmetic key collided on these two:
     assert (1 * 1000003 + 1000003 % 1000003) == (1 * 1000003 + 2000006 % 1000003)
+
+
+def test_knn_block_matches_brute_force():
+    """_knn_block (vectorized, argpartition window + bbox lower bounds)
+    must agree with the brute-force ST_Distance oracle on mixed
+    rect/triangle/point layers, including overlapping geometries where
+    distances tie at 0 (doc_id tie-break)."""
+    import pyarrow as pa
+
+    from geofileops_ray.io.synth import point_wkb, rect_wkb, tri_wkb
+    from geofileops_ray.stages.knn import _exact_knn, _knn_block, _ranks
+    from geofileops_ray.stages.relation import detect_rects
+
+    rng = np.random.default_rng(42)
+
+    def layer(n):
+        kinds = rng.integers(0, 3, n)
+        parts = []
+        for i in range(n):
+            if kinds[i] == 0:
+                x0, x1 = np.sort(rng.uniform(0, 60, 2))
+                y0, y1 = np.sort(rng.uniform(0, 60, 2))
+                parts.append(rect_wkb([x0], [y0], [x1], [y1]))
+            elif kinds[i] == 1:
+                x, y, s = rng.uniform(0, 60), rng.uniform(0, 60), rng.uniform(1, 15)
+                parts.append(tri_wkb([x], [y], [x + s], [y], [x], [y + s]))
+            else:
+                parts.append(point_wkb([rng.uniform(0, 60)], [rng.uniform(0, 60)]))
+        return from_wkb(pa.concat_arrays([p.combine_chunks() if hasattr(p, "combine_chunks") else p for p in parts]))
+
+    ga1, ga2 = layer(37), layer(53)
+    ids2 = (rng.permutation(len(ga2)).astype(np.int64)) * 7
+    k = 3
+    rows, js, dd, counts, kth = _knn_block(
+        ga1, ga2, k, detect_rects(ga1), detect_rects(ga2), ids2
+    )
+    assert (counts == k).all()
+    for i in range(len(ga1)):
+        ej, ed = _exact_knn(ga1, i, ga2, k, ids2)
+        m = rows == i
+        assert np.array_equal(js[m], ej), f"row {i}"
+        assert np.allclose(dd[m], ed), f"row {i}"
+    assert _ranks(np.array([5, 5, 5, 9, 9, 11])).tolist() == [1, 2, 3, 1, 2, 1]

@@ -167,6 +167,29 @@ SELECT p.doc_id AS l1_doc_id, z.doc_id AS l2_doc_id, p.OIDN AS l1_OIDN,
 FROM parcels p JOIN zones z ON {OVER_ON} ORDER BY 1, 2"""
 
 
+def q_intersection_gridsize(sf):
+    """intersection(..., gridsize=2.0): the two-layer post-chain
+    (_geoops_sql.py:3626-3646 wraps every template with ST_ReducePrecision).
+    set_precision uses np.round = banker's rounding, mirrored bit-exactly
+    by DuckDB round_even; collapsed pieces are dropped (keep_empty=False)."""
+    ds = intersection(
+        parcels_dataset(sf), zones_dataset(sf), cols1=["OIDN"], cols2=[],
+        gridsize=2.0,
+    )
+    ds = _with_geom_area(ds, "area_snap")
+    return _select(ds, ["l1_doc_id", "l2_doc_id", "area_snap"])
+
+
+_SNAP2 = "round_even({c}/2.0, 0)*2.0"
+O_INTERSECTION_GRIDSIZE = f"""{CTE}
+SELECT l1_doc_id, l2_doc_id, ROUND(w*h, 4) AS area_snap FROM (
+  SELECT p.doc_id AS l1_doc_id, z.doc_id AS l2_doc_id,
+         {_SNAP2.format(c='LEAST(p.maxx,z.maxx)')} - {_SNAP2.format(c='GREATEST(p.minx,z.minx)')} AS w,
+         {_SNAP2.format(c='LEAST(p.maxy,z.maxy)')} - {_SNAP2.format(c='GREATEST(p.miny,z.miny)')} AS h
+  FROM parcels p JOIN zones z ON {OVER_ON}
+) WHERE w > 0 AND h > 0 ORDER BY 1, 2"""
+
+
 def q_clip(sf):
     ds = clip(parcels_dataset(sf), zones_dataset(sf), cols1=["OIDN"])
     ds = _with_geom_area(ds, "area_clip")
@@ -1240,6 +1263,7 @@ QUERIES = {
     "export_by_location_anti": q_export_anti,
     "export_by_distance": q_export_by_distance,
     "intersection_pairs": q_intersection,
+    "intersection_gridsize": q_intersection_gridsize,
     "clip_areas": q_clip,
     "difference_areas": q_difference,
     "join_nearest_k2": q_join_nearest,
@@ -1308,6 +1332,7 @@ ORACLES = {
     "export_by_location_anti": O_EXPORT_ANTI,
     "export_by_distance": O_EXPORT_DIST,
     "intersection_pairs": O_INTERSECTION,
+    "intersection_gridsize": O_INTERSECTION_GRIDSIZE,
     "clip_areas": O_CLIP,
     "difference_areas": O_DIFFERENCE,
     "join_nearest_k2": O_JOIN_NEAREST,

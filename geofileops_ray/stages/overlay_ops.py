@@ -199,6 +199,34 @@ def _filter_slivers(ds: ray.data.Dataset, tolerance: float) -> ray.data.Dataset:
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _apply_geom_post(
+    ds: ray.data.Dataset,
+    gridsize: float = 0.0,
+    explodecollections: bool = False,
+    where_post: str | None = None,
+    keep_empty_geoms: bool = False,
+) -> ray.data.Dataset:
+    """Standard post-chain on a two-layer op's output — the reference
+    wraps every two-layer SQL template with gridsize / explode /
+    where_post (_geoops_sql.py:3626-3646); here it is one extra
+    map_batches stage, applied only when a post option is set."""
+    if not (gridsize or explodecollections or where_post):
+        return ds
+    from .geometry_batch import geometry_op
+
+    fn = geometry_op(
+        lambda ga: ga,
+        gridsize=gridsize,
+        keep_empty_geoms=keep_empty_geoms,
+        explodecollections=explodecollections,
+        where_post=where_post,
+    )
+    return ds.map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=OPTIONS.batch_size,
+    )
+
+
 # reference subdivide triggers: 15000 coords for intersection-family ops,
 # 2000 for difference/export (geoops.py defaults, _geoops_sql.py:1893-1929)
 _SUBDIVIDE_INTERSECTION = 15_000
@@ -214,6 +242,9 @@ def intersection(
     salt: bool = False,
     subdivide_coords: int | None = None,
     sliver_tolerance: float | None = None,
+    gridsize: float = 0.0,
+    explodecollections: bool = False,
+    where_post: str | None = None,
 ) -> ray.data.Dataset:
     """Pairwise spatial intersection (inner overlay join).
 
@@ -264,7 +295,10 @@ def intersection(
         )
     if sliver_tolerance:
         out = _filter_slivers(out, sliver_tolerance)
-    return out
+    return _apply_geom_post(
+        out, gridsize=gridsize, explodecollections=explodecollections,
+        where_post=where_post,
+    )
 
 
 def _per_row_overlay(
@@ -410,12 +444,19 @@ def clip(
     salt: bool = False,
     subdivide_coords: int | None = None,
     sliver_tolerance: float | None = None,
+    gridsize: float = 0.0,
+    explodecollections: bool = False,
+    where_post: str | None = None,
 ) -> ray.data.Dataset:
     """g1 ∩ union(candidates), layer1 attrs only (geoops.clip)."""
-    return _per_row_overlay(
+    out = _per_row_overlay(
         ds1, ds2, "intersection", keep_no_candidate_rows=False,
         cols1=list(cols1 or _attr_cols(ds1)), size=size, salt=salt,
         subdivide_coords=subdivide_coords, sliver_tolerance=sliver_tolerance,
+    )
+    return _apply_geom_post(
+        out, gridsize=gridsize, explodecollections=explodecollections,
+        where_post=where_post,
     )
 
 
@@ -427,13 +468,20 @@ def difference(
     salt: bool = False,
     subdivide_coords: int | None = None,
     sliver_tolerance: float | None = None,
+    gridsize: float = 0.0,
+    explodecollections: bool = False,
+    where_post: str | None = None,
 ) -> ray.data.Dataset:
     """g1 − union(candidates); no-candidate rows pass through
     (geoops.difference / deprecated erase)."""
-    return _per_row_overlay(
+    out = _per_row_overlay(
         ds1, ds2, "difference", keep_no_candidate_rows=True,
         cols1=list(cols1 or _attr_cols(ds1)), size=size, salt=salt,
         subdivide_coords=subdivide_coords, sliver_tolerance=sliver_tolerance,
+    )
+    return _apply_geom_post(
+        out, gridsize=gridsize, explodecollections=explodecollections,
+        where_post=where_post,
     )
 
 
@@ -454,6 +502,9 @@ def identity(
     cols1: list[str] | None = None,
     cols2: list[str] | None = None,
     size: float | None = None,
+    gridsize: float = 0.0,
+    explodecollections: bool = False,
+    where_post: str | None = None,
 ) -> ray.data.Dataset:
     """intersection(a,b) ⊎ difference(a,b) (geoops.identity/split)."""
     cols1 = list(cols1 or _attr_cols(ds1))
@@ -468,7 +519,11 @@ def identity(
         + [f.name for f in f2]
         + [_GEOM]
     )
-    return _with_null_cols(inter, [], order).union(_with_null_cols(diff, f2, order))
+    out = _with_null_cols(inter, [], order).union(_with_null_cols(diff, f2, order))
+    return _apply_geom_post(
+        out, gridsize=gridsize, explodecollections=explodecollections,
+        where_post=where_post,
+    )
 
 
 def symmetric_difference(
@@ -477,6 +532,9 @@ def symmetric_difference(
     cols1: list[str] | None = None,
     cols2: list[str] | None = None,
     size: float | None = None,
+    gridsize: float = 0.0,
+    explodecollections: bool = False,
+    where_post: str | None = None,
 ) -> ray.data.Dataset:
     """difference(a,b) ⊎ difference(b,a), other-side columns null."""
     cols1 = list(cols1 or _attr_cols(ds1))
@@ -499,7 +557,11 @@ def symmetric_difference(
         ds2.schema().base_schema, "l2_", list(dict.fromkeys(["doc_id", *cols2]))
     )
     order = [f.name for f in f1] + [f.name for f in f2] + [_GEOM]
-    return _with_null_cols(d12, f2, order).union(_with_null_cols(d21, f1, order))
+    out = _with_null_cols(d12, f2, order).union(_with_null_cols(d21, f1, order))
+    return _apply_geom_post(
+        out, gridsize=gridsize, explodecollections=explodecollections,
+        where_post=where_post,
+    )
 
 
 def union(
@@ -508,6 +570,9 @@ def union(
     cols1: list[str] | None = None,
     cols2: list[str] | None = None,
     size: float | None = None,
+    gridsize: float = 0.0,
+    explodecollections: bool = False,
+    where_post: str | None = None,
 ) -> ray.data.Dataset:
     """intersection ⊎ difference(a,b) ⊎ difference(b,a) — the reference's
     5-step union composition (_geoops_sql.py:3136-3291)."""
@@ -522,4 +587,8 @@ def union(
         ds2.schema().base_schema, "l2_", list(dict.fromkeys(["doc_id", *cols2]))
     )
     order = [f.name for f in f1] + [f.name for f in f2] + [_GEOM]
-    return _with_null_cols(inter, [], order).union(sym)
+    out = _with_null_cols(inter, [], order).union(sym)
+    return _apply_geom_post(
+        out, gridsize=gridsize, explodecollections=explodecollections,
+        where_post=where_post,
+    )

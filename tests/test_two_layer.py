@@ -368,3 +368,54 @@ def test_knn_block_matches_brute_force():
         assert np.array_equal(js[m], ej), f"row {i}"
         assert np.allclose(dd[m], ed), f"row {i}"
     assert _ranks(np.array([5, 5, 5, 9, 9, 11])).tolist() == [1, 2, 3, 1, 2, 1]
+
+
+def test_two_layer_post_chain(ray_session, oracle):
+    """gridsize / where_post / explodecollections on two-layer ops —
+    the reference wraps every two-layer template with this post-chain
+    (_geoops_sql.py:3626-3646)."""
+    # gridsize=2.0 snaps the parcels×zones intersection rects to even
+    # coords (banker's rounding); DuckDB round_even mirrors np.round.
+    res = intersection(
+        parcels_dataset(SF), zones_dataset(SF), cols1=[], cols2=[], gridsize=2.0
+    ).take_all()
+    snap = "round_even({c}/2.0, 0)*2.0"
+    want = oracle.execute(
+        f"""{CTE}
+        SELECT l1, l2 FROM (
+          SELECT p.doc_id l1, z.doc_id l2,
+            {snap.format(c='LEAST(p.maxx,z.maxx)')} - {snap.format(c='GREATEST(p.minx,z.minx)')} w,
+            {snap.format(c='LEAST(p.maxy,z.maxy)')} - {snap.format(c='GREATEST(p.miny,z.miny)')} h
+          FROM parcels p JOIN zones z ON {OVER_ON}) WHERE w > 0 AND h > 0
+        ORDER BY 1, 2"""
+    ).fetchall()
+    got = sorted((r["l1_doc_id"], r["l2_doc_id"]) for r in res)
+    assert got == [tuple(w) for w in want]
+
+    # where_post filters on the output geometry's own area
+    res = difference(
+        parcels_dataset(SF), zones_dataset(SF), cols1=["OIDN"],
+        where_post="(maxx - minx) * (maxy - miny) >= 40",
+    ).take_all()
+    assert res
+    for r in res:
+        ga = from_wkb([r["geometry"]])
+        b = ga.bounds()[0]
+        assert (b[2] - b[0]) * (b[3] - b[1]) >= 40
+
+    # explodecollections: difference can yield multipolygons; exploded
+    # output must contain only single-part geometries with attrs copied
+    res = difference(
+        parcels_dataset(SF), zones_dataset(SF), cols1=["OIDN"],
+        explodecollections=True,
+    ).take_all()
+    plain = difference(
+        parcels_dataset(SF), zones_dataset(SF), cols1=["OIDN"]
+    ).take_all()
+    assert len(res) >= len(plain)
+    tot_plain = sum(area(from_wkb([r["geometry"]]))[0] for r in plain)
+    tot_expl = sum(area(from_wkb([r["geometry"]]))[0] for r in res)
+    assert abs(tot_plain - tot_expl) < 1e-6
+    for r in res[:50]:
+        ga = from_wkb([r["geometry"]])
+        assert len(ga._parts_of(0)) == 1

@@ -824,6 +824,27 @@ FROM (SELECT t.doc_id, z.doc_id zdoc, t.grp, z.naam, t.a a, t.b b, t.c c, {_OB}
 WHERE {_TRI_INTERSECTS} ORDER BY 1, 2"""
 
 
+def q_sjoin_mask_tri(sf):
+    """Raw DE-9IM masks through the GENERAL relate path (triangles are
+    not rects): the four I/B-vs-I/B masks ORed are exactly `intersects`
+    (reference ST_RelateMatch, _geoops_sql.py:2516-2578), so the
+    intersects oracle doubles as a full general-relate oracle."""
+    ds = join_by_location(
+        triangles_dataset(sf), zones_dataset(sf),
+        "T******** is True or *T******* is True"
+        " or ***T***** is True or ****T**** is True",
+        cols1=["grp"], cols2=[],
+    )
+    return _select(ds, ["l1_doc_id", "l2_doc_id", "l1_grp"])
+
+
+O_SJOIN_MASK_TRI = f"""{TRI_CTE}
+SELECT doc_id AS l1_doc_id, zdoc AS l2_doc_id, grp AS l1_grp
+FROM (SELECT t.doc_id, z.doc_id zdoc, t.grp, t.a a, t.b b, t.c c, {_OB}
+      FROM triangles t JOIN zones z ON {TRI_BBOX_ON})
+WHERE {_TRI_INTERSECTS} ORDER BY 1, 2"""
+
+
 def q_export_anti_tri(sf):
     ds = export_by_location(
         triangles_dataset(sf), zones_dataset(sf), "intersects is False"
@@ -1290,6 +1311,7 @@ QUERIES = {
     "identity_areas": q_identity,
     # irregular (non-rectangle) layer — general kernel coverage
     "sjoin_intersects_tri": q_sjoin_tri,
+    "sjoin_relate_mask_tri": q_sjoin_mask_tri,
     "export_by_location_anti_tri": q_export_anti_tri,
     "intersection_tri": q_intersection_tri,
     "clip_tri": q_clip_tri,
@@ -1356,6 +1378,7 @@ ORACLES = {
     "union_overlay_areas": O_UNION_OVERLAY,
     "identity_areas": O_IDENTITY,
     "sjoin_intersects_tri": O_SJOIN_TRI,
+    "sjoin_relate_mask_tri": O_SJOIN_MASK_TRI,
     "export_by_location_anti_tri": O_EXPORT_ANTI_TRI,
     "intersection_tri": O_INTERSECTION_TRI,
     "clip_tri": O_CLIP_TRI,

@@ -125,18 +125,18 @@ def _rect_relate(b1: np.ndarray, b2: np.ndarray, pt1: bool, pt2: bool) -> str:
 
 def relate_matrix(ga1, i: int, ga2, j: int) -> str:
     """DE-9IM matrix for a pair (ST_Relate analogue; raw-mask queries
-    compile through this, reference _geoops_sql.py:2516-2578). Exact for
-    the axis-aligned rect / point shapes; other geometry raises (named
-    predicates cover the general surface — documented limitation)."""
+    compile through this, reference _geoops_sql.py:2516-2578). Exact
+    interval-arithmetic fast path for axis-aligned rect / point shapes;
+    arbitrary polygon/line/point pairs go through the general
+    measure-derived computation (geom/relate.py)."""
     r1 = detect_rects(ga1.take(np.array([i])))
     r2 = detect_rects(ga2.take(np.array([j])))
     from ..geom.array import POINT
 
     if not (r1[0] and r2[0]):
-        raise NotImplementedError(
-            "raw DE-9IM masks are exact for rectangle/point geometries; "
-            "use named predicates for arbitrary shapes"
-        )
+        from ..geom.relate import relate_general
+
+        return relate_general(ga1, i, ga2, j)
     return _rect_relate(
         ga1.bounds()[i], ga2.bounds()[j],
         bool(ga1.types[i] == POINT), bool(ga2.types[j] == POINT),

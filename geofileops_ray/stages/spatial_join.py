@@ -641,46 +641,6 @@ def export_by_location(
     )
 
 
-def _broadcast_semi_attach(
-    l1: ray.data.Dataset,
-    keep: ray.data.Dataset,
-    id_col: str,
-    area_col: str | None = None,
-) -> ray.data.Dataset:
-    """Semi-join l1 against the (small) keep set by broadcasting the
-    sorted id array via ray.put; optional per-id scalar column attached
-    by the same binary search. Scales to ~10^8 matched ids per broadcast;
-    beyond that, shard the id set or fall back to a hash join."""
-    import ray as _ray
-
-    rows = keep.take_all()
-    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
-    order = np.argsort(ids)
-    ids = ids[order]
-    areas = (
-        np.array([rows[i][area_col] for i in order], dtype=np.float64)
-        if area_col
-        else None
-    )
-    ref = _ray.put((ids, areas))
-
-    def fn(batch: pa.Table) -> pa.Table:
-        kid, kar = _ray.get(ref)
-        mine = batch.column(id_col).to_numpy()
-        pos = np.searchsorted(kid, mine)
-        pos_c = np.clip(pos, 0, max(len(kid) - 1, 0))
-        hit = (len(kid) > 0) & (kid[pos_c] == mine)
-        idx = np.flatnonzero(hit)
-        out = batch.take(pa.array(idx))
-        if area_col:
-            out = out.append_column(
-                area_col, pa.array(kar[pos_c[idx]], pa.float64())
-            )
-        return out
-
-    return l1.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
-
-
 def export_by_distance(
     ds1: ray.data.Dataset,
     ds2: ray.data.Dataset,

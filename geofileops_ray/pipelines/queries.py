@@ -1336,6 +1336,7 @@ QUERIES = {
     "minhash_bands": lambda sf: td.minhash_signatures(_docs(sf)),
     "simhash32": lambda sf: td.simhash(_docs(sf)),
     "ngram_jaccard": lambda sf: td.ngram_jaccard_pairs(_docs(sf), threshold=0.2),
+    "dedup_clusters": lambda sf: td.dedup_clusters(_docs(sf), threshold=0.2),
     "embedding_topk10": q_topk,
     "embedding_neardup": q_neardup,
     # approximate / stub paths (rows-only checks; no oracle by design)
@@ -1402,6 +1403,7 @@ ORACLES = {
     "minhash_bands": td.minhash_sql(),
     "simhash32": td.simhash_sql(),
     "ngram_jaccard": td.ngram_jaccard_sql(threshold=0.2),
+    "dedup_clusters": td.dedup_clusters_sql(threshold=0.2),
     "embedding_topk10": ts.topk_sql(0, 10),
     "embedding_neardup": ts.neardup_sql(0.4),
     "media_metadata": O_MEDIA_METADATA,

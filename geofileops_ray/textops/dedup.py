@@ -430,3 +430,154 @@ FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
 WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {threshold}
 ORDER BY 1, 2
 """
+
+
+def connected_components(
+    pairs: ray.data.Dataset,
+    nodes: ray.data.Dataset,
+    max_rounds: int = 20,
+) -> ray.data.Dataset:
+    """Distributed connected components over a near-duplicate pair graph:
+    (doc_id, cluster_id) with cluster_id = min doc_id in the component.
+    The step a pair list alone cannot give you — dedup keeps ONE doc per
+    component, so the transitive closure of pairs must be computed.
+
+    Min-label propagation: each round every node takes the min label
+    among itself and its neighbours. The neighbour lookup is a sort-based
+    cogroup (union of tagged edge/label rows → groupby(node).map_groups)
+    followed by a groupby-min — two shuffles of O(|E|) rows per round,
+    labels materialized between rounds, never the edge set re-derived.
+    Rounds needed = graph diameter; near-dup components are near-cliques
+    (diameter ≤ ~3), so 3–4 rounds in practice. Convergence is detected
+    by the monotone label sum, so no extra equality join. For adversarial
+    long-chain graphs swap in star-contraction (O(log n) rounds, same
+    building blocks).
+
+    ``nodes`` supplies the full doc_id universe so pairless docs come out
+    as their own singleton cluster.
+    """
+
+    def both_dir(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_id_a").to_numpy()
+        b = batch.column("doc_id_b").to_numpy()
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate([a, b]), pa.int64()),
+                "src": pa.array(np.concatenate([b, a]), pa.int64()),
+                "label": pa.array(np.full(2 * len(a), -1), pa.int64()),
+            }
+        )
+
+    # adjacency rows (node, src, -1); label rows are (node, -1, label)
+    edges = pairs.map_batches(
+        both_dir, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def init(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        return pa.table(
+            {
+                "node": ids,
+                "src": pa.array(np.full(len(batch), -1), pa.int64()),
+                "label": ids,
+            }
+        )
+
+    lab = nodes.map_batches(
+        init, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def propagate(group: pa.Table) -> pa.Table:
+        src = group.column("src").to_numpy()
+        lbl = group.column("label").to_numpy()
+        own = lbl[src == -1]
+        if len(own) == 0:  # defensive: edges to a node outside `nodes`
+            return group.slice(0, 0)
+        v = int(own.min())
+        node = int(group.column("node")[0].as_py())
+        out_nodes = np.concatenate([src[src != -1], [node]])
+        return pa.table(
+            {
+                "node": pa.array(out_nodes, pa.int64()),
+                "src": pa.array(np.full(len(out_nodes), -1), pa.int64()),
+                "label": pa.array(np.full(len(out_nodes), v), pa.int64()),
+            }
+        )
+
+    def unmin(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0 or len(b) == 0:
+            return pa.table(
+                {
+                    "node": pa.array([], pa.int64()),
+                    "src": pa.array([], pa.int64()),
+                    "label": pa.array([], pa.int64()),
+                }
+            )
+        n = len(b)
+        return pa.table(
+            {
+                "node": b.column("node"),
+                "src": pa.array(np.full(n, -1), pa.int64()),
+                "label": b.column("min(label)"),
+            }
+        )
+
+    prev_sum = None
+    for _ in range(max_rounds):
+        lab = (
+            edges.union(lab)
+            .groupby("node")
+            .map_groups(propagate, batch_format="pyarrow")
+            .groupby("node")
+            .min("label")
+            .map_batches(unmin, batch_format="pyarrow")
+            .materialize()
+        )
+        s = lab.sum("label")
+        if s == prev_sum:
+            break
+        prev_sum = s
+
+    return lab.map_batches(
+        lambda b: pa.table(
+            {"doc_id": b.column("node"), "cluster_id": b.column("label")}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def dedup_clusters(
+    ds: ray.data.Dataset,
+    shingle_k: int = 3,
+    threshold: float = 0.2,
+    max_df: int = 10_000,
+) -> ray.data.Dataset:
+    """ngram-Jaccard pairs → connected components → (doc_id, cluster_id).
+    Keep `cluster_id == doc_id` rows (component minimum) to dedup."""
+    pairs = ngram_jaccard_pairs(
+        ds, shingle_k=shingle_k, threshold=threshold, max_df=max_df
+    )
+    nodes = ds.map_batches(
+        lambda b: b.select(["doc_id"]), batch_format="pyarrow"
+    )
+    return connected_components(pairs, nodes)
+
+
+def dedup_clusters_sql(
+    shingle_k: int = 3, threshold: float = 0.2, max_df: int = 10_000
+) -> str:
+    """Recursive-CTE transitive closure mirror of dedup_clusters."""
+    pairs = ngram_jaccard_sql(shingle_k, threshold, max_df).strip()
+    return f"""
+WITH RECURSIVE pairs AS ({pairs}),
+edges AS (
+  SELECT doc_id_a u, doc_id_b v FROM pairs
+  UNION ALL SELECT doc_id_b, doc_id_a FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+lab AS (SELECT u doc_id, LEAST(u, MIN(v)) cid FROM reach GROUP BY u)
+SELECT d.doc_id, COALESCE(lab.cid, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN lab USING (doc_id) ORDER BY 1
+"""

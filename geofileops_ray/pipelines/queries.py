@@ -672,13 +672,41 @@ def q_dissolve_within_distance(sf):
 
 
 def q_select_two_layers(sf):
-    """rows-only: per-cell user SQL (cell replication not mirrorable)."""
+    """User SQL (bbox pair join) per cell. Both sides are replicated to
+    every cell their bbox touches, so any bbox-intersecting pair
+    co-occurs in >=1 cell; a distinct groupby collapses the cross-cell
+    replica pairs — giving an exact SQL mirror."""
     from ..stages.compound import select_two_layers
 
-    return select_two_layers(
-        parcels_dataset(sf), zones_dataset(sf),
-        "SELECT count(*) AS n_parcels FROM layer1",
+    def with_bbox(batch: pa.Table) -> pa.Table:
+        ga = from_wkb(batch.column("geometry").to_pylist())
+        b = ga.bounds()
+        for j, nm in enumerate(("minx", "miny", "maxx", "maxy")):
+            batch = batch.append_column(nm, pa.array(b[:, j], pa.float64()))
+        return batch.select(["doc_id", "geometry", "minx", "miny", "maxx", "maxy"])
+
+    l1 = parcels_dataset(sf).map_batches(
+        with_bbox, batch_format="pyarrow", zero_copy_batch=True
     )
+    l2 = zones_dataset(sf).map_batches(
+        with_bbox, batch_format="pyarrow", zero_copy_batch=True
+    )
+    ds = select_two_layers(
+        l1, l2,
+        "SELECT layer1.doc_id AS l1_doc_id, layer2.doc_id AS l2_doc_id "
+        "FROM layer1 JOIN layer2 "
+        "ON layer1.minx <= layer2.maxx AND layer1.maxx >= layer2.minx "
+        "AND layer1.miny <= layer2.maxy AND layer1.maxy >= layer2.miny",
+    )
+    return ds.groupby(["l1_doc_id", "l2_doc_id"]).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    )
+
+
+O_SELECT_TWO_LAYERS = f"""{CTE}
+SELECT p.doc_id AS l1_doc_id, z.doc_id AS l2_doc_id
+FROM parcels p JOIN zones z ON {BBOX_ON}
+ORDER BY 1, 2"""
 
 
 def q_symmetric_difference(sf):
@@ -1401,6 +1429,8 @@ ORACLES = {
     "fingerprint": ta.FINGERPRINT_SQL,
     "exact_dedup": td.EXACT_DEDUP_SQL,
     "minhash_bands": td.minhash_sql(),
+    "minhash_dedup_pairs": td.minhash_pairs_sql(jaccard_threshold=0.2),
+    "select_two_layers": O_SELECT_TWO_LAYERS,
     "simhash32": td.simhash_sql(),
     "ngram_jaccard": td.ngram_jaccard_sql(threshold=0.2),
     "dedup_clusters": td.dedup_clusters_sql(threshold=0.2),

@@ -11,6 +11,7 @@ just smoke-tested.
 from __future__ import annotations
 
 import hashlib
+import math
 import re
 
 import numpy as np
@@ -172,7 +173,9 @@ def minhash_dedup_pairs(
                 if j >= jaccard_threshold:
                     a_out.append(items[x])
                     b_out.append(items[y])
-                    j_out.append(round(j, 6))
+                    # SQL ROUND semantics (half away from zero), so the
+                    # DuckDB oracle (minhash_pairs_sql) hash-matches
+                    j_out.append(math.floor(j * 1e6 + 0.5) / 1e6)
         return pa.table(
             {
                 "doc_id_a": pa.array(a_out, pa.int64()),
@@ -217,8 +220,8 @@ def minhash_dedup_pairs(
     )
 
 
-def minhash_sql(num_hashes: int = 16, band_size: int = 4, shingle_k: int = 3) -> str:
-    """DuckDB mirror of minhash_signatures (same md5 min semantics)."""
+def _minhash_ctes(num_hashes: int, band_size: int, shingle_k: int) -> str:
+    """Shared CTE chain: tokens → shingles → md5 minhash sig → bands."""
     nb = num_hashes // band_size
     band_rows = []
     for b in range(nb):
@@ -228,8 +231,7 @@ def minhash_sql(num_hashes: int = 16, band_size: int = 4, shingle_k: int = 3) ->
     sig_cols = ", ".join(
         f"min(CASE WHEN k = {i} THEN h END) AS s{i}" for i in range(num_hashes)
     )
-    return f"""
-WITH toks AS (
+    return f"""toks AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') t FROM documents),
 sh AS (
   SELECT doc_id,
@@ -240,8 +242,50 @@ hs AS (
   SELECT doc_id, k, md5(CAST(k AS VARCHAR) || '|' || shingle) h
   FROM sh, generate_series(0, {num_hashes - 1}) ks(k)),
 sig AS (
-  SELECT doc_id, {sig_cols} FROM hs GROUP BY doc_id)
-SELECT * FROM ({bands_sql}) ORDER BY doc_id, band_id
+  SELECT doc_id, {sig_cols} FROM hs GROUP BY doc_id),
+bands AS ({bands_sql})"""
+
+
+def minhash_sql(num_hashes: int = 16, band_size: int = 4, shingle_k: int = 3) -> str:
+    """DuckDB mirror of minhash_signatures (same md5 min semantics)."""
+    return f"""
+WITH {_minhash_ctes(num_hashes, band_size, shingle_k)}
+SELECT doc_id, band_id, band_key FROM bands ORDER BY doc_id, band_id
+"""
+
+
+def minhash_pairs_sql(
+    num_hashes: int = 16,
+    band_size: int = 4,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> str:
+    """DuckDB mirror of minhash_dedup_pairs: candidates = doc pairs
+    sharing any LSH band bucket, verified with the same exact
+    distinct-shingle-set Jaccard and threshold. (The engine's
+    ``bucket_cap`` never binds at oracle scale — no degenerate bucket
+    exists because empty-token docs have no signature rows.)"""
+    return f"""
+WITH {_minhash_ctes(num_hashes, band_size, shingle_k)},
+shs AS (SELECT DISTINCT doc_id, shingle FROM sh),
+ssz AS (SELECT doc_id, count(*) AS n FROM shs GROUP BY doc_id),
+cand AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+ji AS (
+  SELECT c.da, c.db, count(*) AS n_int
+  FROM cand c
+  JOIN shs x ON x.doc_id = c.da
+  JOIN shs y ON y.doc_id = c.db AND y.shingle = x.shingle
+  GROUP BY c.da, c.db)
+SELECT ji.da AS doc_id_a, ji.db AS doc_id_b,
+       ROUND(CAST(ji.n_int AS DOUBLE) / (sa.n + sb.n - ji.n_int), 6) AS jaccard
+FROM ji
+JOIN ssz sa ON sa.doc_id = ji.da
+JOIN ssz sb ON sb.doc_id = ji.db
+WHERE CAST(ji.n_int AS DOUBLE) / (sa.n + sb.n - ji.n_int) >= {jaccard_threshold}
+ORDER BY 1, 2
 """
 
 

@@ -33,6 +33,12 @@ class Options:
     # ceil(count / salt_target) salted sub-keys (SURVEY.md §3.2 "Ray shape")
     salt_threshold: int = _env_int("GFR_SALT_THRESHOLD", 4000)
     salt_target: int = _env_int("GFR_SALT_TARGET", 2000)
+    # dissolve auto cell sizing: target rows per shuffle cell. The first
+    # dissolve pass picks cell_size = sqrt(extent_area * target / nrows)
+    # (clamped to >= cell_size) so per-cell union work stays constant as
+    # the dataset grows — a fixed edge length over-shards sparse data and
+    # under-shards dense data at 1000x scale
+    dissolve_cell_rows: int = _env_int("GFR_DISSOLVE_CELL_ROWS", 600)
     # subdivide geometries with more coords than this before two-layer ops
     # (reference default: 2000 for difference, 15000 for intersection,
     # geofileops _geoops_sql.py:1893-1929)

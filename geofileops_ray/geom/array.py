@@ -179,12 +179,43 @@ class GeometryArray:
         return out
 
     def take(self, indices: np.ndarray) -> "GeometryArray":
-        """Gather a new GeometryArray for the given geometry indices."""
+        """Gather a new GeometryArray for the given geometry indices —
+        fully vectorized (three levels of ragged gather, no per-geometry
+        Python)."""
         indices = np.asarray(indices, dtype=np.int64)
-        geoms = []
-        for i in indices:
-            geoms.append((int(self.types[i]), self._parts_of(int(i))))
-        return GeometryArray.from_parts(geoms)
+
+        def ragged(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
+            total = int(counts.sum())
+            if total == 0:
+                return np.empty(0, dtype=np.int64)
+            base = np.zeros(len(counts), dtype=np.int64)
+            np.cumsum(counts[:-1], out=base[1:])
+            return np.repeat(starts - base, counts) + np.arange(
+                total, dtype=np.int64
+            )
+
+        g0 = self.geom_offsets[indices]
+        nparts = self.geom_offsets[indices + 1] - g0
+        part_idx = ragged(g0, nparts)
+        p0 = self.part_offsets[part_idx]
+        nrings = self.part_offsets[part_idx + 1] - p0
+        ring_idx = ragged(p0, nrings)
+        r0 = self.ring_offsets[ring_idx]
+        ncoords = self.ring_offsets[ring_idx + 1] - r0
+        coord_idx = ragged(r0, ncoords)
+        geom_offsets = np.zeros(len(indices) + 1, dtype=np.int64)
+        np.cumsum(nparts, out=geom_offsets[1:])
+        part_offsets = np.zeros(len(part_idx) + 1, dtype=np.int64)
+        np.cumsum(nrings, out=part_offsets[1:])
+        ring_offsets = np.zeros(len(ring_idx) + 1, dtype=np.int64)
+        np.cumsum(ncoords, out=ring_offsets[1:])
+        return GeometryArray(
+            types=self.types[indices].copy(),
+            geom_offsets=geom_offsets,
+            part_offsets=part_offsets,
+            ring_offsets=ring_offsets,
+            coords=self.coords[coord_idx],
+        )
 
     def _parts_of(self, i: int) -> list[list[np.ndarray]]:
         parts = []

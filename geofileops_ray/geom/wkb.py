@@ -114,17 +114,161 @@ def _fast_decode(values: list) -> GeometryArray | None:
 def from_wkb_packed(blob: bytes, offsets: np.ndarray) -> GeometryArray:
     """Decode a packed concatenation of WKB blobs given its boundary
     offsets (n+1 int) — the zero-join path for pre-assembled piece blobs
-    (dissolve final stage). Falls back to list decode for shapes outside
-    the vectorized point/single-ring-polygon fast path."""
+    (dissolve final stage). Hybrid: the point/single-ring-polygon subset
+    decodes fully vectorized; only pieces outside that shape (holes,
+    multipolygons) take the list decode, stitched back in input order —
+    so a few complex pieces never drag the whole batch to Python."""
     offsets = np.asarray(offsets, dtype=np.int64)
     n = len(offsets) - 1
     buf = np.frombuffer(blob, dtype=np.uint8)
-    fast = _fast_decode_packed(buf, offsets[:-1], np.diff(offsets))
+    offs, lens = offsets[:-1], np.diff(offsets)
+    fast = _fast_decode_packed(buf, offs, lens)
     if fast is not None:
         return fast
-    return from_wkb(
-        [bytes(blob[offsets[i] : offsets[i + 1]]) for i in range(n)]
+    from .array import concat as _concat
+
+    mask = _fast_eligible(buf, offs, lens)
+    rest = np.flatnonzero(~mask)
+    # second vectorized tier: little-endian multi-ring POLYGONs (holes)
+    safe = np.where(lens[rest] >= 13, offs[rest], 0)
+    rest_poly = (
+        (lens[rest] >= 13) & (buf[safe] == 1) & (_u32(buf, safe + 1) == POLYGON)
     )
+    poly_idx = rest[rest_poly]
+    ga_poly = (
+        _packed_decode_polys(buf, offs[poly_idx], lens[poly_idx])
+        if len(poly_idx)
+        else None
+    )
+    if ga_poly is None:
+        poly_idx = np.empty(0, dtype=np.int64)
+    slow_idx = np.setdiff1d(rest, poly_idx, assume_unique=True)
+    if not mask.any() and ga_poly is None:
+        return from_wkb(
+            [bytes(blob[offsets[i] : offsets[i + 1]]) for i in range(n)]
+        )
+    parts: list[GeometryArray] = []
+    order_parts: list[np.ndarray] = []
+    if mask.any():
+        parts.append(_fast_decode_packed(buf, offs[mask], lens[mask]))
+        order_parts.append(np.flatnonzero(mask))
+    if ga_poly is not None:
+        parts.append(ga_poly)
+        order_parts.append(poly_idx)
+    if len(slow_idx):
+        parts.append(
+            from_wkb([bytes(blob[offsets[i] : offsets[i + 1]]) for i in slow_idx])
+        )
+        order_parts.append(slow_idx)
+    order = np.concatenate(order_parts)
+    inv = np.empty(n, dtype=np.int64)
+    inv[order] = np.arange(n, dtype=np.int64)
+    return _concat(parts).take(inv)
+
+
+def _u32(buf: np.ndarray, pos: np.ndarray) -> np.ndarray:
+    return (
+        buf[pos].astype(np.int64)
+        | (buf[pos + 1].astype(np.int64) << 8)
+        | (buf[pos + 2].astype(np.int64) << 16)
+        | (buf[pos + 3].astype(np.int64) << 24)
+    )
+
+
+def _packed_decode_polys(
+    buf: np.ndarray, offs: np.ndarray, lens: np.ndarray
+) -> GeometryArray | None:
+    """Vectorized decode of little-endian POLYGON blobs with ANY ring
+    count (holes): the only Python loop runs over the MAX ring count of
+    the batch (ring j's byte offset depends on ring j-1's size — a
+    prefix-scan dependency), with every iteration fully vectorized over
+    pieces. Returns None on any structural surprise → caller falls back."""
+    n = len(offs)
+    if n == 0:
+        return None
+    ends = offs + lens
+    nrings = _u32(buf, offs + 5)
+    if (nrings <= 0).any():
+        return None
+    maxr = int(nrings.max())
+    if maxr > 256:
+        return None
+    cur = (offs + 9).copy()
+    npts_mat = np.zeros((n, maxr), dtype=np.int64)
+    doff_mat = np.zeros((n, maxr), dtype=np.int64)
+    valid = np.zeros((n, maxr), dtype=bool)
+    for j in range(maxr):
+        act = nrings > j
+        c = cur[act]
+        if ((c + 4) > ends[act]).any():
+            return None
+        npts_j = _u32(buf, c)
+        e = c + 4 + 16 * npts_j
+        if (e > ends[act]).any() or (npts_j < 4).any():
+            return None
+        npts_mat[act, j] = npts_j
+        doff_mat[act, j] = c + 4
+        valid[act, j] = True
+        cur[act] = e
+    if (cur != ends).any():
+        return None
+    # row-major boolean select keeps (piece, ring-within-piece) order
+    npts = npts_mat[valid]
+    doffs = doff_mat[valid]
+    nbytes = npts * 16
+    total = int(nbytes.sum())
+    base = np.zeros(len(nbytes), dtype=np.int64)
+    np.cumsum(nbytes[:-1], out=base[1:])
+    gather = np.repeat(doffs - base, nbytes) + np.arange(total, dtype=np.int64)
+    coords = buf[gather].view("<f8").reshape(-1, 2).astype(np.float64, copy=False)
+    ring_offsets = np.zeros(len(npts) + 1, dtype=np.int64)
+    np.cumsum(npts, out=ring_offsets[1:])
+    part_offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(nrings, out=part_offsets[1:])
+    return GeometryArray(
+        types=np.full(n, POLYGON, dtype=np.int8),
+        geom_offsets=np.arange(n + 1, dtype=np.int64),
+        part_offsets=part_offsets,
+        ring_offsets=ring_offsets,
+        coords=coords,
+    )
+
+
+def _fast_eligible(
+    buf: np.ndarray, offs: np.ndarray, lens: np.ndarray
+) -> np.ndarray:
+    """Per-piece mask of blobs the packed fast path can decode (little-
+    endian point, or single-ring polygon with a consistent length)."""
+    n = len(offs)
+    ok = lens >= 21
+    safe = np.where(ok, offs, 0)
+    ok &= buf[safe] == 1
+    t = (
+        buf[safe + 1].astype(np.int64)
+        | (buf[safe + 2].astype(np.int64) << 8)
+        | (buf[safe + 3].astype(np.int64) << 16)
+        | (buf[safe + 4].astype(np.int64) << 24)
+    )
+    is_pt = ok & (t == POINT)
+    is_poly = ok & (t == POLYGON)
+    ok &= is_pt | is_poly
+    ok &= ~is_pt | (lens == 21)
+    if is_poly.any():
+        nrings = (
+            buf[safe + 5].astype(np.int64)
+            | (buf[safe + 6].astype(np.int64) << 8)
+            | (buf[safe + 7].astype(np.int64) << 16)
+            | (buf[safe + 8].astype(np.int64) << 24)
+        )
+        npts = (
+            buf[safe + 9].astype(np.int64)
+            | (buf[safe + 10].astype(np.int64) << 8)
+            | (buf[safe + 11].astype(np.int64) << 16)
+            | (buf[safe + 12].astype(np.int64) << 24)
+        )
+        poly_ok = (nrings == 1) & (13 + 16 * npts == lens)
+        ok &= ~is_poly | poly_ok
+    return ok
 
 
 def _fast_decode_packed(

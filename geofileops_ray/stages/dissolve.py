@@ -29,6 +29,8 @@ value-list column (only when requested — they are holistic).
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pyarrow as pa
 
@@ -353,7 +355,6 @@ def dissolve(
     """
     groupby = list(groupby or [])
     agg_columns = list(agg_columns or [])
-    size0 = cell_size or OPTIONS.cell_size
 
     sample = ds.limit(1).take_all()
     if not sample:
@@ -361,6 +362,35 @@ def dissolve(
     t = from_wkb([sample[0][_GEOM]]).part_types(0)
     if t != POLYGON:
         return _dissolve_lines_points(ds, groupby, agg_columns)
+
+    if cell_size is None:
+        # adaptive cell sizing: one cheap bounds+count aggregate, then
+        # size cells so each holds ~OPTIONS.dissolve_cell_rows rows —
+        # constant per-cell union work at any data scale (a fixed edge
+        # length over-shards sparse layers and under-shards dense ones)
+        from ray.data.aggregate import Count as _Count
+        from ray.data.aggregate import Max as _Max
+        from ray.data.aggregate import Min as _Min
+
+        from .geometry_batch import add_bounds as _add_bounds
+
+        ds = ds.materialize()
+        st = ds.map_batches(
+            lambda t_: _add_bounds(t_).select(["minx", "miny", "maxx", "maxy"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).aggregate(
+            _Min("minx"), _Min("miny"), _Max("maxx"), _Max("maxy"), _Count()
+        )
+        nrows = max(int(st["count()"]), 1)
+        w = max(float(st["max(maxx)"]) - float(st["min(minx)"]), 1e-9)
+        h = max(float(st["max(maxy)"]) - float(st["min(miny)"]), 1e-9)
+        size0 = max(
+            math.sqrt(w * h * OPTIONS.dissolve_cell_rows / nrows),
+            OPTIONS.cell_size,
+        )
+    else:
+        size0 = cell_size
 
     sch = ds.schema().base_schema
     numeric = (
@@ -672,41 +702,49 @@ def dissolve(
 
     def final_group(group: pa.Table) -> pa.Table:
         _t0 = _time.perf_counter() if _verbose else 0.0
-        from ..geom.array import MULTIPOLYGON
-        from ..geom.array import concat as ga_concat
-        from ..geom.wkb import encode_polygonal_one
+        import struct
 
-        pieces: list[GeometryArray] = []
+        from ..geom.wkb import to_wkb as _to_wkb
+
+        # only the leftover border pieces can touch anything — decode,
+        # union, re-encode each union part as a standalone POLYGON blob
         gb, n_brd = _packed_ga(group, "__brd_blob", "__brd_offs")
+        brd_blobs: list[bytes] = []
         if gb is not None:
-            # only the leftover border pieces need the union sweep —
-            # interior pieces are strictly inside their cell and can
-            # never touch anything
             uparts = _union_group_polygons(gb, np.arange(len(gb)))
             if uparts:
-                pieces.append(
-                    GeometryArray.from_parts([(MULTIPOLYGON, uparts)])
+                brd_blobs = _to_wkb(
+                    GeometryArray.from_parts([(POLYGON, [p]) for p in uparts])
                 )
-        gi, n_int = _packed_ga(group, "__int_blob", "__int_offs")
-        if gi is not None:
-            pieces.append(gi)
-        if pieces:
-            combined = ga_concat(pieces)
-            nparts = len(combined.part_offsets) - 1
-            # ONE output (multi)polygon assembled at the offset level —
-            # every part of every piece becomes a part, zero per-part python
-            g = GeometryArray(
-                types=np.array(
-                    [POLYGON if nparts == 1 else MULTIPOLYGON], np.int8
-                ),
-                geom_offsets=np.array([0, nparts], np.int64),
-                part_offsets=combined.part_offsets,
-                ring_offsets=combined.ring_offsets,
-                coords=combined.coords,
+        # interior pieces are packed little-endian POLYGON WKBs, and a
+        # MULTIPOLYGON body is exactly a concatenation of POLYGON WKBs —
+        # so the output geometry is assembled at the BYTE level: zero
+        # decode, zero re-encode, regardless of piece count
+        int_blobs = group.column("__int_blob").to_pylist()
+        offs_lst = group.column("__int_offs").combine_chunks()
+        if isinstance(offs_lst, pa.ChunkedArray):
+            offs_lst = (
+                offs_lst.chunk(0)
+                if offs_lst.num_chunks
+                else pa.array([], pa.list_(pa.int64()))
             )
-            wkb_out = encode_polygonal_one(g, 0)
-        else:
+        n_int = int(
+            (offs_lst.value_lengths().cast(pa.int64()).sum().as_py() or 0)
+        ) - len(offs_lst)
+        nparts = n_int + len(brd_blobs)
+        if nparts == 0:
             wkb_out = None
+        elif nparts == 1:
+            wkb_out = brd_blobs[0] if brd_blobs else b"".join(int_blobs)
+        else:
+            wkb_out = b"".join(
+                [
+                    b"\x01\x06\x00\x00\x00",
+                    struct.pack("<I", nparts),
+                    *brd_blobs,
+                    *int_blobs,
+                ]
+            )
         cols = {k: group.column(k).slice(0, 1) for k in groupby}
         state = _combine_partials(group, np.arange(len(group)), agg_columns, holistic)
         for out_name, v in _finalize_partials(state, agg_columns, holistic).items():

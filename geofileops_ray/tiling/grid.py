@@ -145,3 +145,190 @@ def tile_assignments(
         )
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def zonal_rasterize(
+    ds: ray.data.Dataset,
+    bounds: tuple[float, float, float, float],
+    nb_tiles: int,
+    pixels_per_tile: int = 8,
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Zonal rasterize: burn geometries onto the shared squarish tile
+    grid refined to ``pixels_per_tile`` × ``pixels_per_tile`` pixels per
+    tile; output one row per NONZERO pixel with the count of geometries
+    covering the pixel center (the raster half of the reference's
+    raster↔vector tiling; grid identical to ``tile_assignments``).
+
+    Scale shape: per-batch partial histograms (np.unique combiner over
+    the batch's covered-pixel ids) → one small ``groupby(pixel).sum`` —
+    the shuffle is bounded by the raster resolution, never by the input
+    row count. Rect geometries take a fully vectorized center-in-bbox
+    path; general polygons test candidate centers with the crossing-
+    number kernel (vectorized over pixels per geometry)."""
+    from ..geom.array import POLYGON, MULTIPOLYGON
+    from ..geom.predicates import points_in_polygon
+    from ..stages.geometry_batch import decode_geometry
+    from ..stages.relation import detect_rects
+
+    ox, oy, dx, dy, ncols, nrows = _grid_params(bounds, nb_tiles)
+    P = pixels_per_tile
+    pw, ph = dx / P, dy / P
+    npx, npy = ncols * P, nrows * P
+
+    def _cand_window(b: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        # candidate pixel index window from the bbox, ±1 margin; the
+        # exact inclusive center-in-geometry test below decides
+        c0 = np.clip(np.floor((b[:, 0] - ox) / pw - 0.5).astype(np.int64) - 1, 0, npx - 1)
+        c1 = np.clip(np.ceil((b[:, 2] - ox) / pw - 0.5).astype(np.int64) + 1, 0, npx - 1)
+        r0 = np.clip(np.floor((b[:, 1] - oy) / ph - 0.5).astype(np.int64) - 1, 0, npy - 1)
+        r1 = np.clip(np.ceil((b[:, 3] - oy) / ph - 0.5).astype(np.int64) + 1, 0, npy - 1)
+        return c0, c1, r0, r1
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ga = decode_geometry(batch)
+        b = ga.bounds()
+        rects = detect_rects(ga)
+        c0, c1, r0, r1 = _cand_window(b)
+        covered: list[np.ndarray] = []
+        # rect fast path: the covered pixels form an index box — keep
+        # centers inclusively inside the bbox (covers semantics)
+        for i in np.flatnonzero(rects):
+            ci = np.arange(c0[i], c1[i] + 1)
+            cx = ox + (ci + 0.5) * pw
+            ci = ci[(cx >= b[i, 0]) & (cx <= b[i, 2])]
+            ri = np.arange(r0[i], r1[i] + 1)
+            cy = oy + (ri + 0.5) * ph
+            ri = ri[(cy >= b[i, 1]) & (cy <= b[i, 3])]
+            if len(ci) and len(ri):
+                covered.append((ri[:, None] * npx + ci[None, :]).ravel())
+        for i in np.flatnonzero(~rects):
+            if ga.types[i] not in (POLYGON, MULTIPOLYGON):
+                continue  # raster burn is a polygon-coverage op
+            ci = np.arange(c0[i], c1[i] + 1)
+            ri = np.arange(r0[i], r1[i] + 1)
+            if not (len(ci) and len(ri)):
+                continue
+            cx = ox + (ci + 0.5) * pw
+            cy = oy + (ri + 0.5) * ph
+            pts = np.column_stack(
+                [np.tile(cx, len(ri)), np.repeat(cy, len(ci))]
+            )
+            inside = points_in_polygon(pts, ga, int(i), boundary_counts=True)
+            if inside.any():
+                pix = np.repeat(ri, len(ci)) * npx + np.tile(ci, len(ri))
+                covered.append(pix[inside])
+        if covered:
+            pix, cnt = np.unique(np.concatenate(covered), return_counts=True)
+        else:
+            pix = np.empty(0, dtype=np.int64)
+            cnt = np.empty(0, dtype=np.int64)
+        return pa.table(
+            {
+                "pixel_id": pa.array(pix, pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    agg = ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True).groupby(
+        "pixel_id"
+    ).sum("n")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        pix = batch.column("pixel_id").to_numpy()
+        pcol = pix % npx
+        prow = pix // npx
+        tile = (prow // P) * ncols + (pcol // P)
+        return pa.table(
+            {
+                "tile_id": pa.array(tile, pa.int64()),
+                "pcol": pa.array(pcol, pa.int64()),
+                "prow": pa.array(prow, pa.int64()),
+                "n_covered": batch.column("sum(n)").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def vector_tile_cut(
+    ds: ray.data.Dataset,
+    bounds: tuple[float, float, float, float],
+    nb_tiles: int,
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Vector tile cut: clip every polygon to each tile of the shared
+    squarish grid its bbox interior-overlaps, emitting one piece row
+    (id, tile_id, geometry) per non-empty intersection — the vector half
+    of the raster↔vector tiling pair (reference's dissolve clip-to-tile,
+    _geoops_gpd.py:2070-2083, generalized to a standalone stage).
+
+    Stateless vectorized-per-batch map; no shuffle. Rect inputs take the
+    closed-form bbox∩tile path; general polygons run Sutherland–Hodgman
+    ring clipping (convex clip window — exact)."""
+    from ..geom.array import GeometryArray, POLYGON, MULTIPOLYGON
+    from ..geom.overlay import clip_ring_rect, ring_signed_area
+    from ..geom.wkb import to_wkb
+    from ..stages.geometry_batch import decode_geometry
+    from ..stages.relation import detect_rects
+
+    ox, oy, dx, dy, ncols, nrows = _grid_params(bounds, nb_tiles)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ga = decode_geometry(batch)
+        b = ga.bounds()
+        ids = batch.column(id_col).to_numpy()
+        rects = detect_rects(ga)
+        # tiles whose INTERIOR the bbox overlaps (strict: a piece must
+        # have area, so edge-touching tiles are excluded)
+        c0 = np.clip(np.floor((b[:, 0] - ox) / dx).astype(np.int64), 0, ncols - 1)
+        c1 = np.clip(np.ceil((b[:, 2] - ox) / dx).astype(np.int64) - 1, 0, ncols - 1)
+        r0 = np.clip(np.floor((b[:, 1] - oy) / dy).astype(np.int64), 0, nrows - 1)
+        r1 = np.clip(np.ceil((b[:, 3] - oy) / dy).astype(np.int64) - 1, 0, nrows - 1)
+        out_id: list[int] = []
+        out_tile: list[int] = []
+        out_geom: list[tuple[int, list[list[np.ndarray]]]] = []
+        for i in range(len(ga)):
+            if ga.types[i] not in (POLYGON, MULTIPOLYGON):
+                continue
+            parts = None
+            for r in range(r0[i], r1[i] + 1):
+                for c in range(c0[i], c1[i] + 1):
+                    rect = (
+                        ox + c * dx, oy + r * dy,
+                        ox + (c + 1) * dx, oy + (r + 1) * dy,
+                    )
+                    if rects[i]:
+                        x0 = max(b[i, 0], rect[0]); y0 = max(b[i, 1], rect[1])
+                        x1 = min(b[i, 2], rect[2]); y1 = min(b[i, 3], rect[3])
+                        if x1 <= x0 or y1 <= y0:
+                            continue
+                        piece = [[np.array(
+                            [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]]
+                        )]]
+                    else:
+                        if parts is None:
+                            parts = ga._parts_of(i)
+                        piece = []
+                        for part in parts:
+                            rings = [clip_ring_rect(rr, rect) for rr in part]
+                            rings = [rr for rr in rings if len(rr) >= 4]
+                            if rings and abs(ring_signed_area(rings[0])) > 0:
+                                piece.append(rings)
+                        if not piece:
+                            continue
+                    out_id.append(int(ids[i]))
+                    out_tile.append(r * ncols + c)
+                    out_geom.append(
+                        (POLYGON if len(piece) == 1 else MULTIPOLYGON, piece)
+                    )
+        wkbs = to_wkb(GeometryArray.from_parts(out_geom))
+        return pa.table(
+            {
+                id_col: pa.array(out_id, pa.int64()),
+                "tile_id": pa.array(out_tile, pa.int64()),
+                "geometry": pa.array(wkbs, pa.binary()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

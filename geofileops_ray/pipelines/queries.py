@@ -314,22 +314,22 @@ SELECT GEWASGROEP, ROUND(MEDIAN(OPPERVL), 3) AS med_oppervl,
 FROM parcels GROUP BY 1 ORDER BY 1"""
 
 
-def q_tile_assign(sf):
+def _layer_bounds(ds: ray.data.Dataset) -> tuple[float, float, float, float]:
+    """Layer extent via a column-pruned distributed aggregate (the
+    LayerInfo.total_bounds analogue, geofileops fileops.py:322-460)."""
     from ray.data.aggregate import Max, Min
 
     from ..stages.geometry_batch import add_bounds
 
-    # layer extent via a column-pruned distributed aggregate (the
-    # LayerInfo.total_bounds analogue, geofileops fileops.py:322-460)
-    b = (
-        parcels_dataset(sf)
-        .map_batches(
-            lambda t: add_bounds(t).select(["minx", "miny", "maxx", "maxy"]),
-            batch_format="pyarrow",
-        )
-        .aggregate(Min("minx"), Min("miny"), Max("maxx"), Max("maxy"))
-    )
-    bounds = (b["min(minx)"], b["min(miny)"], b["max(maxx)"], b["max(maxy)"])
+    b = ds.map_batches(
+        lambda t: add_bounds(t).select(["minx", "miny", "maxx", "maxy"]),
+        batch_format="pyarrow",
+    ).aggregate(Min("minx"), Min("miny"), Max("maxx"), Max("maxy"))
+    return (b["min(minx)"], b["min(miny)"], b["max(maxx)"], b["max(maxy)"])
+
+
+def q_tile_assign(sf):
+    bounds = _layer_bounds(parcels_dataset(sf))
     out = tile_assignments(parcels_dataset(sf), bounds, 16)
     return _select(out, ["doc_id", "tile_id", "center_tile"])
 
@@ -356,6 +356,137 @@ SELECT doc_id, (r0 + i // (c1 - c0 + 1)) * nc + c0 + i % (c1 - c0 + 1) AS tile_i
        cr * nc + cc AS center_tile
 FROM (SELECT *, unnest(range(0, (c1 - c0 + 1) * (r1 - r0 + 1))) i FROM asn)
 ORDER BY 1, 2"""
+
+
+# squarish-grid params over the parcels extent, mirrored from
+# tiling/grid.py _grid_params (identical float op order)
+_GRID_G2_SQL = """
+bb AS (SELECT MIN(minx) x0, MIN(miny) y0, MAX(maxx) x1, MAX(maxy) y1 FROM parcels),
+g AS (SELECT x0, y0, GREATEST(x1-x0, 1e-9) w, GREATEST(y1-y0, 1e-9) h,
+        GREATEST(1, CAST(FLOOR(SQRT(16 * GREATEST(x1-x0,1e-9) / GREATEST(y1-y0,1e-9)) + 0.5) AS BIGINT)) nc
+      FROM bb),
+g2 AS (SELECT x0, y0, w, h, nc, CAST(CEIL(16.0 / nc) AS BIGINT) nr FROM g)
+"""
+
+
+def q_zonal_rasterize(sf):
+    """Raster half of the raster↔vector tiling pair: per-pixel coverage
+    counts on the shared 16-tile squarish grid at 4×4 px/tile."""
+    from ..tiling.grid import zonal_rasterize
+
+    bounds = _layer_bounds(parcels_dataset(sf))
+    out = zonal_rasterize(parcels_dataset(sf), bounds, 16, pixels_per_tile=4)
+    return _select(out, ["tile_id", "pcol", "prow", "n_covered"])
+
+
+O_ZONAL_RASTERIZE = f"""{CTE},
+{_GRID_G2_SQL.strip()},
+pxy AS (SELECT x0, y0, w, h, nc, nr, pc, unnest(range(0, nr * 4)) AS pr
+        FROM (SELECT *, unnest(range(0, nc * 4)) AS pc FROM g2)),
+ctr AS (SELECT nc, pc, pr,
+               x0 + (pc + 0.5) * ((w / nc) / 4) AS cx,
+               y0 + (pr + 0.5) * ((h / nr) / 4) AS cy
+        FROM pxy)
+SELECT (pr // 4) * nc + (pc // 4) AS tile_id, pc AS pcol, pr AS prow,
+       COUNT(*) AS n_covered
+FROM ctr JOIN parcels p
+  ON cx >= p.minx AND cx <= p.maxx AND cy >= p.miny AND cy <= p.maxy
+GROUP BY 1, 2, 3 ORDER BY 2, 3"""
+
+
+def q_vector_tile_cut(sf):
+    """Vector half of the tiling pair: clip every parcel to each grid
+    tile its interior overlaps; project piece areas for the oracle."""
+    from ..tiling.grid import vector_tile_cut
+
+    bounds = _layer_bounds(parcels_dataset(sf))
+    out = vector_tile_cut(parcels_dataset(sf), bounds, 16)
+    out = _with_geom_area(out, "piece_area")
+    return _select(out, ["doc_id", "tile_id", "piece_area"])
+
+
+O_VECTOR_TILE_CUT = f"""{CTE},
+{_GRID_G2_SQL.strip()},
+tiles AS (SELECT x0, y0, w, h, nc, nr, unnest(range(0, nc * nr)) AS tile_id FROM g2),
+t2 AS (SELECT tile_id,
+              x0 + (tile_id % nc) * (w / nc) AS tx0,
+              y0 + (tile_id // nc) * (h / nr) AS ty0,
+              x0 + ((tile_id % nc) + 1) * (w / nc) AS tx1,
+              y0 + ((tile_id // nc) + 1) * (h / nr) AS ty1
+       FROM tiles)
+SELECT p.doc_id, t.tile_id,
+       ROUND((LEAST(p.maxx, t.tx1) - GREATEST(p.minx, t.tx0))
+           * (LEAST(p.maxy, t.ty1) - GREATEST(p.miny, t.ty0)), 4) AS piece_area
+FROM parcels p JOIN t2 t
+  ON LEAST(p.maxx, t.tx1) > GREATEST(p.minx, t.tx0)
+ AND LEAST(p.maxy, t.ty1) > GREATEST(p.miny, t.ty0)
+ORDER BY 1, 2"""
+
+
+# --------------------------------------------- complex-geometry overlay
+# A few huge comb polygons (4·T+4 vertices) × all parcels — exercises the
+# auto-subdivide probe-and-reunion path of intersection() end-to-end
+# (reference complexpoly benchmarks; _geoops_sql.py:1893-1929,:2027-2070).
+_COMB_T = 200
+_COMB_ORIGINS = ((1, 5.0, 10.0), (2, 5.0, 30.0), (3, 5.0, 50.0))
+
+
+def _comb_wkb(cx0: float, cy0: float, teeth: int) -> bytes:
+    """Rectilinear comb: spine [0,2T]×[0,1] + T upward teeth
+    [2t,2t+1]×[1,11], one CCW ring of 4·T+4 vertices."""
+    from ..geom import to_wkb
+    from ..geom.array import POLYGON, GeometryArray
+    from ..geom.overlay import ring_signed_area
+
+    pts = [(0.0, 0.0), (2.0 * teeth, 0.0), (2.0 * teeth, 1.0)]
+    for t in range(teeth - 1, -1, -1):
+        pts += [
+            (2.0 * t + 1.0, 1.0),
+            (2.0 * t + 1.0, 11.0),
+            (2.0 * t, 11.0),
+            (2.0 * t, 1.0),
+        ]
+    pts.append((0.0, 0.0))
+    ring = np.asarray(pts, dtype=np.float64)
+    ring[:, 0] += cx0
+    ring[:, 1] += cy0
+    if ring_signed_area(ring) < 0:
+        ring = ring[::-1].copy()
+    ga = GeometryArray.from_parts([(POLYGON, [[ring]])])
+    return to_wkb(ga)[0]
+
+
+def q_intersection_complex(sf):
+    combs = ray.data.from_items(
+        [
+            {"doc_id": cid, "geometry": _comb_wkb(x, y, _COMB_T)}
+            for cid, x, y in _COMB_ORIGINS
+        ]
+    )
+    ds = intersection(
+        parcels_dataset(sf), combs, cols1=["OIDN"], cols2=[],
+        subdivide_coords=100,
+    )
+    ds = _with_geom_area(ds, "area_inters")
+    return _select(ds, ["l1_doc_id", "l2_doc_id", "l1_OIDN", "area_inters"])
+
+
+O_INTERSECTION_COMPLEX = f"""{CTE},
+combs AS (SELECT * FROM (VALUES (1, 5.0, 10.0), (2, 5.0, 30.0), (3, 5.0, 50.0))
+          AS t(comb_id, ox, oy)),
+parts AS (
+  SELECT comb_id, ox AS x0, oy AS y0, ox + {2 * _COMB_T}.0 AS x1, oy + 1.0 AS y1
+  FROM combs
+  UNION ALL
+  SELECT comb_id, ox + 2 * t, oy + 1.0, ox + 2 * t + 1.0, oy + 11.0
+  FROM combs, (SELECT unnest(range(0, {_COMB_T})) AS t)
+)
+SELECT p.doc_id AS l1_doc_id, c.comb_id AS l2_doc_id, p.OIDN AS l1_OIDN,
+       ROUND(SUM((LEAST(p.maxx, c.x1) - GREATEST(p.minx, c.x0))
+               * (LEAST(p.maxy, c.y1) - GREATEST(p.miny, c.y0))), 4) AS area_inters
+FROM parcels p JOIN parts c
+  ON p.minx < c.x1 AND p.maxx > c.x0 AND p.miny < c.y1 AND p.maxy > c.y0
+GROUP BY 1, 2, 3 ORDER BY 1, 2"""
 
 
 def q_buffer(sf):
@@ -1319,6 +1450,9 @@ QUERIES = {
     "dissolve_gewasgroep": q_dissolve,
     "dissolve_median_json": q_dissolve_median_json,
     "tile_assignments_16": q_tile_assign,
+    "zonal_rasterize_16": q_zonal_rasterize,
+    "vector_tile_cut_16": q_vector_tile_cut,
+    "intersection_complexpoly": q_intersection_complex,
     "buffer_area": q_buffer,
     "convexhull_area": q_convexhull,
     "simplify_counts": q_simplify,
@@ -1390,6 +1524,9 @@ ORACLES = {
     "dissolve_gewasgroep": O_DISSOLVE,
     "dissolve_median_json": O_DISSOLVE_MEDIAN_JSON,
     "tile_assignments_16": _o_tile_assign(),
+    "zonal_rasterize_16": O_ZONAL_RASTERIZE,
+    "vector_tile_cut_16": O_VECTOR_TILE_CUT,
+    "intersection_complexpoly": O_INTERSECTION_COMPLEX,
     "buffer_area": O_BUFFER,
     "convexhull_area": O_CONVEXHULL,
     "simplify_counts": O_SIMPLIFY,

@@ -104,6 +104,10 @@ def run_benchmarks(num_cpus: int, only_flagship: bool = False, repeat: int = 0) 
     p = parcels_dataset(SF_DIR, repeat).materialize()
     z = zones_dataset(SF_DIR).materialize()
     n_parcels = p.count()
+    # spawn the worker pool before timing starts (first streaming
+    # pipeline in a session otherwise pays ~10s of process fork+import
+    # that has nothing to do with the measured operator)
+    p.map_batches(lambda b: b.slice(0, 1), batch_format="pyarrow").count()
 
     def timed(fn):
         t0 = time.perf_counter()

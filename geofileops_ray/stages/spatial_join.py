@@ -277,48 +277,6 @@ def _attr_cols(ds: ray.data.Dataset) -> list[str]:
     return [n for n in names if n not in ("doc_id", _GEOM, "spans")]
 
 
-SPAN_TYPE = pa.list_(
-    pa.struct(
-        [
-            ("kind", pa.string()),
-            ("text", pa.string()),
-            ("media_ref", pa.string()),
-            ("offset", pa.int32()),
-        ]
-    )
-)
-
-
-def _pack_spans(batch: pa.Table, col: str) -> pa.Table:
-    """list<struct> → JSON string (Arrow acero joins reject nested
-    non-key columns); round-trips exactly via _unpack_spans."""
-    import json
-
-    if col not in batch.column_names:
-        return batch
-    idx = batch.schema.get_field_index(col)
-    packed = pa.array(
-        [json.dumps(v, separators=(",", ":")) if v is not None else None
-         for v in batch.column(col).to_pylist()],
-        pa.string(),
-    )
-    return batch.set_column(idx, col, packed)
-
-
-def _unpack_spans(batch: pa.Table, col: str) -> pa.Table:
-    import json
-
-    if col not in batch.column_names:
-        return batch
-    idx = batch.schema.get_field_index(col)
-    unpacked = pa.array(
-        [json.loads(v) if v is not None else None
-         for v in batch.column(col).to_pylist()],
-        SPAN_TYPE,
-    )
-    return batch.set_column(idx, col, unpacked)
-
-
 def _prefix_dataset(ds: ray.data.Dataset, prefix: str, cols: list[str]) -> ray.data.Dataset:
     cols = list(dict.fromkeys(cols))
 

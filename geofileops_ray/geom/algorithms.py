@@ -270,7 +270,24 @@ def _offset_convex_ring(
                 cosh = math.cos((a1 - a0) / 2)
                 m = abs(d) / max(cosh, 1e-12)
                 if m > mitre_limit * abs(d):
-                    out.append(np.array([cur + n0, cur + n1]))
+                    # JTS semantics: clip the miter tip AT the limit
+                    # distance (perpendicular to the bisector), not a
+                    # full bevel back to the offset endpoints — the
+                    # difference matters: a full bevel notches unions
+                    # deeply enough to pinch later erosions
+                    u = bis / ln
+                    lim = mitre_limit * abs(d)
+                    clip_pts = []
+                    for nv, ev in ((n0, cur - prev), (n1, nxt - cur)):
+                        el = np.hypot(*ev)
+                        ehat = ev / max(el, 1e-300)
+                        denom = float(ehat @ u)
+                        if abs(denom) < 1e-12:
+                            clip_pts.append(cur + nv)
+                        else:
+                            t = (lim - float(nv @ u)) / denom
+                            clip_pts.append(cur + nv + t * ehat)
+                    out.append(np.array(clip_pts))
                 else:
                     out.append((cur + bis / ln * m)[None, :])
     ring_out = np.concatenate(out, axis=0)

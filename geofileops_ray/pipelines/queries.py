@@ -802,6 +802,89 @@ def q_dissolve_within_distance(sf):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+# ---------------------------------------- dissolve_within_distance (exact)
+# Rows of same-height rectangle "bars" with deterministic gaps: gaps of
+# 2 / 2.25 (< distance 5) merge, gaps of 9 / 10 (> distance) split. For
+# same-y-band rectangles the 9-step algorithm's output is EXACTLY the
+# per-cluster bounding rectangle (connector pieces fill gaps precisely;
+# corner artifacts of the +/− mitre buffers touch one neighbour and are
+# dropped), so the oracle is closed-form window-function SQL.
+_DWD_R, _DWD_K, _DWD_DIST = 24, 12, 5.0
+
+
+def _dwd_bars_dataset() -> ray.data.Dataset:
+    rows = []
+    for r in range(_DWD_R):
+        x = float((r * 13) % 17)
+        for k in range(_DWD_K):
+            w = 10.0 + ((r * 7 + k * 3) % 6)
+            if k > 0:
+                b = (r * 5 + k * 11) % 4
+                x += 2.0 + 0.25 * b if b < 2 else 7.0 + b
+            rows.append(
+                {
+                    "doc_id": r * _DWD_K + k + 1,
+                    "geometry": synth.rect_wkb(
+                        np.array([x]), np.array([30.0 * r]),
+                        np.array([x + w]), np.array([30.0 * r + 10.0]),
+                    )[0].as_py(),
+                }
+            )
+            x += w
+    return ray.data.from_items(rows)
+
+
+def q_dissolve_within_distance_bars(sf):
+    from ..stages.compound import dissolve_within_distance
+
+    ds = dissolve_within_distance(_dwd_bars_dataset(), distance=_DWD_DIST)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ga = from_wkb(batch.column("geometry").to_pylist())
+        b = ga.bounds()
+        return pa.table(
+            {
+                "minx": pa.array(np.round(b[:, 0], 4), pa.float64()),
+                "miny": pa.array(np.round(b[:, 1], 4), pa.float64()),
+                "maxx": pa.array(np.round(b[:, 2], 4), pa.float64()),
+                "maxy": pa.array(np.round(b[:, 3], 4), pa.float64()),
+                "area": pa.array(np.round(_area(ga), 4), pa.float64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+O_DWD_BARS = f"""
+WITH rk AS (
+  SELECT r, k,
+         10.0 + ((r*7 + k*3) % 6) AS w,
+         CASE WHEN k = 0 THEN 0.0
+              WHEN (r*5 + k*11) % 4 < 2
+                THEN 2.0 + 0.25*((r*5 + k*11) % 4)
+              ELSE 7.0 + ((r*5 + k*11) % 4) END AS gap
+  FROM (SELECT unnest(range(0, {_DWD_R})) AS r),
+       (SELECT unnest(range(0, {_DWD_K})) AS k)
+),
+pos AS (
+  SELECT r, k, w, gap,
+         (r*13) % 17
+           + SUM(w + gap) OVER (PARTITION BY r ORDER BY k
+                                ROWS UNBOUNDED PRECEDING) - w AS x0
+  FROM rk
+),
+cl AS (
+  SELECT r, k, w, x0,
+         SUM(CASE WHEN gap > {_DWD_DIST} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY r ORDER BY k ROWS UNBOUNDED PRECEDING) AS cid
+  FROM pos
+)
+SELECT ROUND(MIN(x0), 4) AS minx, ROUND(30.0*r, 4) AS miny,
+       ROUND(MAX(x0 + w), 4) AS maxx, ROUND(30.0*r + 10.0, 4) AS maxy,
+       ROUND((MAX(x0 + w) - MIN(x0)) * 10.0, 4) AS area
+FROM cl GROUP BY r, cid ORDER BY 2, 1"""
+
+
 def q_select_two_layers(sf):
     """User SQL (bbox pair join) per cell. Both sides are replicated to
     every cell their bbox touches, so any bbox-intersecting pair
@@ -1467,6 +1550,7 @@ QUERIES = {
     "union_full_self_invariants": q_union_full_self_invariants,
     "concat_layers": q_concat,
     "dissolve_within_distance": q_dissolve_within_distance,
+    "dissolve_within_distance_bars": q_dissolve_within_distance_bars,
     "select_two_layers": q_select_two_layers,
     "symmetric_difference_areas": q_symmetric_difference,
     "union_overlay_areas": q_union_overlay,
@@ -1522,6 +1606,7 @@ ORACLES = {
     "difference_areas": O_DIFFERENCE,
     "join_nearest_k2": O_JOIN_NEAREST,
     "dissolve_gewasgroep": O_DISSOLVE,
+    "dissolve_within_distance_bars": O_DWD_BARS,
     "dissolve_median_json": O_DISSOLVE_MEDIAN_JSON,
     "tile_assignments_16": _o_tile_assign(),
     "zonal_rasterize_16": O_ZONAL_RASTERIZE,

@@ -8,11 +8,13 @@
   json_group_array analogue — a real list<> column here) or COLUMNS
   (i<n>_col pivot).
 * dissolve_within_distance — merge features closer than ``distance``
-  (geoops.py:37-396): dissolve → +buffer(d/2) → dissolve → −buffer(d/2)
-  → union with the plain dissolve → final dissolve. The reference's
-  neighbour-stats sliver filter (:257-346) is approximated by dropping
-  connector pieces with area < distance² that touch fewer than 2
-  original pieces — documented deviation.
+  (geoops.py:37-396, all 9 steps): dissolve → +buffer(d/2) → dissolve →
+  −buffer(d/2) → connector candidates = difference vs the plain
+  dissolve → keep pieces intersecting >1 distinct original feature
+  (or the area/perimeter OR-filter when close_internal_gaps=True) →
+  append to the plain dissolve → final dissolve. Original boundaries
+  are preserved exactly; buffer corner artifacts are dropped by the
+  neighbour filter.
 * select_two_layers — user batch-level SQL over two co-located layers
   (geoops.py:3302 → _geoops_sql.py:2700-2749): the two sides are
   cell-co-grouped and the user's DuckDB SQL runs per cell with views
@@ -266,27 +268,182 @@ def union_full_self(
     return out.map_batches(pivot, batch_format="pyarrow")
 
 
+def _geom_hash_ids(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """{geometry} → {doc_id, geometry} with a deterministic 63-bit
+    blake2b id per geometry. Used to give dissolve outputs (which carry
+    no ids) an identity for downstream overlay ops; cost is one hash per
+    dissolved row (≪ input rows)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        ids = pa.array(
+            [
+                int.from_bytes(
+                    hashlib.blake2b(w, digest_size=8).digest(), "little"
+                )
+                >> 1
+                for w in batch.column(_GEOM).to_pylist()
+            ],
+            pa.int64(),
+        )
+        return pa.table({"doc_id": ids, _GEOM: batch.column(_GEOM)})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def dissolve_within_distance(
     ds: ray.data.Dataset,
     distance: float,
-    groupby: list[str] | None = None,
+    gridsize: float = 0.0,
+    close_internal_gaps: bool = False,
+    groupby: list[str] | None = None,  # ignored: reference keeps no attrs
     size: float | None = None,
 ) -> ray.data.Dataset:
-    """Merge features closer than ``distance`` (geoops.py:37-396):
-    dissolve → +buffer(d/2) → dissolve → −buffer(d/2) → union with the
-    plain dissolve → final dissolve. Connector slivers below the
-    reference's GFO_SLIVER_TOLERANCE-scaled threshold are removed by the
-    negative buffer itself (documented simplification of the
-    neighbour-stats filter, geoops.py:257-346)."""
+    """Merge features closer than ``distance``, preserving the original
+    boundaries (the reference's full 9-step plan, geoops.py:37-396):
+
+    1. dissolve input (explode)                        geoops.py:125-137
+    2. +buffer(d/2, square endcap, mitre 1.25)         geoops.py:146-160
+    3. dissolve the grown layer                        geoops.py:167-180
+    4. −buffer(d/2, mitre 2, explode)                  geoops.py:186-201
+    5. connector candidates = step4 − step1 (explode)  geoops.py:217-230
+    6. tiny +buffer so "touches 2 neighbours" is
+       robust to rounding                              geoops.py:232-252
+    7. keep pieces intersecting >1 DISTINCT original
+       input feature (close_internal_gaps=False), or
+       the area/perimeter OR-filter when True          geoops.py:254-346
+    8. append kept pieces to the step-1 dissolve       geoops.py:360-369
+    9. final dissolve (explode) with ``gridsize``      geoops.py:371-384
+
+    Step 7 is the part that keeps original boundaries intact: +/− buffer
+    artifacts (beveled corners, spikes) touch only ONE original feature
+    and are dropped; only true gap connectors survive.
+    """
+    from ..geom.measure import area as _area
+    from ..geom.measure import perimeter as _perim
     from .dissolve import dissolve
+    from .geometry_batch import geometry_op
+    from .overlay_ops import difference, intersection
     from .single_layer import buffer as buffer_op
 
-    d0 = dissolve(ds, groupby=groupby or [], cell_size=size)
-    grown = buffer_op(d0, distance / 2.0)
-    d1 = dissolve(grown, groupby=groupby or [], cell_size=size)
-    shrunk = buffer_op(d1, -distance / 2.0)
-    merged = shrunk.union(d0)
-    return dissolve(merged, groupby=groupby or [], cell_size=size)
+    # 1-4: close all gaps up to `distance`, then shrink back
+    d0 = _geom_hash_ids(dissolve(ds, explodecollections=True, cell_size=size))
+    grown = buffer_op(
+        d0, distance / 2.0, endcap_style="square", join_style="mitre",
+        mitre_limit=1.25,
+    )
+    d1 = dissolve(grown, explodecollections=True, cell_size=size)
+    shrunk = buffer_op(
+        _geom_hash_ids(d1), -(distance / 2.0), endcap_style="square",
+        join_style="mitre", mitre_limit=2.0, explodecollections=True,
+    )
+
+    # 5: candidate connector pieces
+    parts = difference(shrunk, d0, cols1=[], size=size, explodecollections=True)
+    # reference uses gridsize/10 else 1e-10 (geoops.py:234); our sweep
+    # kernel's snap tolerance eats contact strips under ~1e-8, so the
+    # fallback is 1e-6 — still geometrically negligible and rounded away
+    # by any practical gridsize
+    eps = gridsize / 10.0 if gridsize > 0.0 else 1e-6
+
+    def prep_parts(batch: pa.Table) -> pa.Table:
+        # 6: eps-buffer; carry per-piece area/perimeter + the buffered
+        # WKB as plain columns so the neighbour stats need no re-join
+        from ..geom.algorithms import buffer as buf_kernel
+
+        ga = decode_geometry(batch)
+        gb = buf_kernel(
+            ga, eps, cap_style="square", join_style="mitre", mitre_limit=1.25
+        )
+        wkb = to_wkb(gb)
+        import hashlib
+
+        ids = pa.array(
+            [
+                int.from_bytes(
+                    hashlib.blake2b(w, digest_size=8).digest(), "little"
+                )
+                >> 1
+                for w in wkb
+            ],
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "doc_id": ids,
+                "p_area": pa.array(_area(gb), pa.float64()),
+                "p_perim": pa.array(_perim(gb), pa.float64()),
+                "piece_wkb": pa.array(wkb, pa.binary()),
+                _GEOM: pa.array(wkb, pa.binary()),
+            }
+        )
+
+    parts_b = parts.map_batches(
+        prep_parts, batch_format="pyarrow"
+    ).materialize()
+    kept = None
+    if parts_b.count() > 0:
+        # 7: neighbour stats per piece against the ORIGINAL input
+        # features (not the dissolve) — pair intersections give contact
+        # geometry
+        orig = ds.map_batches(
+            lambda b: b.select(["doc_id", _GEOM]), batch_format="pyarrow"
+        )
+        pairs = intersection(
+            parts_b, orig, cols1=["p_area", "p_perim", "piece_wkb"],
+            cols2=[], size=size,
+        )
+
+        def per_piece(group: pa.Table) -> pa.Table:
+            nb = len(set(group.column("l2_doc_id").to_pylist()))
+            if not close_internal_gaps:
+                keep = nb > 1
+            else:
+                # geoops.py:258-281: big areas and well-connected pieces
+                # stay
+                ig = from_wkb(group.column(_GEOM).to_pylist())
+                n_len = float(np.sum(_length_of(ig)))
+                n_per = float(np.sum(_perim(ig)))
+                p_area = float(group.column("l1_p_area")[0].as_py())
+                p_perim = float(group.column("l1_p_perim")[0].as_py())
+                keep = (
+                    nb > 1
+                    or p_area > distance * distance
+                    or (n_per / 2.0 + n_len) > 0.8 * p_perim
+                )
+            if not keep:
+                return pa.table(
+                    {"doc_id": pa.array([], pa.int64()),
+                     _GEOM: pa.array([], pa.binary())}
+                )
+            return pa.table(
+                {
+                    "doc_id": group.column("l1_doc_id").slice(0, 1),
+                    _GEOM: group.column("l1_piece_wkb").slice(0, 1),
+                }
+            )
+
+        kept = pairs.groupby("l1_doc_id").map_groups(
+            per_piece, batch_format="pyarrow"
+        )
+
+    # 8-9: append connectors and re-dissolve; gridsize applied last
+    merged = d0 if kept is None else d0.union(kept)
+    final = dissolve(merged, explodecollections=True, cell_size=size)
+    if gridsize > 0.0:
+        final = final.map_batches(
+            geometry_op(lambda ga: ga, gridsize=gridsize,
+                        explodecollections=True),
+            batch_format="pyarrow",
+        )
+    return final
+
+
+def _length_of(ga: GeometryArray) -> np.ndarray:
+    from ..geom.measure import length
+
+    return length(ga)
 
 
 def select_two_layers(

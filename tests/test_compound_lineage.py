@@ -58,6 +58,46 @@ def test_dissolve_within_distance_merges(ray_session):
     assert n_parts_near < n_parts_far
 
 
+def test_dissolve_within_distance_exact(ray_session):
+    # same-height bars: gap < distance merges into the exact bounding
+    # rectangle (original boundaries preserved, connector fills the gap
+    # exactly, +/− buffer corner artifacts dropped by the neighbour
+    # filter); gap > distance stays separate
+    import ray
+
+    from geofileops_ray.geom import from_wkb as _fw
+    from geofileops_ray.geom.measure import area as _ar
+    from geofileops_ray.io.synth import rect_wkb
+
+    def rect(x0, y0, x1, y1):
+        return rect_wkb(
+            np.array([x0]), np.array([y0]), np.array([x1]), np.array([y1])
+        )[0].as_py()
+
+    ds = ray.data.from_items(
+        [
+            {"doc_id": 1, "geometry": rect(0, 0, 10, 10)},
+            {"doc_id": 2, "geometry": rect(12, 0, 22, 10)},  # gap 2
+            {"doc_id": 3, "geometry": rect(40, 0, 50, 10)},  # gap 18
+        ]
+    )
+    out = dissolve_within_distance(ds, distance=3.0).take_all()
+    areas = sorted(
+        round(float(_ar(_fw([r["geometry"]]))[0]), 6) for r in out
+    )
+    assert areas == [100.0, 220.0]  # 1+2 merged exactly, 3 untouched
+
+    out1 = dissolve_within_distance(ds, distance=1.0).take_all()
+    assert sorted(
+        round(float(_ar(_fw([r["geometry"]]))[0]), 6) for r in out1
+    ) == [100.0, 100.0, 100.0]
+
+    out25 = dissolve_within_distance(ds, distance=25.0).take_all()
+    assert sorted(
+        round(float(_ar(_fw([r["geometry"]]))[0]), 6) for r in out25
+    ) == [500.0]
+
+
 def test_select_two_layers(ray_session):
     out = select_two_layers(
         parcels_dataset(SF), zones_dataset(SF),

@@ -46,6 +46,10 @@ class Options:
     # max reduced-id rows pulled to the driver for a broadcast semi-filter;
     # above this the filter runs as a distributed hash join instead
     broadcast_id_limit: int = _env_int("GFR_BROADCAST_ID_LIMIT", 20_000_000)
+    # two-layer ops broadcast the smaller side (ray.put once, read
+    # zero-copy in every task — NO shuffle at all) when its materialized
+    # size is at most this many bytes; 0 disables the broadcast path
+    broadcast_bytes: int = _env_int("GFR_BROADCAST_BYTES", 64 * 1024 * 1024)
     # number of shuffle partitions for groupby/join stages (0 = let Ray pick)
     shuffle_partitions: int = _env_int("GFR_SHUFFLE_PARTITIONS", 0)
     # sliver tolerance applied to overlay outputs (GFO_SLIVER_TOLERANCE

@@ -19,23 +19,52 @@ from .array import (
 )
 
 
+def _segment_sums(vals: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> np.ndarray:
+    """Sum ``vals[starts[k]:ends[k]]`` per segment via ``np.add.reduceat``.
+
+    Each segment is summed independently — unlike a global cumsum-and-
+    difference, per-segment results do not lose low bits to a batch-wide
+    accumulator, so results are identical whether a ring is measured
+    alone or inside a million-row batch (the oracle comparisons round at
+    fixed decimals and exercise exact .5 halfway values, which any
+    batch-size-dependent error flips)."""
+    out = np.zeros(len(starts))
+    valid = ends > starts
+    if not valid.any():
+        return out
+    s, e = starts[valid], ends[valid]
+    idx = np.empty(2 * len(s), dtype=np.intp)
+    idx[0::2] = s
+    idx[1::2] = e
+    # reduceat segment i spans idx[i]:idx[i+1] (last one runs to the end
+    # of the truncated array == e[-1]); odd slots are inter-ring gaps
+    sums = np.add.reduceat(vals[: e[-1]], idx[:-1])
+    out[valid] = sums[0::2]
+    return out
+
+
 def _ring_signed_areas(arr: GeometryArray) -> np.ndarray:
-    """Signed shoelace area per ring (float64[nrings])."""
+    """Signed shoelace area per ring (float64[nrings]).
+
+    Coordinates are anchored to each ring's first vertex before the
+    cross products (translation-invariant), keeping the terms small:
+    exact for the dyadic-rational coordinates the synthetic oracles
+    produce, and far less cancellation on real-world offsets."""
     nrings = len(arr.ring_offsets) - 1
     if nrings == 0:
         return np.zeros(0)
     x = arr.coords[:, 0]
     y = arr.coords[:, 1]
-    # cross term per consecutive coord pair within each ring
-    cross = x[:-1] * y[1:] - x[1:] * y[:-1]
     starts = arr.ring_offsets[:-1]
     ends = arr.ring_offsets[1:]
-    # sum cross[starts[k] : ends[k]-1] per ring; append 0 sentinel so that
-    # reduceat handles rings of length < 2 (start == end-1 or empty).
-    csum = np.concatenate([[0.0], np.cumsum(cross)])
-    lo = np.minimum(starts, len(cross))
-    hi = np.maximum(np.minimum(ends - 1, len(cross)), lo)
-    return 0.5 * (csum[hi] - csum[lo])
+    nper = ends - starts
+    safe = np.minimum(starts, max(len(x) - 1, 0))
+    x0 = np.repeat(x[safe], nper)
+    y0 = np.repeat(y[safe], nper)
+    dx = x - x0
+    dy = y - y0
+    cross = dx[:-1] * dy[1:] - dx[1:] * dy[:-1]
+    return 0.5 * _segment_sums(cross, starts, np.maximum(ends - 1, starts))
 
 
 def _ring_lengths(arr: GeometryArray) -> np.ndarray:
@@ -45,12 +74,9 @@ def _ring_lengths(arr: GeometryArray) -> np.ndarray:
         return np.zeros(0)
     d = np.diff(arr.coords, axis=0)
     seg = np.hypot(d[:, 0], d[:, 1])
-    csum = np.concatenate([[0.0], np.cumsum(seg)])
     starts = arr.ring_offsets[:-1]
     ends = arr.ring_offsets[1:]
-    lo = np.minimum(starts, len(seg))
-    hi = np.maximum(np.minimum(ends - 1, len(seg)), lo)
-    return csum[hi] - csum[lo]
+    return _segment_sums(seg, starts, np.maximum(ends - 1, starts))
 
 
 def _rings_to_geoms(arr: GeometryArray) -> tuple[np.ndarray, np.ndarray]:

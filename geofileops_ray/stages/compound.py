@@ -86,15 +86,20 @@ def _self_round(
         if len(ia):
             keep = ids1[ia] != ids2[ib]
             ia, ib = ia[keep], ib[keep]
-            ref = _ref_cell(ga1.bounds()[ia], ga2.bounds()[ib], size)
-            own = ref == cell
-            ia, ib = ia[own], ib[own]
+            if cell is not None:
+                ref = _ref_cell(ga1.bounds()[ia], ga2.bounds()[ib], size)
+                own = ref == cell
+                ia, ib = ia[own], ib[own]
         # pair rows (for both difference-gather and intersections)
         out = _pair_table(g1, ia, g2, ib)
         # singles: every l1 row once, from its owner cell, null l2 side
         from .spatial_join import _owner_cell
 
-        own_rows = np.flatnonzero(_owner_cell(ga1.bounds(), size) == cell)
+        own_rows = np.flatnonzero(
+            np.ones(len(g1), dtype=bool)
+            if cell is None
+            else _owner_cell(ga1.bounds(), size) == cell
+        )
         if len(own_rows):
             left = g1.take(pa.array(own_rows))
             cols = {c: left.column(c) for c in left.column_names}
@@ -473,8 +478,11 @@ def select_two_layers(
 
     from .spatial_join import _attr_cols
 
+    # user SQL is written against cell-local replicated views (the
+    # documented {batch_filter} analogue) — never broadcast-rewrite it
     return cell_cogroup(
-        ds1, ds2, group_fn, _attr_cols(ds1), _attr_cols(ds2), size=size
+        ds1, ds2, group_fn, _attr_cols(ds1), _attr_cols(ds2), size=size,
+        broadcast=False,
     )
 
 

@@ -264,7 +264,7 @@ def intersection(
 
     def group_fn(g1, ga1, g2, ga2, cell):
         ia, ib = bbox_join(ga1.bounds(), ga2.bounds())
-        if len(ia):
+        if len(ia) and cell is not None:
             ref = _ref_cell(ga1.bounds()[ia], ga2.bounds()[ib], size)
             own = ref == cell
             ia, ib = ia[own], ib[own]
@@ -335,15 +335,21 @@ def _per_row_overlay(
     def group_fn(g1, ga1, g2, ga2, cell):
         b1 = ga1.bounds()
         ia, ib = bbox_join(b1, ga2.bounds())
-        if len(ia):
-            ref = _ref_cell(b1[ia], ga2.bounds()[ib], size)
-            own = ref == cell
-            ia, ib = ia[own], ib[own]
-        owner = _owner_cell(b1, size) == cell
-        one_cell = (
-            np.floor(b1[:, 0] / size) == np.floor(b1[:, 2] / size)
-        ) & (np.floor(b1[:, 1] / size) == np.floor(b1[:, 3] / size))
-        local = owner & one_cell
+        if cell is None:
+            # broadcast mode: every row sees all candidates — resolve
+            # everything locally, no straddler/owner machinery
+            local = np.ones(len(g1), dtype=bool)
+            owner = local
+        else:
+            if len(ia):
+                ref = _ref_cell(b1[ia], ga2.bounds()[ib], size)
+                own = ref == cell
+                ia, ib = ia[own], ib[own]
+            owner = _owner_cell(b1, size) == cell
+            one_cell = (
+                np.floor(b1[:, 0] / size) == np.floor(b1[:, 2] / size)
+            ) & (np.floor(b1[:, 1] / size) == np.floor(b1[:, 3] / size))
+            local = owner & one_cell
         attrs = g1.drop_columns(["l1_" + _GEOM])
         n_attr = attrs.num_columns
         # ---- local resolution for single-cell rows

@@ -87,6 +87,90 @@ def _project_side(
     )
 
 
+# per-worker-process cache of decoded broadcast sides: Ray reuses worker
+# processes across tasks, so the ray.get + WKB decode of a broadcast
+# layer2 runs once per worker, not once per task
+_BCAST_CACHE: dict = {}
+
+
+def _bcast_side(ref) -> tuple[pa.Table, GeometryArray]:
+    import ray as _ray
+
+    key = ref.hex()
+    hit = _BCAST_CACHE.get(key)
+    if hit is None:
+        g2 = _ray.get(ref)
+        ga2 = from_wkb(g2.column("l2_" + _GEOM).to_pylist())
+        ga2.bounds()  # memoize
+        if len(_BCAST_CACHE) >= 4:
+            _BCAST_CACHE.pop(next(iter(_BCAST_CACHE)))
+        hit = (g2, ga2)
+        _BCAST_CACHE[key] = hit
+    return hit
+
+
+def _prefixed_projection(ds: ray.data.Dataset, fields: list[pa.Field]) -> ray.data.Dataset:
+    def proj(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {f.name: batch.column(f.name[3:]).combine_chunks() for f in fields}
+        )
+
+    return ds.map_batches(proj, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _probe_collect(
+    m2: ray.data.Dataset, fields: list[pa.Field], cap_bytes: int | None
+) -> pa.Table | None:
+    """Stream the prefixed projection of layer2 to the driver, aborting
+    as soon as the cumulative size crosses ``cap_bytes`` (None = no cap).
+    Returns the full Arrow table if it fit, else None. The abort bounds
+    the probe cost to ~cap_bytes + one block — a 50 TB layer2 costs one
+    partial scan to rule out, never a full materialization."""
+    names = [f.name for f in fields]
+    parts: list[pa.Table] = []
+    total = 0
+    for b in m2.iter_batches(batch_format="pyarrow", batch_size=None):
+        parts.append(b)
+        total += b.nbytes
+        if cap_bytes is not None and total > cap_bytes:
+            return None
+    if not parts:
+        return pa.table({f.name: pa.array([], f.type) for f in fields})
+    return pa.concat_tables(parts).combine_chunks().select(names)
+
+
+def broadcast_cogroup(
+    ds1: ray.data.Dataset,
+    g2: pa.Table,
+    group_fn: Callable,
+    f1: list[pa.Field],
+    f2: list[pa.Field],
+) -> ray.data.Dataset:
+    """Big × small join without any shuffle: the (collected, small,
+    already l2_-prefixed) layer2 is ray.put ONCE and read zero-copy from
+    the object store by every map task; ``group_fn`` is called per layer1
+    batch with ``cell=None`` (each layer1 row appears exactly once and
+    every layer2 row is visible, so no replica/ownership dedup applies).
+    This is the scale path for the common big-layer × small-layer case —
+    it turns an all-to-all exchange into an embarrassingly parallel map."""
+    import ray as _ray
+
+    ref = _ray.put(g2)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        g2t, ga2 = _bcast_side(ref)
+        ga1 = decode_geometry(batch)
+        g1 = pa.table(
+            {f.name: batch.column(f.name[3:]).combine_chunks() for f in f1}
+        )
+        return group_fn(g1, ga1, g2t, ga2, None)
+
+    return ds1.map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=OPTIONS.batch_size,
+    )
+
+
 def cell_cogroup(
     ds1: ray.data.Dataset,
     ds2: ray.data.Dataset,
@@ -96,6 +180,7 @@ def cell_cogroup(
     size: float | None = None,
     expand1: float = 0.0,
     salt: bool = False,
+    broadcast: bool | None = None,
 ) -> ray.data.Dataset:
     """The co-group harness. ``group_fn(t1, ga1, t2, ga2, cell)`` is
     called per cell with the two decoded sides (columns already
@@ -104,7 +189,14 @@ def cell_cogroup(
     ``salt=True`` computes a hot-cell salt map from layer1 counts first
     (one cheap pre-pass), splits layer1 rows of hot cells into k sub-keys
     and replicates layer2 rows to all k — the explicit skew defense the
-    north rule requires."""
+    north rule requires.
+
+    ``broadcast``: None (default) auto-picks the no-shuffle broadcast
+    path when layer2's materialized size is at most
+    ``OPTIONS.broadcast_bytes``; True forces it; False forces the cell
+    shuffle. group_fn is then called with ``cell=None`` — no ownership
+    filtering (every layer1 row seen exactly once, all of layer2
+    visible)."""
     size = size or OPTIONS.cell_size
     if "doc_id" not in cols1:
         cols1 = ["doc_id", *cols1]
@@ -118,6 +210,17 @@ def cell_cogroup(
     f1 = _prefixed_schema(sch1, "l1_", cols1)
     f2 = _prefixed_schema(sch2, "l2_", cols2)
     all_fields = f1 + f2
+    if broadcast is not False and OPTIONS.broadcast_bytes:
+        # probe the PROJECTED side (the raw layer may carry wide payload
+        # columns that never ride the join); the probe streams at most
+        # ~broadcast_bytes to the driver and aborts early on big layers,
+        # so ruling out a huge layer2 costs one bounded partial scan
+        g2 = _probe_collect(
+            _prefixed_projection(ds2, f2), f2,
+            None if broadcast else OPTIONS.broadcast_bytes,
+        )
+        if g2 is not None:
+            return broadcast_cogroup(ds1, g2, group_fn, f1, f2)
     salt_map = (
         compute_salt_map(ds1, size, expand=expand1) if salt else None
     )
@@ -213,7 +316,7 @@ def join_by_location(
 
     def group_fn(g1, ga1, g2, ga2, cell):
         ia, ib = bbox_join(ga1.bounds(), ga2.bounds())
-        if len(ia):
+        if len(ia) and cell is not None:
             ref = _ref_cell(ga1.bounds()[ia], ga2.bounds()[ib], size)
             own = ref == cell
             ia, ib = ia[own], ib[own]
@@ -344,13 +447,17 @@ def _match_flags(
             b1 = b1.copy()
             b1[:, :2] -= expand1
             b1[:, 2:] += expand1
-        own_rows = _owner_cell(b1, size) == cell
-        ia, ib = bbox_join(ga1.bounds(), ga2.bounds(), expand=expand1)
         n1 = len(g1)
+        own_rows = (
+            np.ones(n1, dtype=bool)
+            if cell is None
+            else _owner_cell(b1, size) == cell
+        )
+        ia, ib = bbox_join(ga1.bounds(), ga2.bounds(), expand=expand1)
         matched = np.zeros(n1, dtype=np.int64)
         ncand = np.zeros(n1, dtype=np.int64)
         area = np.zeros(n1, dtype=np.float64)
-        if len(ia):
+        if len(ia) and cell is not None:
             ref = _ref_cell(b1[ia], ga2.bounds()[ib], size)
             own_pairs = ref == cell
             ia, ib = ia[own_pairs], ib[own_pairs]
@@ -417,7 +524,7 @@ def _matched_pairs_stream(
             b1[:, :2] -= expand1
             b1[:, 2:] += expand1
         ia, ib = bbox_join(ga1.bounds(), ga2.bounds(), expand=expand1)
-        if len(ia):
+        if len(ia) and cell is not None:
             ref = _ref_cell(b1[ia], ga2.bounds()[ib], size)
             own = ref == cell
             ia, ib = ia[own], ib[own]

@@ -44,7 +44,21 @@ OVERLAP_AREA = (
 )
 
 
-def test_join_by_location_intersects(ray_session, oracle):
+@pytest.fixture(params=["auto", "shuffle"])
+def join_path(request, monkeypatch):
+    """Run the core two-layer oracle tests over BOTH execution paths:
+    the auto-picked broadcast (small layer2 → ray.put once, no shuffle)
+    and the forced cell co-shuffle (broadcast_bytes=0). Small fixtures
+    would otherwise always take the broadcast path and the general
+    shuffle harness would lose oracle coverage."""
+    if request.param == "shuffle":
+        from geofileops_ray.config import OPTIONS
+
+        monkeypatch.setattr(OPTIONS, "broadcast_bytes", 0)
+    return request.param
+
+
+def test_join_by_location_intersects(ray_session, oracle, join_path):
     res = join_by_location(
         parcels_dataset(SF), zones_dataset(SF), "intersects is True",
         cols1=["OIDN"], cols2=["naam"],
@@ -78,7 +92,7 @@ def test_join_by_location_within(ray_session, oracle):
     assert got == want
 
 
-def test_export_by_location_semi_and_anti(ray_session, oracle):
+def test_export_by_location_semi_and_anti(ray_session, oracle, join_path):
     semi = export_by_location(
         parcels_dataset(SF), zones_dataset(SF), "intersects is True"
     ).take_all()
@@ -98,7 +112,7 @@ def test_export_by_location_semi_and_anti(ray_session, oracle):
     assert len(semi) + len(anti) == 500
 
 
-def test_export_by_distance(ray_session, oracle):
+def test_export_by_distance(ray_session, oracle, join_path):
     res = export_by_distance(
         points_dataset(SF), zones_dataset(SF), max_distance=30.0
     ).take_all()
@@ -110,7 +124,7 @@ def test_export_by_distance(ray_session, oracle):
     assert len(res) == want
 
 
-def test_intersection_pair_areas(ray_session, oracle):
+def test_intersection_pair_areas(ray_session, oracle, join_path):
     res = intersection(
         parcels_dataset(SF), zones_dataset(SF), cols1=["OIDN"], cols2=["naam"]
     ).take_all()
@@ -128,7 +142,7 @@ def test_intersection_pair_areas(ray_session, oracle):
     assert got == want
 
 
-def test_clip_and_difference_areas(ray_session, oracle):
+def test_clip_and_difference_areas(ray_session, oracle, join_path):
     got_clip = clip(parcels_dataset(SF), zones_dataset(SF), cols1=["OIDN"]).take_all()
     ga = from_wkb([r["geometry"] for r in got_clip])
     got = sorted((r["l1_doc_id"], round(a, 9)) for r, a in zip(got_clip, area(ga)))
@@ -159,7 +173,7 @@ def test_clip_and_difference_areas(ray_session, oracle):
     assert got == want
 
 
-def test_union_is_composition(ray_session, oracle):
+def test_union_is_composition(ray_session, oracle, join_path):
     n_inter = oracle.execute(
         f"{CTE} SELECT count(*) FROM parcels p JOIN zones z ON {OVER_ON}"
     ).fetchone()[0]
@@ -236,7 +250,7 @@ def _tri(a, b, c):
     return (3, [[ring]])
 
 
-def test_export_by_location_disjoint_all_candidates(ray_session):
+def test_export_by_location_disjoint_all_candidates(ray_session, join_path):
     """De-Morgan semantics for disjoint-satisfiable queries (reference
     _geoops_sql.py:2436-2445): 'intersects is False' keeps a row only if
     NO candidate intersects — not if SOME bbox candidate is disjoint."""
@@ -259,7 +273,7 @@ def test_export_by_location_disjoint_all_candidates(ray_session):
     assert sorted(r["l1_doc_id"] for r in res) == [2]
 
 
-def test_join_by_location_disjoint_guard(ray_session):
+def test_join_by_location_disjoint_guard(ray_session, join_path):
     """Disjoint-satisfiable join queries get 'and intersects is True'
     appended with a warning (reference avoid_disjoint,
     _geoops_sql.py:2469-2485)."""
@@ -370,7 +384,7 @@ def test_knn_block_matches_brute_force():
     assert _ranks(np.array([5, 5, 5, 9, 9, 11])).tolist() == [1, 2, 3, 1, 2, 1]
 
 
-def test_two_layer_post_chain(ray_session, oracle):
+def test_two_layer_post_chain(ray_session, oracle, join_path):
     """gridsize / where_post / explodecollections on two-layer ops —
     the reference wraps every two-layer template with this post-chain
     (_geoops_sql.py:3626-3646)."""

@@ -150,9 +150,6 @@ def _sweep(segs: np.ndarray, tags: np.ndarray, keep) -> Parts:
     dA = np.where(tags == 0, delta, 0)
     dB = np.where(tags == 1, delta, 0)
 
-    side_edges: list[tuple[float, float, float, float]] = []  # directed p0->p1
-    hline: dict[float, list[tuple[float, float, int]]] = {}
-
     # strip→segment incidence lists, built vectorized (replaces an O(m)
     # active-set scan PER STRIP — quadratic on big unions — with one
     # repeat/argsort over total incidences)
@@ -166,123 +163,181 @@ def _sweep(segs: np.ndarray, tags: np.ndarray, keep) -> Parts:
     strip_of_inc = np.repeat(si0, counts) + (
         np.arange(len(seg_of_inc), dtype=np.int64) - np.repeat(base, counts)
     )
-    inc_order = np.argsort(strip_of_inc, kind="stable")
-    inc_seg = seg_of_inc[inc_order]
-    inc_strip = strip_of_inc[inc_order]
-    strip_starts = np.searchsorted(inc_strip, np.arange(nstrips + 1))
-
-    for si in range(nstrips):
-        lo_i, hi_i = strip_starts[si], strip_starts[si + 1]
-        if hi_i - lo_i < 2:
-            continue
-        y0, y1 = ys[si], ys[si + 1]
-        mid = mids[si]
-        act = inc_seg[lo_i:hi_i]
-        xm = _x_at(segs, act, mid)
-        order = np.argsort(xm, kind="stable")
-        sa = act[order]
-        wA = np.cumsum(dA[sa])
-        wB = np.cumsum(dB[sa])
-        kf = keep(wA[:-1], wB[:-1])  # strip between seg k and k+1
-        if not kf.any():
-            continue
-        # maximal kept runs
-        padded = np.concatenate([[False], kf, [False]])
-        starts = np.flatnonzero(~padded[:-1] & padded[1:])
-        ends = np.flatnonzero(padded[:-1] & ~padded[1:])  # exclusive
-        for s, e in zip(starts, ends):
-            li, ri = sa[s], sa[e]
-            xl0 = float(_x_at(segs, np.array([li]), y0)[0])
-            xl1 = float(_x_at(segs, np.array([li]), y1)[0])
-            xr0 = float(_x_at(segs, np.array([ri]), y0)[0])
-            xr1 = float(_x_at(segs, np.array([ri]), y1)[0])
-            area2 = (xr0 - xl0) + (xr1 - xl1)
-            if area2 <= 0:
-                continue  # zero-width / degenerate strip
-            # CCW: bottom →, right ↑, top ←, left ↓
-            side_edges.append((xr0, y0, xr1, y1))
-            side_edges.append((xl1, y1, xl0, y0))
-            if xr0 > xl0:
-                hline.setdefault(y0, []).append((xl0, xr0, 1))
-            if xr1 > xl1:
-                hline.setdefault(y1, []).append((xl1, xr1, -1))
-
-    edges = list(side_edges)
-    for y, ivals in hline.items():
-        edges.extend(_resolve_horizontal(y, ivals))
+    N = len(seg_of_inc)
+    if N == 0:
+        return []
+    # sort ALL incidences by (strip, x at strip midline) in one lexsort —
+    # the whole per-strip scan/sort/cumsum pipeline below runs on flat
+    # arrays with segmented resets, no python per strip
+    xm = _x_at(segs, seg_of_inc, mids[strip_of_inc])
+    ordx = np.lexsort((xm, strip_of_inc))
+    sa = seg_of_inc[ordx]
+    stp = strip_of_inc[ordx]
+    strip_starts = np.searchsorted(stp, np.arange(nstrips + 1))
+    cA = np.cumsum(dA[sa])
+    cB = np.cumsum(dB[sa])
+    baseA = np.where(strip_starts[:-1] > 0, cA[strip_starts[:-1] - 1], 0)
+    baseB = np.where(strip_starts[:-1] > 0, cB[strip_starts[:-1] - 1], 0)
+    cnt = strip_starts[1:] - strip_starts[:-1]
+    wA = cA - np.repeat(baseA, cnt)
+    wB = cB - np.repeat(baseB, cnt)
+    # keep flag per adjacent pair (i, i+1) within the same strip
+    same = stp[:-1] == stp[1:]
+    kf = keep(wA[:-1], wB[:-1]) & same
+    if not kf.any():
+        return _chain_rings(np.empty((0, 4)))
+    # maximal kept runs (cannot cross strips — `same` is False there)
+    padded = np.concatenate([[False], kf, [False]])
+    rs = np.flatnonzero(~padded[:-1] & padded[1:])   # first pair of run
+    re = np.flatnonzero(padded[:-1] & ~padded[1:])   # one past last pair
+    li, ri = sa[rs], sa[re]
+    si = stp[rs]
+    y0v, y1v = ys[si], ys[si + 1]
+    xl0 = _x_at(segs, li, y0v)
+    xl1 = _x_at(segs, li, y1v)
+    xr0 = _x_at(segs, ri, y0v)
+    xr1 = _x_at(segs, ri, y1v)
+    pos = (xr0 - xl0) + (xr1 - xl1) > 0  # drop zero-width / degenerate
+    xl0, xl1, xr0, xr1 = xl0[pos], xl1[pos], xr0[pos], xr1[pos]
+    y0v, y1v, si = y0v[pos], y1v[pos], si[pos]
+    # CCW side edges: right ↑, left ↓
+    nr = len(si)
+    side = np.empty((2 * nr, 4))
+    side[:nr, 0], side[:nr, 1], side[:nr, 2], side[:nr, 3] = xr0, y0v, xr1, y1v
+    side[nr:, 0], side[nr:, 1], side[nr:, 2], side[nr:, 3] = xl1, y1v, xl0, y0v
+    # horizontal intervals on slab boundaries: bottom (+1) at boundary si,
+    # top (−1) at boundary si+1; cancel and emit surviving directed edges
+    bot = xr0 > xl0
+    top = xr1 > xl1
+    bid = np.concatenate([si[bot], si[top] + 1])
+    ia = np.concatenate([xl0[bot], xl1[top]])
+    ib = np.concatenate([xr0[bot], xr1[top]])
+    sgn = np.concatenate(
+        [np.ones(int(bot.sum()), np.int64), -np.ones(int(top.sum()), np.int64)]
+    )
+    horiz = _resolve_horizontal_all(ys, bid, ia, ib, sgn)
+    edges = np.concatenate([side, horiz], axis=0) if len(horiz) else side
     return _chain_rings(edges)
 
 
-def _resolve_horizontal(y: float, ivals) -> list[tuple[float, float, float, float]]:
-    """Cancel bottom (+1, rightward) vs top (-1, leftward) intervals on one
-    horizontal line; emit surviving directed edges."""
-    xs = sorted({round(x, 9) for a, b, _ in ivals for x in (a, b)})
-    if len(xs) < 2:
-        return []
-    xs_arr = np.asarray(xs)
-    net = np.zeros(len(xs) - 1, dtype=np.int64)
-    for a, b, sgn in ivals:
-        i0 = np.searchsorted(xs_arr, round(a, 9))
-        i1 = np.searchsorted(xs_arr, round(b, 9))
-        net[i0:i1] += sgn
-    out = []
-    for k in range(len(net)):
-        if net[k] > 0:  # rightward (interior above)
-            out.append((xs[k], y, xs[k + 1], y))
-        elif net[k] < 0:  # leftward (interior below)
-            out.append((xs[k + 1], y, xs[k], y))
+def _resolve_horizontal_all(
+    ys: np.ndarray,
+    bid: np.ndarray,
+    a: np.ndarray,
+    b: np.ndarray,
+    sgn: np.ndarray,
+) -> np.ndarray:
+    """Vectorized interval cancellation on ALL slab boundaries at once:
+    +1 (bottom, rightward) vs −1 (top, leftward) intervals per boundary;
+    emits surviving directed horizontal edges as an (m, 4) array."""
+    if len(bid) == 0:
+        return np.empty((0, 4))
+    ar = np.round(a, 9)
+    br = np.round(b, 9)
+    pts = np.stack(
+        [np.concatenate([bid, bid]), np.concatenate([ar, br])], axis=1
+    )
+    uniq, inv = np.unique(pts, axis=0, return_inverse=True)
+    n = len(bid)
+    delta = np.zeros(len(uniq), dtype=np.int64)
+    np.add.at(delta, inv[:n], sgn)
+    np.add.at(delta, inv[n:], -sgn)
+    csum = np.cumsum(delta)
+    # net over gap [uniq[g], uniq[g+1]) valid only within one boundary
+    same = uniq[:-1, 0] == uniq[1:, 0]
+    net = csum[:-1][same]
+    x0 = uniq[:-1, 1][same]
+    x1 = uniq[1:, 1][same]
+    yv = ys[uniq[:-1, 0][same].astype(np.int64)]
+    keep_g = net != 0
+    net, x0, x1, yv = net[keep_g], x0[keep_g], x1[keep_g], yv[keep_g]
+    out = np.empty((len(net), 4))
+    right = net > 0
+    out[right, 0], out[right, 1] = x0[right], yv[right]
+    out[right, 2], out[right, 3] = x1[right], yv[right]
+    lw = ~right
+    out[lw, 0], out[lw, 1] = x1[lw], yv[lw]
+    out[lw, 2], out[lw, 3] = x0[lw], yv[lw]
     return out
-
-
-def _vkey(x: float, y: float) -> tuple[float, float]:
-    return (round(x, 9), round(y, 9))
 
 
 def _chain_rings(edges) -> Parts:
     """Chain directed edges into rings (leftmost-turn at junctions: rotate
     CCW from the incoming direction, take the first outgoing edge — keeps
-    interior on the left, separates point-touching components)."""
-    # drop zero-length (after rounding) edges — they arise from exact
-    # crossings where two segments evaluate to the same x at a slab line
-    # and would corrupt the turn-angle logic at junction vertices
-    edges = [e for e in edges if _vkey(e[0], e[1]) != _vkey(e[2], e[3])]
-    if not edges:
+    interior on the left, separates point-touching components).
+
+    Vertex identification (the old per-edge round()+dict hashing — the
+    hottest constant of the whole sweep) is vectorized: endpoints rounded
+    once with numpy, vertex ids from one np.unique over a complex view,
+    and a precomputed successor for the ubiquitous out-degree-1 vertices;
+    the angle rule runs only at true junctions."""
+    if not len(edges):
         return []
-    out_map: dict[tuple[float, float], list[int]] = {}
-    for k, (x0, y0, x1, y1) in enumerate(edges):
-        out_map.setdefault(_vkey(x0, y0), []).append(k)
-    used = np.zeros(len(edges), dtype=bool)
+    E = np.asarray(edges, dtype=np.float64).reshape(-1, 4)
+    P0 = np.round(E[:, 0:2], 9)
+    P1 = np.round(E[:, 2:4], 9)
+    nz = (P0[:, 0] != P1[:, 0]) | (P0[:, 1] != P1[:, 1])
+    E, P0, P1 = E[nz], P0[nz], P1[nz]
+    m = len(E)
+    if m == 0:
+        return []
+    allc = np.empty(2 * m, dtype=np.complex128)
+    allc.real[:m], allc.imag[:m] = P0[:, 0], P0[:, 1]
+    allc.real[m:], allc.imag[m:] = P1[:, 0], P1[:, 1]
+    _, inv = np.unique(allc, return_inverse=True)
+    v0 = inv[:m]
+    v1 = inv[m:]
+    nverts = int(inv.max()) + 1
+    deg = np.bincount(v0, minlength=nverts)
+    order = np.argsort(v0, kind="stable")
+    firstpos = np.searchsorted(v0[order], np.arange(nverts))
+    # successor edge for edges whose endpoint has exactly one out-edge
+    succ = np.full(m, -1, dtype=np.int64)
+    one = deg[v1] == 1
+    succ[one] = order[np.clip(firstpos[v1[one]], 0, m - 1)]
+    junction = deg > 1
+
+    def _junction_next(cur: int, used: np.ndarray) -> int:
+        nv = v1[cur]
+        lo = firstpos[nv]
+        cands = order[lo : lo + deg[nv]]
+        cands = cands[~used[cands]]
+        if len(cands) == 0:
+            return -1
+        if len(cands) == 1:
+            return int(cands[0])
+        x0, y0, x1, y1 = E[cur]
+        din = math.atan2(y1 - y0, x1 - x0)
+        ang = (
+            np.arctan2(E[cands, 3] - E[cands, 1], E[cands, 2] - E[cands, 0])
+            - din
+        ) % (2 * math.pi)
+        ang[ang <= 1e-12] += 2 * math.pi
+        return int(cands[np.argmin(ang)])
+
+    used = np.zeros(m, dtype=bool)
     rings: list[np.ndarray] = []
-    for start in range(len(edges)):
+    for start in range(m):
         if used[start]:
             continue
-        ring_pts = []
+        path = [start]
+        used[start] = True
         cur = start
         while True:
-            used[cur] = True
-            x0, y0, x1, y1 = edges[cur]
-            ring_pts.append((x0, y0))
-            key = _vkey(x1, y1)
-            cands = [k for k in out_map.get(key, []) if not used[k]]
-            if not cands:
-                break
-            if len(cands) == 1:
-                cur = cands[0]
+            nv = v1[cur]
+            if junction[nv]:
+                nxt = _junction_next(cur, used)
+                if nxt < 0 or nxt == start:
+                    break
             else:
-                din = math.atan2(y1 - y0, x1 - x0)
-                best, best_ang = None, None
-                for k in cands:
-                    a0, b0, a1, b1 = edges[k]
-                    ang = (math.atan2(b1 - b0, a1 - a0) - din) % (2 * math.pi)
-                    if ang <= 1e-12:
-                        ang += 2 * math.pi
-                    if best is None or ang < best_ang:
-                        best, best_ang = k, ang
-                cur = best
-            if cur == start:
-                break
-        if len(ring_pts) >= 3:
-            ring = _drop_collinear(np.asarray(ring_pts))
+                nxt = int(succ[cur])
+                if nxt < 0 or nxt == start or used[nxt]:
+                    break
+            used[nxt] = True
+            path.append(nxt)
+            cur = nxt
+        if len(path) >= 3:
+            ring = _drop_collinear(E[path][:, 0:2])
             if len(ring) >= 3 and abs(ring_signed_area(ring)) > 1e-300:
                 rings.append(ensure_closed(ring))
     return _assemble_parts(rings)
@@ -377,3 +432,86 @@ def union_many(parts_list: list[Parts]) -> Parts:
     segs = np.concatenate(segs_list, axis=0)
     tags = np.zeros(len(segs), dtype=np.int8)
     return _sweep(segs, tags, lambda wa, wb: wa > 0)
+
+
+def _local_arange(counts: np.ndarray) -> np.ndarray:
+    """0..count-1 per run, concatenated (standard ragged arange)."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+    return np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+
+
+def ga_union_segments(ga, idx: np.ndarray) -> np.ndarray | None:
+    """Oriented segment soup (m, 4) of the polygon rings of geometries
+    ``idx`` — outers CCW, holes CW — built fully vectorized from the
+    ragged layout (no per-ring python). Returns None when a selected ring
+    is unclosed (caller falls back to the per-part path).
+
+    This is the batched entry to ``_sweep`` for dissolve: unioning all
+    (bbox-disjoint) multi-member components of a cell group in ONE sweep
+    amortizes the per-sweep fixed cost that dominates when components are
+    tiny (two parcels sharing an edge)."""
+    from .array import MULTIPOLYGON, POLYGON
+
+    geo, po, ro = ga.geom_offsets, ga.part_offsets, ga.ring_offsets
+    xy = ga.coords
+    idx = np.asarray(idx, dtype=np.int64)
+    idx = idx[np.isin(ga.types[idx], (POLYGON, MULTIPOLYGON))]
+    if not len(idx):
+        return np.empty((0, 4))
+    npp = geo[idx + 1] - geo[idx]
+    part_ids = np.repeat(geo[idx], npp) + _local_arange(npp)
+    nrp = po[part_ids + 1] - po[part_ids]
+    ring_ids = np.repeat(po[part_ids], nrp) + _local_arange(nrp)
+    is_outer = _local_arange(nrp) == 0
+    s = ro[ring_ids]
+    e = ro[ring_ids + 1]
+    npts = e - s
+    ok = npts >= 4
+    s, npts, is_outer = s[ok], npts[ok], is_outer[ok]
+    if not len(s):
+        return np.empty((0, 4))
+    en = s + npts
+    if not (
+        np.array_equal(xy[s, 0], xy[en - 1, 0])
+        and np.array_equal(xy[s, 1], xy[en - 1, 1])
+    ):
+        return None
+    # gather selected rings contiguously
+    gidx = np.repeat(s, npts) + _local_arange(npts)
+    xr = xy[gidx, 0]
+    yr = xy[gidx, 1]
+    # anchored signed areas per ring (same construction as geom.measure)
+    offs = np.concatenate([[0], np.cumsum(npts)]).astype(np.int64)
+    dx = xr - np.repeat(xr[offs[:-1]], npts)
+    dy = yr - np.repeat(yr[offs[:-1]], npts)
+    cross = dx[:-1] * dy[1:] - dx[1:] * dy[:-1]
+    from .measure import _segment_sums
+
+    sa = 0.5 * _segment_sums(cross, offs[:-1], np.maximum(offs[1:] - 1, offs[:-1]))
+    flip = (is_outer & (sa < 0)) | (~is_outer & (sa > 0))
+    # one segment per consecutive coord pair within each ring
+    local = _local_arange(npts)
+    sel = np.flatnonzero(local < np.repeat(npts - 1, npts))
+    seg = np.empty((len(sel), 4))
+    seg[:, 0] = xr[sel]
+    seg[:, 1] = yr[sel]
+    seg[:, 2] = xr[sel + 1]
+    seg[:, 3] = yr[sel + 1]
+    fl = np.repeat(flip, npts - 1)
+    if fl.any():
+        seg[fl] = seg[fl][:, [2, 3, 0, 1]]
+    return seg
+
+
+def union_ga(ga, idx: np.ndarray) -> Parts | None:
+    """n-ary union of ga[idx] via one sweep over vectorized segments;
+    None = caller should use the python-parts fallback."""
+    segs = ga_union_segments(ga, idx)
+    if segs is None:
+        return None
+    if not len(segs):
+        return []
+    return _sweep(segs, np.zeros(len(segs), dtype=np.int8), lambda wa, wb: wa > 0)

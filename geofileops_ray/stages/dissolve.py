@@ -174,13 +174,30 @@ def _union_group_polygons(
     for k in range(len(idx)):
         comps.setdefault(find(k), []).append(k)
     out: list[list[np.ndarray]] = []
+    multi: list[int] = []
     for members in comps.values():
         if len(members) == 1:
             out.extend(ga._parts_of(int(idx[members[0]])))
         else:
-            out.extend(
-                union_all_parts([ga._parts_of(int(idx[m])) for m in members])
-            )
+            multi.extend(members)
+    if multi:
+        # one sweep for ALL multi-member components: components are
+        # bbox-disjoint so their windings never interact and the sweep
+        # emits each component's union as separate rings — amortizes the
+        # per-sweep fixed cost over the whole group
+        from ..geom.boolops import union_ga
+
+        u = union_ga(ga, idx[np.asarray(multi, dtype=np.int64)])
+        if u is None:  # unclosed ring — per-component python fallback
+            for members in comps.values():
+                if len(members) > 1:
+                    out.extend(
+                        union_all_parts(
+                            [ga._parts_of(int(idx[m])) for m in members]
+                        )
+                    )
+        else:
+            out.extend(u)
     return out
 
 
@@ -337,6 +354,117 @@ def _finalize_partials(state: dict, agg_columns, holistic=frozenset()) -> dict:
     return out
 
 
+# quadtree hot-cell split: pass-0 cell keys carry a refinement level in
+# the high bits; a level-L key addresses a child square of edge
+# size/2**L on the SAME origin-aligned grid, so children nest exactly
+# inside their hot parent. Refined keys use a wider per-axis packing
+# (child indices grow 2**L-fold and would overflow the 21-bit base
+# layout): key = (L << 58) | (ccx + 2^27) << 29 | (ccy + 2^27).
+# Level-0 keys keep the base packing (< 2^42), so (key >> 58) == 0.
+_LEVEL_SHIFT = 58
+_CHILD_SHIFT = 29
+_CHILD_OFFSET = 1 << 27
+
+
+def _hot_cell_levels(
+    ds: ray.data.Dataset, size: float, origin: float, target: int, cap: int = 6
+) -> dict[int, int]:
+    """Probe per-cell row counts (center-cell assignment, column-pruned,
+    per-batch combiner before the tiny groupby) and return
+    {cell: quadtree_level} for cells holding > 2×target rows — the skew
+    map for dissolve's pass-0 shuffle. Only HOT cells ever reach the
+    driver, so the probe is scale-safe at any cell count."""
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..tiling.cells import cell_of_point
+
+    def to_counts(batch: pa.Table) -> pa.Table:
+        ga = decode_geometry(batch)
+        b = ga.bounds() - origin
+        cx = (b[:, 0] + b[:, 2]) * 0.5
+        cy = (b[:, 1] + b[:, 3]) * 0.5
+        ok = np.isfinite(cx) & np.isfinite(cy)
+        cells = cell_of_point(cx[ok], cy[ok], size)
+        u, c = np.unique(cells, return_counts=True)
+        return pa.table({"__cell": pa.array(u, pa.int64()), "n": pa.array(c, pa.int64())})
+
+    counts = (
+        ds.map_batches(to_counts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__cell")
+        .aggregate(_Sum("n"))
+        .map_batches(
+            lambda b: pa.table(
+                {"__cell": b.column("__cell"), "n": b.column("sum(n)")}
+            ),
+            batch_format="pyarrow",
+        )
+        .filter(expr=f"n > {2 * target}")
+        .take_all()
+    )
+    out: dict[int, int] = {}
+    for row in counts:
+        lvl = max(1, math.ceil(math.log(row["n"] / target, 4)))
+        out[int(row["__cell"])] = min(cap, lvl)
+    return out
+
+
+def _refine_hot_pairs(
+    b: np.ndarray,
+    rows: np.ndarray,
+    cells: np.ndarray,
+    size: float,
+    hot: dict[int, int],
+) -> tuple[np.ndarray, np.ndarray]:
+    """Rewrite (row, cell) replica pairs: pairs landing in a hot cell are
+    re-replicated to the quadtree children (at that cell's level) covered
+    by the row's bbox clipped to the hot cell; others keep level-0 keys.
+    Fully vectorized per level."""
+    hot_arr = np.array(sorted(hot), dtype=np.int64)
+    lvl_arr = np.array([hot[c] for c in sorted(hot)], dtype=np.int64)
+    pos = np.clip(np.searchsorted(hot_arr, cells), 0, len(hot_arr) - 1)
+    is_hot = hot_arr[pos] == cells
+    out_rows = [rows[~is_hot]]
+    out_keys = [cells[~is_hot]]
+    pair_lvl = np.where(is_hot, lvl_arr[pos], 0)
+    for L in np.unique(pair_lvl[is_hot]):
+        sel = pair_lvl == L
+        pr, pc = rows[sel], cells[sel]
+        csize = size / (1 << L)
+        cx = (pc >> CELL_SHIFT) - CELL_OFFSET
+        cy = (pc & ((1 << CELL_SHIFT) - 1)) - CELL_OFFSET
+        bb = b[pr]
+        # bbox ∩ hot-cell rect, in child-grid indices clamped inside the
+        # parent (a bbox touching the parent's max edge must not leak
+        # into the neighbour's children — the neighbour has its own copy)
+        lo_x = np.floor(np.maximum(bb[:, 0], cx * size) / csize).astype(np.int64)
+        lo_y = np.floor(np.maximum(bb[:, 1], cy * size) / csize).astype(np.int64)
+        hi_x = np.floor(np.minimum(bb[:, 2], (cx + 1) * size) / csize).astype(np.int64)
+        hi_y = np.floor(np.minimum(bb[:, 3], (cy + 1) * size) / csize).astype(np.int64)
+        k = np.int64(1) << L
+        lo_x = np.clip(lo_x, cx * k, (cx + 1) * k - 1)
+        hi_x = np.clip(hi_x, cx * k, (cx + 1) * k - 1)
+        lo_y = np.clip(lo_y, cy * k, (cy + 1) * k - 1)
+        hi_y = np.clip(hi_y, cy * k, (cy + 1) * k - 1)
+        nx = hi_x - lo_x + 1
+        ny = hi_y - lo_y + 1
+        counts = nx * ny
+        rep = np.repeat(np.arange(len(pr), dtype=np.int64), counts)
+        if not len(rep):
+            continue
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        local = np.arange(len(rep), dtype=np.int64) - np.repeat(starts, counts)
+        nyr = np.repeat(ny, counts)
+        dx = local // nyr
+        dy = local % nyr
+        child = (
+            ((np.repeat(lo_x, counts) + dx + _CHILD_OFFSET) << _CHILD_SHIFT)
+            | (np.repeat(lo_y, counts) + dy + _CHILD_OFFSET)
+        ) | (L << _LEVEL_SHIFT)
+        out_rows.append(pr[rep])
+        out_keys.append(child)
+    return np.concatenate(out_rows), np.concatenate(out_keys)
+
+
 def dissolve(
     ds: ray.data.Dataset,
     groupby: list[str] | None = None,
@@ -419,21 +547,43 @@ def dissolve(
     }
     list_names = [names[0] for *_x, names in lists_]
 
-    def assign(size, origin):
+    def assign(size, origin, hot: dict[int, int] | None = None):
         from ..tiling.cells import assign_cells
 
         def fn(batch: pa.Table) -> pa.Table:
             ga = decode_geometry(batch)
             b = ga.bounds() - origin
             rows, cells = assign_cells(b, size)
+            if hot:
+                rows, cells = _refine_hot_pairs(b, rows, cells, size, hot)
             out = batch.take(pa.array(rows))
             # attrs ride ONLY the copy in the row's center cell; other
             # replicas carry neutral partials → aggregates stay exact
             # without the reference's JSON-DISTINCT dedup
             # (_geoops_gpd.py:1141-1180)
-            cx = np.floor((b[:, 0] + b[:, 2]) * 0.5 / size).astype(np.int64)
-            cy = np.floor((b[:, 1] + b[:, 3]) * 0.5 / size).astype(np.int64)
+            bcx = (b[:, 0] + b[:, 2]) * 0.5
+            bcy = (b[:, 1] + b[:, 3]) * 0.5
+            cx = np.floor(bcx / size).astype(np.int64)
+            cy = np.floor(bcy / size).astype(np.int64)
             center = ((cx + CELL_OFFSET) << CELL_SHIFT) | (cy + CELL_OFFSET)
+            if hot:
+                # the attr-carrying replica of a hot-cell row is the CHILD
+                # containing its bbox center (that child is always among
+                # the row's replicas — it covers the center)
+                hot_arr = np.array(sorted(hot), dtype=np.int64)
+                lvl_arr = np.array([hot[c] for c in sorted(hot)], dtype=np.int64)
+                pos = np.clip(np.searchsorted(hot_arr, center), 0, len(hot_arr) - 1)
+                hc = hot_arr[pos] == center
+                if hc.any():
+                    L = lvl_arr[pos]
+                    csize = size / (1 << L)
+                    ccx = np.floor(np.where(hc, bcx, 0.0) / csize).astype(np.int64)
+                    ccy = np.floor(np.where(hc, bcy, 0.0) / csize).astype(np.int64)
+                    refined = (
+                        ((ccx + _CHILD_OFFSET) << _CHILD_SHIFT)
+                        | (ccy + _CHILD_OFFSET)
+                    ) | (L << _LEVEL_SHIFT)
+                    center = np.where(hc, refined, center)
             is_rep = cells != center[rows]
             if is_rep.any():
                 for name, zero in scalar_zero.items():
@@ -481,7 +631,14 @@ def dissolve(
     def pass_fn(size, origin):
         def per_group(group: pa.Table) -> pa.Table:
             cell = int(group.column("__cell")[0].as_py())
-            r0 = cell_bounds(cell, size)
+            lvl = cell >> _LEVEL_SHIFT
+            if lvl:
+                csize = size / (1 << lvl)
+                ccx = ((cell >> _CHILD_SHIFT) & ((1 << _CHILD_SHIFT) - 1)) - _CHILD_OFFSET
+                ccy = (cell & ((1 << _CHILD_SHIFT) - 1)) - _CHILD_OFFSET
+                r0 = (ccx * csize, ccy * csize, (ccx + 1) * csize, (ccy + 1) * csize)
+            else:
+                r0 = cell_bounds(cell, size)
             rect = (r0[0] + origin, r0[1] + origin, r0[2] + origin, r0[3] + origin)
             ga = from_wkb(group.column(_GEOM).to_pylist())
             if groupby:
@@ -560,7 +717,24 @@ def dissolve(
         # re-derive extents per pass for the same reason,
         # _geoops_gpd.py:1370-1474)
         origin = size * (((p + 1) * 0.6180339887498949) % 1.0)
-        staged = current.map_batches(assign(size, origin), batch_format="pyarrow")
+        hot = None
+        if p == 0 and cell_size is None and nrows > 8 * OPTIONS.dissolve_cell_rows:
+            # skew probe: split hot cells into quadtree children so no
+            # single per-cell union group serializes the pass (a dense
+            # urban tile at 100× the target row count would otherwise be
+            # the whole pass's long pole)
+            hot = _hot_cell_levels(
+                current, size, origin, OPTIONS.dissolve_cell_rows
+            ) or None
+            if _verbose and hot:
+                print(
+                    f"[dissolve] hot cells: {len(hot)} "
+                    f"(max level {max(hot.values())})",
+                    file=_sys.stderr, flush=True,
+                )
+        staged = current.map_batches(
+            assign(size, origin, hot), batch_format="pyarrow"
+        )
         result = staged.groupby("__cell").map_groups(
             pass_fn(size, origin), batch_format="pyarrow"
         ).materialize()

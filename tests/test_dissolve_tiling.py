@@ -97,3 +97,69 @@ def test_tile_assignments_match_sql(ray_session, oracle):
         ).fetchall()
     ]
     assert got == sorted(want)
+
+
+def test_dissolve_hot_cell_quadtree_split(ray_session, monkeypatch):
+    """Skew defense: a layer with one dense cluster must take the
+    quadtree hot-cell split path and still produce exact unions and
+    aggregates (identical to the same dissolve with the split disabled
+    via an explicit cell_size)."""
+    import ray.data
+
+    from geofileops_ray.config import OPTIONS
+    from geofileops_ray.geom.wkb import to_wkb
+    from geofileops_ray.geom import GeometryArray
+    from geofileops_ray.stages.dissolve import _hot_cell_levels
+
+    # 512 rects packed in a 16x16 cluster of touching 2x2 squares (their
+    # union per group is computable), plus 88 sparse singletons far away
+    rows = []
+    k = 0
+    for gy in range(16):
+        for gx in range(16):
+            for dup in range(2):  # two identical stacked rects -> overlap
+                x0, y0 = gx * 2.0, gy * 2.0
+                ring = np.array(
+                    [[x0, y0], [x0 + 2, y0], [x0 + 2, y0 + 2], [x0, y0 + 2], [x0, y0]]
+                )
+                rows.append(("dense", 1.0, (3, [[ring]])))
+                k += 1
+    for i in range(88):
+        x0 = 10_000.0 + i * 50.0
+        ring = np.array(
+            [[x0, 0.0], [x0 + 3, 0.0], [x0 + 3, 3.0], [x0, 3.0], [x0, 0.0]]
+        )
+        rows.append(("sparse", 2.0, (3, [[ring]])))
+    wkbs = to_wkb(GeometryArray.from_parts([g for _g, _v, g in rows]))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(rows)), pa.int64()),
+            "grp": pa.array([r[0] for r in rows]),
+            "val": pa.array([r[1] for r in rows]),
+            "geometry": pa.array(wkbs, pa.binary()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    monkeypatch.setattr(OPTIONS, "dissolve_cell_rows", 40)
+    # sanity: the probe actually flags the dense cluster as hot
+    assert _hot_cell_levels(ds, 50.0, 0.0, 40)
+
+    def run(**kw):
+        res = dissolve(
+            ds, groupby=["grp"],
+            agg_columns=[("val", "sum", "sv"), ("doc_id", "count", "n")],
+            **kw,
+        ).take_all()
+        ga = from_wkb([r["geometry"] for r in res])
+        return sorted(
+            (r["grp"], round(a, 9), r["sv"], r["n"])
+            for r, a in zip(res, area(ga))
+        )
+
+    got_hot = run()  # adaptive sizing -> hot probe fires
+    got_plain = run(cell_size=1000.0)  # one cell, no split
+    assert got_hot == got_plain
+    assert got_hot == [
+        ("dense", 32.0 * 32.0, 512.0, 512),
+        ("sparse", 88 * 9.0, 176.0, 88),
+    ]

@@ -174,31 +174,76 @@ def _union_group_polygons(
     for k in range(len(idx)):
         comps.setdefault(find(k), []).append(k)
     out: list[list[np.ndarray]] = []
-    multi: list[int] = []
+    mcomps: list[list[int]] = []
     for members in comps.values():
         if len(members) == 1:
             out.extend(ga._parts_of(int(idx[members[0]])))
         else:
-            multi.extend(members)
-    if multi:
-        # one sweep for ALL multi-member components: components are
+            mcomps.append(members)
+    if mcomps:
+        # batched sweeps for the multi-member components: components are
         # bbox-disjoint so their windings never interact and the sweep
         # emits each component's union as separate rings — amortizes the
-        # per-sweep fixed cost over the whole group
+        # per-sweep fixed cost over many tiny components. Batches are
+        # CAPPED by total point count (the sweep's strips span all x, so
+        # a giant batch multiplies strip-segment incidences — measured
+        # superlinear) and filled in MORTON order of component bbox
+        # centers, so a batch is a compact 2-D block, not a thin row of
+        # side-by-side components sharing every strip.
         from ..geom.boolops import union_ga
 
-        u = union_ga(ga, idx[np.asarray(multi, dtype=np.int64)])
-        if u is None:  # unclosed ring — per-component python fallback
-            for members in comps.values():
-                if len(members) > 1:
-                    out.extend(
-                        union_all_parts(
-                            [ga._parts_of(int(idx[m])) for m in members]
-                        )
-                    )
-        else:
+        geo, po, ro = ga.geom_offsets, ga.part_offsets, ga.ring_offsets
+        npts = ro[po[geo[idx + 1]]] - ro[po[geo[idx]]]
+        ctr = np.array(
+            [
+                (
+                    boxes[ms[0], 0] + boxes[ms[0], 2],
+                    boxes[ms[0], 1] + boxes[ms[0], 3],
+                )
+                for ms in mcomps
+            ]
+        ) * 0.5
+        order = np.argsort(_morton_codes(ctr), kind="stable")
+        CAP = 512
+        batch: list[int] = []
+        bpts = 0
+        batches: list[list[int]] = []
+        for oi in order:
+            members = mcomps[int(oi)]
+            cpts = int(npts[members].sum())
+            if batch and bpts + cpts > CAP:
+                batches.append(batch)
+                batch, bpts = [], 0
+            batch.extend(members)
+            bpts += cpts
+        if batch:
+            batches.append(batch)
+        for members in batches:
+            u = union_ga(ga, idx[np.asarray(members, dtype=np.int64)])
+            if u is None:  # unclosed ring — per-part python fallback
+                u = union_all_parts(
+                    [ga._parts_of(int(idx[m])) for m in members]
+                )
             out.extend(u)
     return out
+
+
+def _morton_codes(ctr: np.ndarray) -> np.ndarray:
+    """Morton (Z-order) codes of 2-D points, quantized to a 2^16 grid
+    over the points' own bbox — used only as a spatial sort key."""
+    lo = ctr.min(axis=0)
+    span = np.maximum(ctr.max(axis=0) - lo, 1e-300)
+    q = ((ctr - lo) / span * 65535.0).astype(np.uint64)
+
+    def spread(v: np.ndarray) -> np.ndarray:
+        v = (v | (v << np.uint64(16))) & np.uint64(0x0000FFFF0000FFFF)
+        v = (v | (v << np.uint64(8))) & np.uint64(0x00FF00FF00FF00FF)
+        v = (v | (v << np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+        v = (v | (v << np.uint64(2))) & np.uint64(0x3333333333333333)
+        v = (v | (v << np.uint64(1))) & np.uint64(0x5555555555555555)
+        return v
+
+    return spread(q[:, 0]) | (spread(q[:, 1]) << np.uint64(1))
 
 
 def _split_on_border(

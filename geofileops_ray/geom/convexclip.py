@@ -1,0 +1,238 @@
+"""Vectorized Sutherland-Hodgman clipping of convex single-ring polygons
+by axis-aligned rectangles.
+
+This is the batched fast path for convex x rect overlay pairs (the
+reference computes each such pair with a GEOS ST_Intersection call inside
+its SQL templates, _geoops_sql.py:1000-1028; here ONE numpy pass handles
+every pair in a batch). The general trapezoid sweep in boolops.py remains
+the fallback for non-convex / multi-ring operands.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .array import POLYGON, GeometryArray
+
+# pairs whose polygon has more open vertices than this skip the padded
+# kernel (padding cost grows with the max, and huge convex rings are rare)
+MAX_CONVEX_VERTS = 64
+
+
+def convex_single_ring(ga: GeometryArray) -> np.ndarray:
+    """bool[n]: row is a single-part, single-ring POLYGON whose ring is
+    convex (consecutive-edge cross products never change sign)."""
+    n = len(ga)
+    out = np.zeros(n, dtype=bool)
+    if n == 0:
+        return out
+    geo, po, ro = ga.geom_offsets, ga.part_offsets, ga.ring_offsets
+    one_part = (geo[1:] - geo[:-1]) == 1
+    cand = (ga.types == POLYGON) & one_part
+    if not cand.any():
+        return out
+    p0 = geo[:-1]
+    one_ring = np.zeros(n, dtype=bool)
+    one_ring[cand] = (po[p0[cand] + 1] - po[p0[cand]]) == 1
+    cand &= one_ring
+    if not cand.any():
+        return out
+    ci = np.flatnonzero(cand)
+    r0 = po[p0[ci]]
+    s = ro[r0]
+    e = ro[r0 + 1]
+    m = e - s  # closed point count
+    ok = m >= 4
+    ci, s, m = ci[ok], s[ok], m[ok]
+    if not len(ci):
+        return out
+    # open vertex sequence per ring: coords[s : s+m-1]; edges are cyclic
+    k = m - 1
+    tot = int(k.sum())
+    starts = np.zeros(len(ci), dtype=np.int64)
+    np.cumsum(k[:-1], out=starts[1:])
+    local = np.arange(tot, dtype=np.int64) - np.repeat(starts, k)
+    base = np.repeat(s, k)
+    kk = np.repeat(k, k)
+    cur = base + local
+    nxt = base + np.where(local + 1 < kk, local + 1, 0)
+    nx2 = base + np.where(local + 2 < kk, local + 2, local + 2 - kk)
+    xy = ga.coords
+    e1x = xy[nxt, 0] - xy[cur, 0]
+    e1y = xy[nxt, 1] - xy[cur, 1]
+    e2x = xy[nx2, 0] - xy[nxt, 0]
+    e2y = xy[nx2, 1] - xy[nxt, 1]
+    cross = e1x * e2y - e1y * e2x
+    pos = cross > 1e-300
+    neg = cross < -1e-300
+    rid = np.repeat(np.arange(len(ci), dtype=np.int64), k)
+    npos = np.bincount(rid, weights=pos, minlength=len(ci))
+    nneg = np.bincount(rid, weights=neg, minlength=len(ci))
+    out[ci] = (npos == 0) | (nneg == 0)
+    return out
+
+
+def _gather_open_rings(
+    ga: GeometryArray, idx: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """(P, cnt): padded (n, V, 2) open-vertex rings of single-ring rows
+    ``idx``, oriented CCW."""
+    geo, po, ro = ga.geom_offsets, ga.part_offsets, ga.ring_offsets
+    r0 = po[geo[idx]]
+    s = ro[r0]
+    e = ro[r0 + 1]
+    cnt = (e - s - 1).astype(np.int64)  # open count
+    n = len(idx)
+    V = int(cnt.max())
+    P = np.zeros((n, V, 2))
+    slot = np.arange(V)
+    valid = slot[None, :] < cnt[:, None]
+    src = s[:, None] + slot[None, :]
+    P[valid] = ga.coords[src[valid]]
+    # orient CCW: shoelace over the padded cyclic ring
+    area2 = _shoelace2(P, cnt)
+    cw = area2 < 0
+    if cw.any():
+        rev = cnt[:, None] - 1 - slot[None, :]
+        sel = cw[:, None] & valid
+        Pr = P.copy()
+        rows = np.nonzero(sel)
+        Pr[rows[0], rows[1]] = P[rows[0], rev[rows]]
+        P = Pr
+    return P, cnt
+
+
+def _shoelace2(P: np.ndarray, cnt: np.ndarray) -> np.ndarray:
+    """Twice the signed area of each padded cyclic ring."""
+    n, V, _ = P.shape
+    slot = np.arange(V)
+    valid = slot[None, :] < cnt[:, None]
+    nxt = np.where(slot[None, :] + 1 < cnt[:, None], slot[None, :] + 1, 0)
+    rows = np.arange(n)[:, None].repeat(V, axis=1)
+    xn = P[rows, nxt, 0]
+    yn = P[rows, nxt, 1]
+    term = (P[:, :, 0] * yn - xn * P[:, :, 1]) * valid
+    return term.sum(axis=1)
+
+
+def _clip_halfplane(
+    P: np.ndarray, cnt: np.ndarray, c: np.ndarray, axis: int, keep_ge: bool
+) -> tuple[np.ndarray, np.ndarray]:
+    """One Sutherland-Hodgman pass: keep coord[axis] >= c (or <= c).
+    ``c`` is per-row. Returns a (n, V+1, 2) padded array + new counts."""
+    n, V, _ = P.shape
+    slot = np.arange(V)
+    valid = slot[None, :] < cnt[:, None]
+    a = P[:, :, axis]
+    inside = (a >= c[:, None]) if keep_ge else (a <= c[:, None])
+    inside &= valid
+    prev_slot = np.where(slot[None, :] > 0, slot[None, :] - 1, cnt[:, None] - 1)
+    prev_slot = np.clip(prev_slot, 0, V - 1)
+    rows = np.arange(n)[:, None].repeat(V, axis=1)
+    prev_in = inside[rows, prev_slot]
+    crossing = (inside != prev_in) & valid
+    emit = crossing.astype(np.int64) + inside.astype(np.int64)
+    flat = emit.reshape(-1)
+    pos = np.cumsum(flat) - flat
+    pos = pos.reshape(n, V)
+    row_base = pos[:, 0]
+    local = pos - row_base[:, None]
+    new_cnt = emit.sum(axis=1)
+    Vo = V + 1
+    out = np.zeros((n, Vo, 2))
+    # intersection points (prev -> cur crosses the line)
+    if crossing.any():
+        r, sl = np.nonzero(crossing)
+        ps = prev_slot[r, sl]
+        p0 = P[r, ps]
+        p1 = P[r, sl]
+        cc = c[r]
+        denom = p1[:, axis] - p0[:, axis]
+        denom = np.where(np.abs(denom) < 1e-300, 1.0, denom)
+        t = (cc - p0[:, axis]) / denom
+        ip = p0 + t[:, None] * (p1 - p0)
+        ip[:, axis] = cc  # exact on the clip line
+        out[r, local[r, sl]] = ip
+    if inside.any():
+        r, sl = np.nonzero(inside)
+        out[r, local[r, sl] + crossing[r, sl]] = P[r, sl]
+    new_cnt = np.where(new_cnt >= 3, new_cnt, 0)
+    return out, new_cnt
+
+
+def clip_convex_by_rects(
+    ga: GeometryArray, idx: np.ndarray, rects: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Clip convex single-ring polygons ``ga[idx[k]]`` by axis-aligned
+    rectangle ``rects[k] = (minx, miny, maxx, maxy)``, all pairs at once.
+
+    Returns (P, cnt): padded (n, V, 2) CCW open rings and per-pair vertex
+    counts (0 = empty intersection). Caller guarantees each idx row
+    passes convex_single_ring()."""
+    P, cnt = _gather_open_rings(ga, idx)
+    P, cnt = _clip_halfplane(P, cnt, rects[:, 0], 0, True)
+    P, cnt = _clip_halfplane(P, cnt, rects[:, 2], 0, False)
+    P, cnt = _clip_halfplane(P, cnt, rects[:, 1], 1, True)
+    P, cnt = _clip_halfplane(P, cnt, rects[:, 3], 1, False)
+    # degenerate (zero-area) clips are empty
+    area2 = _shoelace2(P, cnt)
+    cnt = np.where(area2 > 1e-300, cnt, 0)
+    return P, cnt
+
+
+def clip_areas(P: np.ndarray, cnt: np.ndarray) -> np.ndarray:
+    """Area per padded ring (0 where cnt == 0)."""
+    return 0.5 * np.where(cnt > 0, _shoelace2(P, cnt), 0.0)
+
+
+def padded_to_wkb(P: np.ndarray, cnt: np.ndarray) -> list[bytes | None]:
+    """WKB POLYGON per padded ring via the vectorized slab encoder;
+    None where cnt == 0. Consecutive duplicate vertices (a vertex exactly
+    on a clip line emits twice) are dropped first."""
+    from .wkb import to_wkb
+
+    n, V, _ = P.shape
+    slot = np.arange(V)
+    valid = slot[None, :] < cnt[:, None]
+    prev_slot = np.where(slot[None, :] > 0, slot[None, :] - 1, cnt[:, None] - 1)
+    prev_slot = np.clip(prev_slot, 0, V - 1)
+    rows = np.arange(n)[:, None].repeat(V, axis=1)
+    dup = (
+        (P[:, :, 0] == P[rows, prev_slot, 0])
+        & (P[:, :, 1] == P[rows, prev_slot, 1])
+        & valid
+        & (cnt[:, None] > 1)
+    )
+    keep = valid & ~dup
+    kcnt = keep.sum(axis=1)
+    nonempty = kcnt >= 3
+    if not nonempty.any():
+        return [None] * n
+    # flat closed rings: kept vertices in slot order + repeat of first
+    ne = np.flatnonzero(nonempty)
+    closed = kcnt[ne] + 1
+    total = int(closed.sum())
+    coords = np.empty((total, 2))
+    ring_off = np.zeros(len(ne) + 1, dtype=np.int64)
+    np.cumsum(closed, out=ring_off[1:])
+    r, sl = np.nonzero(keep[ne])
+    # position within each ring = running index minus the ring's start
+    starts = np.zeros(len(ne), dtype=np.int64)
+    np.cumsum(kcnt[ne][:-1], out=starts[1:])
+    within = np.arange(len(r), dtype=np.int64) - starts[r]
+    coords[ring_off[r] + within] = P[ne[r], sl]
+    first_rows = np.arange(len(ne))
+    coords[ring_off[first_rows + 1] - 1] = coords[ring_off[first_rows]]
+    m = len(ne)
+    arr = GeometryArray(
+        types=np.full(m, POLYGON, dtype=np.int8),
+        geom_offsets=np.arange(m + 1, dtype=np.int64),
+        part_offsets=np.arange(m + 1, dtype=np.int64),
+        ring_offsets=ring_off,
+        coords=coords,
+    )
+    blobs = to_wkb(arr)
+    out: list[bytes | None] = [None] * n
+    for pos, i in enumerate(ne):
+        out[int(i)] = blobs[pos]
+    return out

@@ -127,6 +127,38 @@ def _pairwise_overlay_geoms(
             blobs = arr.to_pylist()
             for pos, kk_i in enumerate(kk):
                 out[kk_i] = blobs[pos]
+    # convex×rect pairs: batched Sutherland-Hodgman clip (one numpy pass
+    # over all such pairs), the common case for irregular layer × tile
+    # or zone rectangles — no per-pair sweep
+    if not fast.all():
+        from ..geom.convexclip import (
+            MAX_CONVEX_VERTS,
+            clip_convex_by_rects,
+            convex_single_ring,
+            padded_to_wkb,
+        )
+
+        def _small(gc: GeometryArray) -> np.ndarray:
+            geo, po, ro = gc.geom_offsets, gc.part_offsets, gc.ring_offsets
+            return (ro[po[geo[1:]]] - ro[po[geo[:-1]]]) <= MAX_CONVEX_VERTS
+
+        cvx1 = convex_single_ring(ga1) & _small(ga1)
+        cvx2 = convex_single_ring(ga2) & _small(ga2)
+        c1 = ~fast & cvx1[ia] & r2[ib] & (ga2.types[ib] == POLYGON)
+        c2 = ~fast & ~c1 & cvx2[ib] & r1[ia] & (ga1.types[ia] == POLYGON)
+        for sel, gc, ic, gr, ir in (
+            (c1, ga1, ia, ga2, ib),
+            (c2, ga2, ib, ga1, ia),
+        ):
+            if not sel.any():
+                continue
+            k = np.flatnonzero(sel)
+            rects = gr.bounds()[ir[k]]
+            P, cnt = clip_convex_by_rects(gc, ic[k], rects)
+            blobs = padded_to_wkb(P, cnt)
+            for pos, kk_i in enumerate(k):
+                out[kk_i] = blobs[pos]
+            fast = fast | sel
     for k in np.flatnonzero(~fast):
         i, j = int(ia[k]), int(ib[k])
         code, parts = _geom_of_pair_op(ga1, i, ga2, np.array([j]), "intersection")

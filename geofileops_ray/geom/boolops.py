@@ -297,6 +297,10 @@ def _chain_rings(edges) -> Parts:
     succ[one] = order[np.clip(firstpos[v1[one]], 0, m - 1)]
     junction = deg > 1
 
+    # edge direction angles, computed ONCE for the whole batch (the
+    # junction rule below never touches arctan2 per call)
+    eang = np.arctan2(E[:, 3] - E[:, 1], E[:, 2] - E[:, 0])
+
     def _junction_next(cur: int, used: np.ndarray) -> int:
         nv = v1[cur]
         lo = firstpos[nv]
@@ -306,17 +310,13 @@ def _chain_rings(edges) -> Parts:
             return -1
         if len(cands) == 1:
             return int(cands[0])
-        x0, y0, x1, y1 = E[cur]
-        din = math.atan2(y1 - y0, x1 - x0)
-        ang = (
-            np.arctan2(E[cands, 3] - E[cands, 1], E[cands, 2] - E[cands, 0])
-            - din
-        ) % (2 * math.pi)
+        ang = (eang[cands] - eang[cur]) % (2 * math.pi)
         ang[ang <= 1e-12] += 2 * math.pi
         return int(cands[np.argmin(ang)])
 
     used = np.zeros(m, dtype=bool)
-    rings: list[np.ndarray] = []
+    paths: list[int] = []
+    plens: list[int] = []
     for start in range(m):
         if used[start]:
             continue
@@ -337,46 +337,98 @@ def _chain_rings(edges) -> Parts:
             path.append(nxt)
             cur = nxt
         if len(path) >= 3:
-            ring = _drop_collinear(E[path][:, 0:2])
-            if len(ring) >= 3 and abs(ring_signed_area(ring)) > 1e-300:
-                rings.append(ensure_closed(ring))
-    return _assemble_parts(rings)
+            paths.extend(path)
+            plens.append(len(path))
+    if not plens:
+        return []
+    return _assemble_parts(_finish_rings(E, paths, plens))
 
 
-def _drop_collinear(pts: np.ndarray) -> np.ndarray:
-    """Remove vertices collinear with their neighbours (trapezoid stacking
-    produces runs of collinear corners along one source segment).
-
-    Collinearity is ANGLE-based (|cross| ≤ eps·|e1|·|e2|, i.e. sin of the
-    turn angle below eps) — an absolute threshold scaled by coordinate
-    magnitude deletes genuinely non-collinear micro-corners (e.g. the
-    wall↔arc junctions of a finely sampled circle), visibly deforming
-    rings."""
-    n = len(pts)
-    if n < 3:
-        return pts
-    prv = np.roll(pts, 1, axis=0)
-    nxt = np.roll(pts, -1, axis=0)
-    e1 = pts - prv
-    e2 = nxt - pts
+def _finish_rings(
+    E: np.ndarray, paths: list[int], plens: list[int]
+) -> tuple[list[np.ndarray], np.ndarray]:
+    """Vectorized post-processing of ALL chained rings at once: cyclic
+    collinear-vertex drop (angle-based, see _drop_collinear), degenerate
+    ring filter, signed areas, and closure — replaces four per-ring numpy
+    calls (roll/cross/shoelace/concat) with flat segmented passes."""
+    pts = E[np.asarray(paths, dtype=np.int64), 0:2]
+    lens = np.asarray(plens, dtype=np.int64)
+    nr = len(lens)
+    starts = np.zeros(nr, dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    tot = int(lens.sum())
+    local = np.arange(tot, dtype=np.int64) - np.repeat(starts, lens)
+    ll = np.repeat(lens, lens)
+    base = np.repeat(starts, lens)
+    prv = base + np.where(local > 0, local - 1, ll - 1)
+    nxt = base + np.where(local + 1 < ll, local + 1, 0)
+    e1 = pts - pts[prv]
+    e2 = pts[nxt] - pts
     cross = e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0]
     l1 = np.hypot(e1[:, 0], e1[:, 1])
     l2 = np.hypot(e2[:, 0], e2[:, 1])
-    dup = (l1 == 0) | (l2 == 0)
-    keep = (np.abs(cross) > 1e-10 * l1 * l2) & ~dup
-    if keep.sum() < 3:
-        return pts[keep]
-    return pts[keep]
+    keep = (np.abs(cross) > 1e-10 * l1 * l2) & (l1 != 0) & (l2 != 0)
+    rid = np.repeat(np.arange(nr, dtype=np.int64), lens)
+    kcnt = np.bincount(rid, weights=keep, minlength=nr).astype(np.int64)
+    ring_ok = kcnt >= 3
+    keep &= ring_ok[rid]
+    fp = pts[keep]
+    frid = rid[keep]
+    kl = kcnt[ring_ok]
+    nrk = len(kl)
+    if nrk == 0:
+        return [], np.empty(0)
+    # anchored shoelace per kept ring (cyclic)
+    ks = np.zeros(nrk, dtype=np.int64)
+    np.cumsum(kl[:-1], out=ks[1:])
+    ktot = int(kl.sum())
+    klocal = np.arange(ktot, dtype=np.int64) - np.repeat(ks, kl)
+    kll = np.repeat(kl, kl)
+    kbase = np.repeat(ks, kl)
+    knxt = kbase + np.where(klocal + 1 < kll, klocal + 1, 0)
+    term = fp[:, 0] * fp[knxt, 1] - fp[knxt, 0] * fp[:, 1]
+    krid = np.repeat(np.arange(nrk, dtype=np.int64), kl)
+    areas2 = np.bincount(krid, weights=term, minlength=nrk)
+    live = np.abs(areas2) > 2e-300
+    # emit CLOSED rings: one flat array with the first point appended per
+    # ring, sliced into per-ring views (single allocation, no per-ring
+    # roll/concat)
+    closed_tot = ktot + int(live.sum())
+    out = np.empty((closed_tot, 2))
+    clens = kl + 1
+    cstarts = np.zeros(nrk, dtype=np.int64)
+    np.cumsum(np.where(live, clens, 0)[:-1], out=cstarts[1:])
+    dst = cstarts[krid] + klocal
+    lv = live[krid]
+    out[dst[lv]] = fp[lv]
+    li = np.flatnonzero(live)
+    out[cstarts[li] + kl[li]] = fp[ks[li]]
+    rings: list[np.ndarray] = []
+    sa: list[float] = []
+    for j in li:
+        rings.append(out[cstarts[j] : cstarts[j] + kl[j] + 1])
+        sa.append(0.5 * areas2[j])
+    return rings, np.asarray(sa)
 
 
-def _assemble_parts(rings: list[np.ndarray]) -> Parts:
+def _assemble_parts(
+    rings_areas: tuple[list[np.ndarray], np.ndarray] | list[np.ndarray],
+) -> Parts:
     """Outer/hole classification by signed area (the chaining rule emits
-    outers CCW and holes CW), then hole→outer assignment by containment."""
+    outers CCW and holes CW), then hole→outer assignment by containment.
+    Accepts (rings, precomputed signed areas) or a bare ring list."""
+    if isinstance(rings_areas, tuple):
+        rings, sareas = rings_areas
+    else:
+        rings = rings_areas
+        sareas = np.asarray([ring_signed_area(r) for r in rings])
     outers = []
+    oareas = []
     holes = []
-    for r in rings:
-        if ring_signed_area(r) >= 0:
+    for r, a in zip(rings, sareas):
+        if a >= 0:
             outers.append(r)
+            oareas.append(a)
         else:
             holes.append(r)
     if not outers:
@@ -385,8 +437,7 @@ def _assemble_parts(rings: list[np.ndarray]) -> Parts:
     if holes:
         from .overlay import point_in_ring
 
-        areas = [abs(ring_signed_area(o)) for o in outers]
-        order = np.argsort(areas)  # smallest enclosing outer wins
+        order = np.argsort(oareas)  # smallest enclosing outer wins
         for h in holes:
             probe = h[:-1].mean(axis=0)
             for oi in order:

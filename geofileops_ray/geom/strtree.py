@@ -33,11 +33,10 @@ def bbox_join(boxes_a: np.ndarray, boxes_b: np.ndarray,
 
     # sort b by minx; for a box a, any intersecting b has
     # b.minx ∈ [a.minx − max_b_width, a.maxx] — a two-sided window whose
-    # size tracks LOCAL density, not the global prefix. The scan is a
-    # per-row loop over CONTIGUOUS slices of the sorted component arrays
-    # (minx/miny/maxx/maxy laid out separately): on bandwidth-limited
-    # hosts this beats materializing the full candidate-pair expansion by
-    # a wide margin (small cache-resident temporaries per row).
+    # size tracks LOCAL density, not the global prefix. Candidates are
+    # enumerated by fully vectorized repeat/arange expansion of those
+    # windows, processed in chunks CAPPED by candidate count so a skewed
+    # window never materializes an unbounded pair array.
     order_b = np.argsort(b[:, 0], kind="stable")
     bs = b[order_b]
     blo = np.ascontiguousarray(bs[:, 0])
@@ -47,23 +46,37 @@ def bbox_join(boxes_a: np.ndarray, boxes_b: np.ndarray,
     max_bw = float((b[:, 2] - b[:, 0]).max())
     lo_idx = np.searchsorted(blo, a[:, 0] - max_bw, side="left")
     hi_idx = np.searchsorted(blo, a[:, 2], side="right")
+    counts = np.maximum(hi_idx - lo_idx, 0)
+    total = int(counts.sum())
+    if total == 0:
+        return (np.empty(0, dtype=np.int64),) * 2
+    csum = np.zeros(m + 1, dtype=np.int64)
+    np.cumsum(counts, out=csum[1:])
+    CHUNK = 4_000_000
     out_a: list[np.ndarray] = []
     out_b: list[np.ndarray] = []
-    aminx, aminy, amaxx, amaxy = a[:, 0], a[:, 1], a[:, 2], a[:, 3]
-    for i in range(m):
-        lo, hi = lo_idx[i], hi_idx[i]
-        if hi <= lo:
-            continue
-        mask = (
-            (bhix[lo:hi] >= aminx[i])
-            & (blo[lo:hi] <= amaxx[i])
-            & (bminy[lo:hi] <= amaxy[i])
-            & (bmaxy[lo:hi] >= aminy[i])
-        )
-        js = np.flatnonzero(mask)
-        if len(js):
-            out_b.append(order_b[lo + js])
-            out_a.append(np.full(len(js), i, dtype=np.int64))
+    row = 0
+    while row < m:
+        end = int(np.searchsorted(csum, csum[row] + CHUNK, side="left"))
+        end = min(max(end, row + 1), m)
+        cc = counts[row:end]
+        P = int(cc.sum())
+        if P:
+            ii = np.repeat(np.arange(row, end, dtype=np.int64), cc)
+            base = csum[row:end] - csum[row]
+            jj = np.repeat(lo_idx[row:end], cc) + (
+                np.arange(P, dtype=np.int64) - np.repeat(base, cc)
+            )
+            mask = (
+                (bhix[jj] >= a[ii, 0])
+                & (blo[jj] <= a[ii, 2])
+                & (bminy[jj] <= a[ii, 3])
+                & (bmaxy[jj] >= a[ii, 1])
+            )
+            if mask.any():
+                out_a.append(ii[mask])
+                out_b.append(order_b[jj[mask]])
+        row = end
     if not out_a:
         return (np.empty(0, dtype=np.int64),) * 2
     return np.concatenate(out_a), np.concatenate(out_b)

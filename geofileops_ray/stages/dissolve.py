@@ -893,7 +893,13 @@ def dissolve(
             )
         return pa.table(cols)
 
-    merged = merged.map_batches(final_partial, batch_format="pyarrow")
+    # large batch_size bundles the many tiny per-pass blocks into few
+    # tasks: each surviving batch is one row per group key, so the final
+    # groupby shuffles ~#tasks×#keys rows instead of paying per-block
+    # task overhead on hundreds of near-empty blocks
+    merged = merged.map_batches(
+        final_partial, batch_format="pyarrow", batch_size=1 << 16
+    )
 
     def _packed_ga(group: pa.Table, blob_col: str, offs_col: str):
         """Decode all rows' packed piece blobs as ONE GeometryArray —

@@ -45,11 +45,11 @@ def _parse_one(buf: memoryview, pos: int, out_parts: list) -> tuple[int, int]:
         pos += 4
     has_z = bool(raw_type & _HAS_Z)
     has_m = bool(raw_type & _HAS_M)
-    base = raw_type & 0xFF
-    if base > 1000:  # ISO Z/M/ZM numeric convention (1001, 2001, 3001 ...)
-        has_z = has_z or (1000 <= raw_type % 10000 < 2000) or (3000 <= raw_type % 10000)
-        has_m = has_m or (2000 <= raw_type % 10000)
-        base = raw_type % 1000
+    base = raw_type & 0xFFFF
+    if base >= 1000:  # ISO Z/M/ZM numeric convention (1001, 2001, 3001 ...)
+        has_z = has_z or (1000 <= base < 2000) or base >= 3000
+        has_m = has_m or base >= 2000
+        base = base % 1000
     dim = 2 + (1 if has_z else 0) + (1 if has_m else 0)
     dt = np.dtype(endian + "f8")
 
@@ -89,7 +89,109 @@ def _parse_one(buf: memoryview, pos: int, out_parts: list) -> tuple[int, int]:
         for _ in range(ngeom):
             _, pos = _parse_one(buf, pos, out_parts)
         return base, pos
+    # CURVE types are linearized on decode, mirroring the reference's
+    # on-the-fly CURVE→LINEAR conversion at read (fileops.py:1659-1660,
+    # ogr CONVERT_TO_LINEAR): CircularString arcs are sampled with a
+    # deterministic ~4° max step (GDAL OGR_ARC_STEPSIZE default).
+    if base == _CIRCULARSTRING:
+        (k,) = struct.unpack_from(endian + "I", buf, pos)
+        pos += 4
+        xy, pos = read_coordseq(pos, k)
+        if k:
+            out_parts.append([_linearize_circular(xy)])
+        return LINESTRING, pos
+    if base == _COMPOUNDCURVE:
+        (nc,) = struct.unpack_from(endian + "I", buf, pos)
+        pos += 4
+        chunks: list[np.ndarray] = []
+        for _ in range(nc):
+            tmp: list = []
+            _, pos = _parse_one(buf, pos, tmp)
+            if tmp:
+                seg = tmp[0][0]
+                if chunks and len(seg) and np.array_equal(chunks[-1][-1], seg[0]):
+                    seg = seg[1:]
+                if len(seg):
+                    chunks.append(seg)
+        if chunks:
+            out_parts.append([np.concatenate(chunks, axis=0)])
+        return LINESTRING, pos
+    if base == _CURVEPOLYGON:
+        (nrings,) = struct.unpack_from(endian + "I", buf, pos)
+        pos += 4
+        rings = []
+        for _ in range(nrings):
+            tmp = []
+            _, pos = _parse_one(buf, pos, tmp)
+            if tmp:
+                rings.append(tmp[0][0])
+        if rings:
+            out_parts.append(rings)
+        return POLYGON, pos
+    if base in (_MULTICURVE, _MULTISURFACE):
+        (ngeom,) = struct.unpack_from(endian + "I", buf, pos)
+        pos += 4
+        for _ in range(ngeom):
+            _, pos = _parse_one(buf, pos, out_parts)
+        return MULTILINESTRING if base == _MULTICURVE else MULTIPOLYGON, pos
     raise ValueError(f"unsupported WKB geometry type {raw_type}")
+
+
+_CIRCULARSTRING = 8
+_COMPOUNDCURVE = 9
+_CURVEPOLYGON = 10
+_MULTICURVE = 11
+_MULTISURFACE = 12
+_ARC_STEP = np.radians(4.0)
+
+
+def _linearize_circular(xy: np.ndarray) -> np.ndarray:
+    """Linearize a CircularString point sequence (consecutive triples
+    define arcs) to a dense point sequence; endpoints are kept exact."""
+    out = [xy[0:1]]
+    for i in range(0, len(xy) - 2, 2):
+        out.append(_arc_points(xy[i], xy[i + 1], xy[i + 2])[1:])
+    return np.concatenate(out, axis=0)
+
+
+def _arc_points(p0: np.ndarray, p1: np.ndarray, p2: np.ndarray) -> np.ndarray:
+    """Sample the circular arc p0→p1→p2 (through p1) at ≤ _ARC_STEP."""
+    ax, ay = p0
+    bx, by = p1
+    cx, cy = p2
+    d = 2.0 * (ax * (by - cy) + bx * (cy - ay) + cx * (ay - by))
+    if abs(d) < 1e-12 * max(abs(ax) + abs(bx) + abs(cx), 1.0):
+        return np.stack([p0, p1, p2])  # collinear: straight segments
+    ux = (
+        (ax * ax + ay * ay) * (by - cy)
+        + (bx * bx + by * by) * (cy - ay)
+        + (cx * cx + cy * cy) * (ay - by)
+    ) / d
+    uy = (
+        (ax * ax + ay * ay) * (cx - bx)
+        + (bx * bx + by * by) * (ax - cx)
+        + (cx * cx + cy * cy) * (bx - ax)
+    ) / d
+    r = float(np.hypot(ax - ux, ay - uy))
+    a0 = float(np.arctan2(ay - uy, ax - ux))
+    a1 = float(np.arctan2(by - uy, bx - ux))
+    a2 = float(np.arctan2(cy - uy, cx - ux))
+    two_pi = 2.0 * np.pi
+    d1 = (a1 - a0) % two_pi
+    d2 = (a2 - a0) % two_pi
+    if d1 <= d2:  # counter-clockwise through p1
+        sweep = d2 if d2 > 0 else two_pi
+        sign = 1.0
+    else:  # clockwise through p1
+        sweep = (a0 - a2) % two_pi
+        sweep = sweep if sweep > 0 else two_pi
+        sign = -1.0
+    n = max(2, int(np.ceil(sweep / _ARC_STEP)))
+    ang = a0 + sign * sweep * np.linspace(0.0, 1.0, n + 1)
+    pts = np.stack([ux + r * np.cos(ang), uy + r * np.sin(ang)], axis=1)
+    pts[0] = p0
+    pts[-1] = p2
+    return pts
 
 
 def _fast_decode(values: list) -> GeometryArray | None:

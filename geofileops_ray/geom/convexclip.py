@@ -185,6 +185,97 @@ def clip_areas(P: np.ndarray, cnt: np.ndarray) -> np.ndarray:
     return 0.5 * np.where(cnt > 0, _shoelace2(P, cnt), 0.0)
 
 
+def convex_rect_predicates(
+    ga: GeometryArray,
+    idx: np.ndarray,
+    rects: np.ndarray,
+    preds: set[str],
+    swapped: bool = False,
+) -> dict[str, np.ndarray]:
+    """Exact named spatial predicates for (convex single-ring polygon,
+    axis-aligned rect) pairs, fully vectorized via separating-axis tests
+    (axes = rect's x/y + every polygon edge normal — complete SAT for a
+    convex pair). ``swapped=True`` reports predicates for (rect, polygon)
+    pair order (within↔contains, covers↔coveredby swap).
+
+    Semantics mirror _rect_pair_predicates (stages/relation.py:324) and
+    the generic pair predicates: inclusive boundaries, touches = boundary
+    contact without interior overlap, overlaps requires mutual
+    non-containment."""
+    P, cnt = _gather_open_rings(ga, idx)  # CCW
+    n, V, _ = P.shape
+    slot = np.arange(V)
+    valid = slot[None, :] < cnt[:, None]
+    rows = np.arange(n)[:, None].repeat(V, axis=1)
+    nxt = np.where(slot[None, :] + 1 < cnt[:, None], slot[None, :] + 1, 0)
+    ex = P[rows, nxt, 0] - P[:, :, 0]
+    ey = P[rows, nxt, 1] - P[:, :, 1]
+    # inward normal of a CCW edge: polygon lies on n·p >= n·v_i
+    nx_ = -ey
+    ny_ = ex
+    ref = nx_ * P[:, :, 0] + ny_ * P[:, :, 1]
+    x0, y0, x1, y1 = rects[:, 0], rects[:, 1], rects[:, 2], rects[:, 3]
+    rmax = nx_ * np.where(nx_ > 0, x1[:, None], x0[:, None]) + ny_ * np.where(
+        ny_ > 0, y1[:, None], y0[:, None]
+    )
+    sep_strict = ((rmax < ref) & valid).any(axis=1)
+    sep_touch = ((rmax <= ref) & valid).any(axis=1)
+    pinf = np.where(valid, P[:, :, 0], np.inf)
+    pminx = pinf.min(axis=1)
+    pmaxx = np.where(valid, P[:, :, 0], -np.inf).max(axis=1)
+    pminy = np.where(valid, P[:, :, 1], np.inf).min(axis=1)
+    pmaxy = np.where(valid, P[:, :, 1], -np.inf).max(axis=1)
+    bb_inter = (pminx <= x1) & (pmaxx >= x0) & (pminy <= y1) & (pmaxy >= y0)
+    bb_strict = (pminx < x1) & (pmaxx > x0) & (pminy < y1) & (pmaxy > y0)
+    inter = bb_inter & ~sep_strict
+    interiors = bb_strict & ~sep_touch
+    # polygon within closed rect: every vertex inside
+    vin = (
+        (P[:, :, 0] >= x0[:, None])
+        & (P[:, :, 0] <= x1[:, None])
+        & (P[:, :, 1] >= y0[:, None])
+        & (P[:, :, 1] <= y1[:, None])
+    )
+    cov_rect_over_poly = (vin | ~valid).all(axis=1)  # poly coveredby rect
+    # rect within closed polygon: all 4 corners on the inward side of
+    # every edge
+    cov_poly_over_rect = np.ones(n, dtype=bool)
+    for cx, cy in ((x0, y0), (x1, y0), (x1, y1), (x0, y1)):
+        inside = (
+            (nx_ * cx[:, None] + ny_ * cy[:, None] >= ref) | ~valid
+        ).all(axis=1)
+        cov_poly_over_rect &= inside
+    eq = cov_poly_over_rect & cov_rect_over_poly
+    # pair order: A = the convex polygon, B = the rect (swap afterwards)
+    covAB, covBA = cov_poly_over_rect, cov_rect_over_poly
+    out: dict[str, np.ndarray] = {}
+    for p in preds:
+        if p == "intersects":
+            v = inter
+        elif p == "disjoint":
+            v = ~inter
+        elif p == "touches":
+            v = inter & ~interiors
+        elif p == "covers":
+            v = covBA if swapped else covAB
+        elif p == "coveredby":
+            v = covAB if swapped else covBA
+        elif p == "contains":
+            v = (covBA if swapped else covAB) & interiors
+        elif p == "within":
+            v = (covAB if swapped else covBA) & interiors
+        elif p == "equals":
+            v = eq
+        elif p == "overlaps":
+            v = interiors & ~covAB & ~covBA
+        elif p == "crosses":
+            v = np.zeros(n, dtype=bool)
+        else:  # pragma: no cover - caller filters to NAMED_PREDICATES
+            raise KeyError(p)
+        out[p] = v
+    return out
+
+
 def padded_to_wkb(P: np.ndarray, cnt: np.ndarray) -> list[bytes | None]:
     """WKB POLYGON per padded ring via the vectorized slab encoder;
     None where cnt == 0. Consecutive duplicate vertices (a vertex exactly

@@ -408,7 +408,37 @@ def evaluate_pairs(
         )
         for p, v in sub.items():
             results[p][k] = v
-    slow = np.flatnonzero(~fast)
+    done = fast.copy()
+    if named and not done.all():
+        # convex×rect pairs: one vectorized separating-axis pass for the
+        # whole batch instead of per-pair python predicates
+        from ..geom.convexclip import (
+            MAX_CONVEX_VERTS,
+            convex_rect_predicates,
+            convex_single_ring,
+        )
+
+        def _small(gc: GeometryArray) -> np.ndarray:
+            geo, po, ro = gc.geom_offsets, gc.part_offsets, gc.ring_offsets
+            return (ro[po[geo[1:]]] - ro[po[geo[:-1]]]) <= MAX_CONVEX_VERTS
+
+        cvx1 = convex_single_ring(ga1) & _small(ga1)
+        cvx2 = convex_single_ring(ga2) & _small(ga2)
+        c1 = ~done & cvx1[ia] & r2[ib] & (ga2.types[ib] == POLYGON)
+        c2 = ~done & ~c1 & cvx2[ib] & r1[ia] & (ga1.types[ia] == POLYGON)
+        for sel, gc, ic, gr, ir, swapped in (
+            (c1, ga1, ia, ga2, ib, False),
+            (c2, ga2, ib, ga1, ia, True),
+        ):
+            if sel.any():
+                k = np.flatnonzero(sel)
+                sub = convex_rect_predicates(
+                    gc, ic[k], gr.bounds()[ir[k]], named, swapped=swapped
+                )
+                for p, v in sub.items():
+                    results[p][k] = v
+                done = done | sel
+    slow = np.flatnonzero(~done)
     for k in slow:
         i, j = int(ia[k]), int(ib[k])
         for p in named:

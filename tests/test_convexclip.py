@@ -86,3 +86,40 @@ def test_clip_exact_on_lattice():
     # disjoint rect -> empty
     P, cnt = clip_convex_by_rects(ga, np.array([0]), np.array([[9, 9, 10, 10.0]]))
     assert cnt[0] == 0 and padded_to_wkb(P, cnt) == [None]
+
+
+def test_sat_predicates_match_generic():
+    from geofileops_ray.geom.predicates import PREDICATES
+    from geofileops_ray.geom.convexclip import convex_rect_predicates
+    from geofileops_ray.io.synth import rect_wkb
+    from geofileops_ray.geom.wkb import from_wkb
+    from geofileops_ray.stages.relation import NAMED_PREDICATES
+
+    rng = np.random.default_rng(19)
+    polys = []
+    for i in range(120):
+        k = rng.integers(3, 8)
+        ang = np.sort(rng.random(k) * 2 * np.pi)
+        cx, cy = rng.random(2) * 40
+        rad = 1 + rng.random() * 4
+        ring = np.stack([cx + rad * np.cos(ang), cy + rad * np.sin(ang)], axis=1)
+        polys.append((3, [[np.concatenate([ring, ring[:1]])]]))
+    tri = np.array([[0, 0], [4, 0], [0, 4], [0, 0]], float)
+    for off in ((0, 0), (10, 10), (20, 0)):
+        polys.append((3, [[tri + np.array(off)]]))
+    ga = GeometryArray.from_parts(polys)
+    n = len(ga.types)
+    x0 = rng.random(n) * 40 - 2
+    y0 = rng.random(n) * 40 - 2
+    rects = np.stack([x0, y0, x0 + rng.random(n) * 6, y0 + rng.random(n) * 6], axis=1)
+    rects[-3] = [4, 0, 8, 4]    # vertex touch on the lattice
+    rects[-2] = [10, 6, 30, 8]  # disjoint
+    rects[-1] = [20, 0, 24, 4]  # triangle coveredby rect, shared edges
+    gr = from_wkb(rect_wkb(rects[:, 0], rects[:, 1], rects[:, 2], rects[:, 3]).to_pylist())
+    preds = set(NAMED_PREDICATES)
+    got = convex_rect_predicates(ga, np.arange(n), rects, preds)
+    got_s = convex_rect_predicates(ga, np.arange(n), rects, preds, swapped=True)
+    for k in range(n):
+        for p in preds:
+            assert bool(got[p][k]) == bool(PREDICATES[p](ga, k, gr, k)), (k, p)
+            assert bool(got_s[p][k]) == bool(PREDICATES[p](gr, k, ga, k)), (k, p)

@@ -443,11 +443,24 @@ def evaluate_pairs(
         i, j = int(ia[k]), int(ib[k])
         for p in named:
             results[p][k] = PREDICATES[p](ga1, i, ga2, j)
-    for p in masks:
-        mask = p[5:]
-        for k in range(m):
-            mat = relate_matrix(ga1, int(ia[k]), ga2, int(ib[k]))
-            results[p][k] = mask_matches(mat, mask)
+    if masks:
+        from ..geom.array import POINT as _PT
+        from ..geom.relate import relate_general
+
+        b1a, b2a = ga1.bounds(), ga2.bounds()
+        rectpair = r1[ia] & r2[ib]
+        for p in masks:
+            mask = p[5:]
+            for k in range(m):
+                i, j = int(ia[k]), int(ib[k])
+                if rectpair[k]:
+                    mat = _rect_relate(
+                        b1a[i], b2a[j],
+                        bool(ga1.types[i] == _PT), bool(ga2.types[j] == _PT),
+                    )
+                else:
+                    mat = relate_general(ga1, i, ga2, j)
+                results[p][k] = mask_matches(mat, mask)
     return query.evaluate(results)
 
 

@@ -201,7 +201,11 @@ def convex_rect_predicates(
     Semantics mirror _rect_pair_predicates (stages/relation.py:324) and
     the generic pair predicates: inclusive boundaries, touches = boundary
     contact without interior overlap, overlaps requires mutual
-    non-containment."""
+    non-containment. All comparisons carry the generic path's 1e-12
+    distance tolerance (geom/predicates._EPS) — sweep-produced vertices
+    sit O(1e-14) off the lattice, and an exact test here would disagree
+    with the generic predicates on which path a pair happens to take."""
+    eps = 1e-12  # keep in sync with geom.predicates._EPS
     P, cnt = _gather_open_rings(ga, idx)  # CCW
     n, V, _ = P.shape
     slot = np.arange(V)
@@ -210,31 +214,39 @@ def convex_rect_predicates(
     nxt = np.where(slot[None, :] + 1 < cnt[:, None], slot[None, :] + 1, 0)
     ex = P[rows, nxt, 0] - P[:, :, 0]
     ey = P[rows, nxt, 1] - P[:, :, 1]
-    # inward normal of a CCW edge: polygon lies on n·p >= n·v_i
+    # inward normal of a CCW edge: polygon lies on n·p >= n·v_i; scale
+    # the tolerance by |edge| so it stays a *distance* eps
     nx_ = -ey
     ny_ = ex
+    etol = eps * np.hypot(ex, ey)
     ref = nx_ * P[:, :, 0] + ny_ * P[:, :, 1]
     x0, y0, x1, y1 = rects[:, 0], rects[:, 1], rects[:, 2], rects[:, 3]
     rmax = nx_ * np.where(nx_ > 0, x1[:, None], x0[:, None]) + ny_ * np.where(
         ny_ > 0, y1[:, None], y0[:, None]
     )
-    sep_strict = ((rmax < ref) & valid).any(axis=1)
-    sep_touch = ((rmax <= ref) & valid).any(axis=1)
+    sep_strict = ((rmax < ref - etol) & valid).any(axis=1)
+    sep_touch = ((rmax <= ref + etol) & valid).any(axis=1)
     pinf = np.where(valid, P[:, :, 0], np.inf)
     pminx = pinf.min(axis=1)
     pmaxx = np.where(valid, P[:, :, 0], -np.inf).max(axis=1)
     pminy = np.where(valid, P[:, :, 1], np.inf).min(axis=1)
     pmaxy = np.where(valid, P[:, :, 1], -np.inf).max(axis=1)
-    bb_inter = (pminx <= x1) & (pmaxx >= x0) & (pminy <= y1) & (pmaxy >= y0)
-    bb_strict = (pminx < x1) & (pmaxx > x0) & (pminy < y1) & (pmaxy > y0)
+    bb_inter = (
+        (pminx <= x1 + eps) & (pmaxx >= x0 - eps)
+        & (pminy <= y1 + eps) & (pmaxy >= y0 - eps)
+    )
+    bb_strict = (
+        (pminx < x1 - eps) & (pmaxx > x0 + eps)
+        & (pminy < y1 - eps) & (pmaxy > y0 + eps)
+    )
     inter = bb_inter & ~sep_strict
     interiors = bb_strict & ~sep_touch
     # polygon within closed rect: every vertex inside
     vin = (
-        (P[:, :, 0] >= x0[:, None])
-        & (P[:, :, 0] <= x1[:, None])
-        & (P[:, :, 1] >= y0[:, None])
-        & (P[:, :, 1] <= y1[:, None])
+        (P[:, :, 0] >= x0[:, None] - eps)
+        & (P[:, :, 0] <= x1[:, None] + eps)
+        & (P[:, :, 1] >= y0[:, None] - eps)
+        & (P[:, :, 1] <= y1[:, None] + eps)
     )
     cov_rect_over_poly = (vin | ~valid).all(axis=1)  # poly coveredby rect
     # rect within closed polygon: all 4 corners on the inward side of
@@ -242,7 +254,7 @@ def convex_rect_predicates(
     cov_poly_over_rect = np.ones(n, dtype=bool)
     for cx, cy in ((x0, y0), (x1, y0), (x1, y1), (x0, y1)):
         inside = (
-            (nx_ * cx[:, None] + ny_ * cy[:, None] >= ref) | ~valid
+            (nx_ * cx[:, None] + ny_ * cy[:, None] >= ref - etol) | ~valid
         ).all(axis=1)
         cov_poly_over_rect &= inside
     eq = cov_poly_over_rect & cov_rect_over_poly

@@ -123,3 +123,33 @@ def test_sat_predicates_match_generic():
         for p in preds:
             assert bool(got[p][k]) == bool(PREDICATES[p](ga, k, gr, k)), (k, p)
             assert bool(got_s[p][k]) == bool(PREDICATES[p](gr, k, ga, k)), (k, p)
+
+
+def test_sat_predicates_tolerate_sweep_noise():
+    """Sweep-produced vertices sit O(1e-14) off the lattice; the SAT fast
+    path must agree with the eps-tolerant generic predicates there
+    (regression: union_full_self nb_covering undercount)."""
+    from geofileops_ray.geom.convexclip import convex_rect_predicates
+
+    ring = np.array(
+        [[197.0 + 2.9e-14, 43.0], [197.0, 47.0], [191.0, 47.0],
+         [191.0, 43.0], [197.0 + 2.9e-14, 43.0]]
+    )
+    ga = GeometryArray.from_parts([(3, [[ring]])])
+    rects = np.array([[190.0, 42.0, 197.0, 47.0]])
+    got = convex_rect_predicates(
+        ga, np.array([0]), rects, {"coveredby", "intersects", "within"}
+    )
+    # must agree with the generic eps-tolerant path (predicates._EPS)
+    from geofileops_ray.geom.predicates import PREDICATES
+    from geofileops_ray.io.synth import rect_wkb
+
+    gr = from_wkb(
+        rect_wkb(
+            np.array([190.0]), np.array([42.0]),
+            np.array([197.0]), np.array([47.0]),
+        ).to_pylist()
+    )
+    for p in ("coveredby", "intersects", "within"):
+        assert bool(got[p][0]) is bool(PREDICATES[p](ga, 0, gr, 0)), p
+    assert bool(got["coveredby"][0]) is True

@@ -358,6 +358,43 @@ FROM (SELECT *, unnest(range(0, (c1 - c0 + 1) * (r1 - r0 + 1))) i FROM asn)
 ORDER BY 1, 2"""
 
 
+def q_quadkey_cover(sf):
+    """Adaptive S2-style quadkey covering (north rule: "H3/S2 index"):
+    the SMALLEST quadtree cell fully containing each parcel bbox, max
+    level 12 over the layer's square world extent. Exact integer bit
+    math after one float scaling step — mirrored op-for-op in SQL."""
+    from ..tiling.quadkey import quadkey_assignments
+
+    bounds = _layer_bounds(parcels_dataset(sf))
+    out = quadkey_assignments(parcels_dataset(sf), bounds, max_level=12)
+    return _select(out, ["doc_id", "qk_level", "qk_x", "qk_y", "qk_id"])
+
+
+def _o_quadkey_cover() -> str:
+    # 2**52 = 4503599627370496, 2**26 = 67108864 (tiling/quadkey.py pack)
+    clamp = (
+        "LEAST(GREATEST(CAST(FLOOR((p.{v} - w.{o}) / w.side * 4096) AS BIGINT)"
+        ", 0), 4095)"
+    )
+    return f"""{CTE},
+bb AS (SELECT MIN(minx) x0, MIN(miny) y0, MAX(maxx) x1, MAX(maxy) y1 FROM parcels),
+w AS (SELECT x0, y0, GREATEST(x1 - x0, y1 - y0, 1e-9) AS side FROM bb),
+ij AS (SELECT p.doc_id,
+        {clamp.format(v='minx', o='x0')} AS ix0,
+        {clamp.format(v='miny', o='y0')} AS iy0,
+        {clamp.format(v='maxx', o='x0')} AS ix1,
+        {clamp.format(v='maxy', o='y0')} AS iy1
+       FROM parcels p, w),
+sh AS (SELECT doc_id, ix0, iy0,
+        (SELECT MIN(s) FROM range(0, 13) t(s)
+          WHERE (ix0 >> s) = (ix1 >> s) AND (iy0 >> s) = (iy1 >> s)) AS shift
+       FROM ij)
+SELECT doc_id, 12 - shift AS qk_level, ix0 >> shift AS qk_x, iy0 >> shift AS qk_y,
+       (12 - shift) * 4503599627370496 + (ix0 >> shift) * 67108864
+         + (iy0 >> shift) AS qk_id
+FROM sh ORDER BY 1"""
+
+
 # squarish-grid params over the parcels extent, mirrored from
 # tiling/grid.py _grid_params (identical float op order)
 _GRID_G2_SQL = """
@@ -1087,6 +1124,27 @@ FROM (SELECT t.doc_id, z.doc_id zdoc, t.grp, t.a a, t.b b, t.c c, {_OB}
 WHERE {_TRI_INTERSECTS} ORDER BY 1, 2"""
 
 
+def q_point_in_polygon(sf):
+    """Dedicated point-in-polygon join (the north rule names it
+    explicitly): quarter-integer points × right triangles through the
+    general point-vs-polygon predicate path, boundary-inclusive
+    (reference join_by_location 'intersects', _geoops_sql.py:2436)."""
+    ds = join_by_location(
+        points_dataset(sf), triangles_dataset(sf), "intersects is True",
+        cols1=["naam"], cols2=["grp"],
+    )
+    return _select(ds, ["l1_doc_id", "l2_doc_id", "l1_naam", "l2_grp"])
+
+
+O_PIP = f"""WITH {TRIANGLES_CTE.strip()}, {POINTS_CTE.strip()}
+SELECT p.doc_id AS l1_doc_id, t.doc_id AS l2_doc_id,
+       p.naam AS l1_naam, t.grp AS l2_grp
+FROM points p JOIN triangles t
+  ON p.x >= t.x0 AND p.x <= t.x1 AND p.y >= t.y0 AND p.y <= t.y1
+ AND t.a * p.x + t.b * p.y <= t.c
+ORDER BY 1, 2"""
+
+
 def q_export_anti_tri(sf):
     ds = export_by_location(
         triangles_dataset(sf), zones_dataset(sf), "intersects is False"
@@ -1555,7 +1613,9 @@ QUERIES = {
     "symmetric_difference_areas": q_symmetric_difference,
     "union_overlay_areas": q_union_overlay,
     "identity_areas": q_identity,
+    "quadkey_cover_12": q_quadkey_cover,
     # irregular (non-rectangle) layer — general kernel coverage
+    "point_in_polygon_tri": q_point_in_polygon,
     "sjoin_intersects_tri": q_sjoin_tri,
     "sjoin_relate_mask_tri": q_sjoin_mask_tri,
     "export_by_location_anti_tri": q_export_anti_tri,
@@ -1628,6 +1688,8 @@ ORACLES = {
     "symmetric_difference_areas": O_SYMDIFF,
     "union_overlay_areas": O_UNION_OVERLAY,
     "identity_areas": O_IDENTITY,
+    "quadkey_cover_12": _o_quadkey_cover(),
+    "point_in_polygon_tri": O_PIP,
     "sjoin_intersects_tri": O_SJOIN_TRI,
     "sjoin_relate_mask_tri": O_SJOIN_MASK_TRI,
     "export_by_location_anti_tri": O_EXPORT_ANTI_TRI,

@@ -1567,6 +1567,15 @@ SELECT doc_id, ref AS media_ref, 'image' AS media_type,
 FROM m ORDER BY doc_id"""
 
 
+def q_sessionize(sf):
+    from ..textops.events import sessionize
+
+    ev = ray.data.read_parquet(
+        f"{sf}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    return sessionize(ev, gap_seconds=1800)
+
+
 def q_windowed_events(sf):
     from ..textops.events import tumbling_window_agg
 
@@ -1652,6 +1661,7 @@ QUERIES = {
     "media_features": q_media_features,
     "media_metadata": q_media_metadata,
     "windowed_events": q_windowed_events,
+    "sessionize_30m": q_sessionize,
 }
 
 ORACLES = {
@@ -1724,6 +1734,9 @@ ORACLES = {
     "windowed_events": __import__(
         "geofileops_ray.textops.events", fromlist=["tumbling_window_sql"]
     ).tumbling_window_sql(3600),
+    "sessionize_30m": __import__(
+        "geofileops_ray.textops.events", fromlist=["sessionize_sql"]
+    ).sessionize_sql(1800),
 }
 
 

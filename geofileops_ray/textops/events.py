@@ -118,6 +118,98 @@ def tumbling_window_agg(
     )
 
 
+def sessionize(
+    ds: ray.data.Dataset,
+    gap_seconds: int = 1800,
+) -> ray.data.Dataset:
+    """Gap-based sessionization (the session-window streaming operator):
+    per user, events sorted by time start a new session whenever the gap
+    from the previous event exceeds ``gap_seconds``.
+
+    Shape: column-pruned keyed projection → ONE shuffle keyed on
+    ``user_id`` → vectorized per-user segmentation (sort, diff,
+    flag-cumsum, ``reduceat`` per session — no Python loop over events).
+    Partitioning assumption (documented per the build brief): a single
+    user's event history fits one group — the same per-key assumption
+    Flink/Spark session windows make; a pathological single-user firehose
+    would need secondary time-bucketing before this stage.
+
+    Session assignment is invariant to the tie order of equal timestamps
+    (equal ts ⇒ gap 0 ⇒ same session), so the result is deterministic
+    without an explicit tie-break column.
+    """
+    gap_us = gap_seconds * 1_000_000
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "ts_us": batch.column("ts").cast(pa.int64()),
+                "value": batch.column("value"),
+            }
+        )
+
+    def per_user(group: pa.Table) -> pa.Table:
+        ts = group.column("ts_us").to_numpy()
+        order = np.argsort(ts, kind="stable")
+        ts = ts[order]
+        v = group.column("value").to_numpy(zero_copy_only=False)[order]
+        n = len(ts)
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = (ts[1:] - ts[:-1]) > gap_us
+        starts = np.flatnonzero(new)
+        ends = np.concatenate([starts[1:], [n]])
+        sums = np.add.reduceat(np.where(np.isnan(v), 0.0, v), starts)
+        return pa.table(
+            {
+                "user_id": pa.array(
+                    np.repeat(group.column("user_id")[0].as_py(), len(starts)),
+                    pa.int64(),
+                ),
+                "session_id": pa.array(
+                    np.arange(len(starts), dtype=np.int64), pa.int64()
+                ),
+                "n_events": pa.array(
+                    (ends - starts).astype(np.int64), pa.int64()
+                ),
+                "start_us": pa.array(ts[starts], pa.int64()),
+                "duration_us": pa.array(
+                    ts[ends - 1] - ts[starts], pa.int64()
+                ),
+                "sum_value": pa.array(np.round(sums, 6), pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pyarrow")
+    )
+
+
+def sessionize_sql(gap_seconds: int = 1800) -> str:
+    gap_us = gap_seconds * 1_000_000
+    return f"""
+WITH d AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, value,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts) > {gap_us}
+              THEN 1 ELSE 0 END AS new_s
+  FROM events),
+s AS (SELECT user_id, ts_us, value,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM d)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       COUNT(*) AS n_events,
+       MIN(ts_us) AS start_us,
+       MAX(ts_us) - MIN(ts_us) AS duration_us,
+       ROUND(SUM(value), 6) AS sum_value
+FROM s GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def tumbling_window_sql(window_seconds: int = 3600) -> str:
     wus = window_seconds * 1_000_000
     return f"""

@@ -40,4 +40,4 @@ from .predicates import (  # noqa: F401
     pair_intersects,
 )
 from .strtree import PackedRTree, bbox_join  # noqa: F401
-from .wkb import from_wkb, to_wkb, to_wkt  # noqa: F401
+from .wkb import from_wkb, to_wkb, to_wkb_arrow, to_wkt  # noqa: F401

@@ -160,10 +160,54 @@ def _lang_plus(ring: np.ndarray, tol: float, lookahead: int = 8) -> np.ndarray:
     return out
 
 
+def _vw(ring: np.ndarray, tol_area: float) -> np.ndarray:
+    """Visvalingam–Whyatt (reference SimplifyAlgorithm.VW,
+    _geometry_util.py:38: "tolerance is an area"): repeatedly drop the
+    interior point whose triangle with its surviving neighbours has the
+    smallest area, until every remaining point's effective area exceeds
+    ``tol_area``. Lazy-invalidation heap — O(n log n)."""
+    import heapq
+
+    n = len(ring)
+    if n <= 2:
+        return ring
+    prev = np.arange(-1, n - 1)
+    nxt = np.arange(1, n + 1)
+    alive = np.ones(n, dtype=bool)
+
+    def tri_area(i: int) -> float:
+        a, b, c = ring[prev[i]], ring[i], ring[nxt[i]]
+        return 0.5 * abs(
+            (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+        )
+
+    heap = [(tri_area(i), i) for i in range(1, n - 1)]
+    heapq.heapify(heap)
+    stale = np.zeros(n, dtype=bool)
+    while heap:
+        area, i = heapq.heappop(heap)
+        if not alive[i] or i == 0 or i == n - 1:
+            continue
+        if stale[i]:
+            stale[i] = False
+            heapq.heappush(heap, (tri_area(i), i))
+            continue
+        if area > tol_area:
+            break
+        alive[i] = False
+        p, q = prev[i], nxt[i]
+        nxt[p], prev[q] = q, p
+        for j in (p, q):
+            if 0 < j < n - 1 and alive[j]:
+                stale[j] = True
+    return ring[alive]
+
+
 _SIMPLIFIERS = {
     "rdp": lambda ring, tol, la: _dp(ring, tol),
     "lang": lambda ring, tol, la: _lang(ring, tol, la),
     "lang+": lambda ring, tol, la: _lang_plus(ring, tol, la),
+    "vw": lambda ring, tol, la: _vw(ring, tol),
 }
 
 

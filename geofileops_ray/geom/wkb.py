@@ -223,6 +223,10 @@ def from_wkb_packed(blob: bytes, offsets: np.ndarray) -> GeometryArray:
     offsets = np.asarray(offsets, dtype=np.int64)
     n = len(offsets) - 1
     buf = np.frombuffer(blob, dtype=np.uint8)
+    if len(buf) < 21:  # all-degenerate batch: tier probes would index OOB
+        return from_wkb(
+            [bytes(buf[offsets[i] : offsets[i + 1]]) for i in range(n)]
+        )
     offs, lens = offsets[:-1], np.diff(offsets)
     fast = _fast_decode_packed(buf, offs, lens)
     if fast is not None:
@@ -457,11 +461,31 @@ def _fast_decode_packed(
 
 def from_wkb(values) -> GeometryArray:
     """Decode WKB blobs (list of bytes/None, or a pyarrow binary array)
-    into a GeometryArray. Uniform point/single-ring-polygon input takes a
-    fully vectorized path."""
+    into a GeometryArray. Arrow binary arrays decode ZERO-COPY through
+    the packed path (offsets buffer + data buffer straight into
+    ``from_wkb_packed`` — no per-row Python bytes objects); list input
+    with uniform point/single-ring-polygon shape takes the same
+    vectorized kernel after one join."""
     import pyarrow as pa
 
-    if isinstance(values, (pa.ChunkedArray, pa.Array)):
+    if isinstance(values, pa.ChunkedArray):
+        if values.num_chunks == 1:
+            values = values.chunk(0)
+        elif values.num_chunks == 0:
+            values = []
+        else:
+            values = pa.concat_arrays(values.chunks)
+    if isinstance(values, pa.Array):
+        is_bin = pa.types.is_binary(values.type)
+        is_lbin = pa.types.is_large_binary(values.type)
+        if (is_bin or is_lbin) and values.null_count == 0 and len(values):
+            bufs = values.buffers()
+            if bufs[2] is not None:
+                odt = np.int64 if is_lbin else np.int32
+                offs = np.frombuffer(bufs[1], dtype=odt)[
+                    values.offset : values.offset + len(values) + 1
+                ].astype(np.int64)
+                return from_wkb_packed(bufs[2], offs)
         values = values.to_pylist()
     if not isinstance(values, list):
         values = list(values)
@@ -533,9 +557,22 @@ def _ring_closed(ring: np.ndarray) -> bool:
 
 
 def _fast_encode(arr: GeometryArray) -> list[bytes] | None:
+    r = _fast_encode_slab(arr)
+    if r is None:
+        return None
+    slab, offsets = r
+    blob = slab.tobytes()
+    return [bytes(blob[offsets[i] : offsets[i + 1]]) for i in range(len(offsets) - 1)]
+
+
+def _fast_encode_slab(
+    arr: GeometryArray,
+) -> tuple[np.ndarray, np.ndarray] | None:
     """Vectorized encode when every row is a single-ring POLYGON or a
-    POINT: one scatter into a preallocated byte slab, then zero-copy
-    slicing per row."""
+    POINT: one scatter into a preallocated byte slab; returns
+    (slab_uint8, row_offsets[n+1]) so callers can emit either Python
+    bytes (``to_wkb``) or a zero-copy Arrow binary array
+    (``to_wkb_arrow``)."""
     n = len(arr)
     if n == 0:
         return None
@@ -572,8 +609,7 @@ def _fast_encode(arr: GeometryArray) -> list[bytes] | None:
         hdr += struct.pack("<I", K)
         out[:, :13] = np.frombuffer(bytes(hdr), dtype=np.uint8)
         out[:, 13:] = src.reshape(n, 16 * K)
-        blob = out.tobytes()
-        return [blob[i * L : (i + 1) * L] for i in range(n)]
+        return out.reshape(-1), np.arange(n + 1, dtype=np.int64) * L
     total = int(sizes.sum())
     out = np.zeros(total, dtype=np.uint8)
     starts = np.zeros(n, dtype=np.int64)
@@ -599,8 +635,9 @@ def _fast_encode(arr: GeometryArray) -> list[bytes] | None:
     src_idx = np.repeat(cstart * 1 - bstarts, nbytes) + seq
     dst_idx = np.repeat(data_off - bstarts, nbytes) + seq
     out[dst_idx] = src[src_idx]
-    blob = out.tobytes()
-    return [blob[starts[i] : starts[i] + sizes[i]] for i in range(n)]
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(sizes, out=offsets[1:])
+    return out, offsets
 
 
 def _scatter_le32(out: np.ndarray, pos: np.ndarray, vals: np.ndarray) -> None:
@@ -666,6 +703,33 @@ def encode_polygonal_one(arr: GeometryArray, i: int) -> bytes:
     dst_idx = np.repeat(ring_dst + 4 - bstarts, nbytes) + seq
     out[dst_idx] = src
     return out.tobytes()
+
+
+def to_wkb_arrow(arr: GeometryArray):
+    """Encode straight to a pyarrow binary array: the fast-path slab +
+    row offsets become the Arrow buffers directly (no per-row Python
+    bytes). Mixed/complex batches fall back to the list encode once."""
+    import pyarrow as pa
+
+    r = _fast_encode_slab(arr)
+    if r is not None:
+        slab, offsets = r
+        if offsets[-1] < 2**31:
+            return pa.Array.from_buffers(
+                pa.binary(),
+                len(offsets) - 1,
+                [
+                    None,
+                    pa.py_buffer(offsets.astype(np.int32).tobytes()),
+                    pa.py_buffer(slab.tobytes()),
+                ],
+            )
+        return pa.Array.from_buffers(
+            pa.large_binary(),
+            len(offsets) - 1,
+            [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(slab.tobytes())],
+        )
+    return pa.array(to_wkb(arr), pa.binary())
 
 
 def to_wkb(arr: GeometryArray) -> list[bytes | None]:

@@ -75,7 +75,7 @@ def _with_geom_area(
     ds: ray.data.Dataset, out_name: str, nd: int = 4, drop=("geometry",)
 ) -> ray.data.Dataset:
     def fn(batch: pa.Table) -> pa.Table:
-        ga = from_wkb(batch.column("geometry").to_pylist())
+        ga = from_wkb(batch.column("geometry"))
         batch = batch.append_column(
             out_name, pa.array(_round_half_up(_area(ga), nd), pa.float64())
         )
@@ -358,6 +358,27 @@ FROM (SELECT *, unnest(range(0, (c1 - c0 + 1) * (r1 - r0 + 1))) i FROM asn)
 ORDER BY 1, 2"""
 
 
+def q_layer_digest(sf):
+    """Order-insensitive distributed content digest (the gfo.cmp
+    analogue, stages/catalog.layer_digest): md5-per-row summed mod
+    2^63-1 — bit-reproducible by DuckDB md5_number_lower."""
+    from ..stages.catalog import layer_digest
+
+    return layer_digest(parcels_dataset(sf), mode="bbox")
+
+
+O_LAYER_DIGEST = f"""{CTE}
+SELECT CAST(SUM(md5_number_lower(
+         CAST(doc_id AS VARCHAR)
+         || '|' || CAST(CAST(minx AS BIGINT) AS VARCHAR)
+         || '|' || CAST(CAST(miny AS BIGINT) AS VARCHAR)
+         || '|' || CAST(CAST(maxx AS BIGINT) AS VARCHAR)
+         || '|' || CAST(CAST(maxy AS BIGINT) AS VARCHAR)
+       )) % 9223372036854775807 AS BIGINT) AS digest,
+       COUNT(*) AS nb_rows
+FROM parcels"""
+
+
 def q_quadkey_cover(sf):
     """Adaptive S2-style quadkey covering (north rule: "H3/S2 index"):
     the SMALLEST quadtree cell fully containing each parcel bbox, max
@@ -554,7 +575,7 @@ def q_simplify(sf):
     ds = sl.simplify(parcels_dataset(sf), tolerance=0.5)
 
     def fn(batch: pa.Table) -> pa.Table:
-        ga = from_wkb(batch.column("geometry").to_pylist())
+        ga = from_wkb(batch.column("geometry"))
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
@@ -592,7 +613,7 @@ def q_warp(sf):
     ds = sl.warp(parcels_dataset(sf), (2.0, 0.0, 10.0, 0.0, 0.5, -3.0))
 
     def fn(batch: pa.Table) -> pa.Table:
-        ga = from_wkb(batch.column("geometry").to_pylist())
+        ga = from_wkb(batch.column("geometry"))
         b = ga.bounds()
         return pa.table(
             {
@@ -639,7 +660,7 @@ def _q_warp_gcps(gcps, algorithm, order=None):
         ds = sl.warp_gcps(points_dataset(sf), gcps, algorithm=algorithm, order=order)
 
         def fn(batch: pa.Table) -> pa.Table:
-            ga = from_wkb(batch.column("geometry").to_pylist())
+            ga = from_wkb(batch.column("geometry"))
             cen = _centroid(ga) if len(ga) else np.empty((0, 2))
             return pa.table(
                 {
@@ -827,7 +848,7 @@ def q_dissolve_within_distance(sf):
     ds = dissolve_within_distance(zones_dataset(sf), distance=60.0)
 
     def fn(batch: pa.Table) -> pa.Table:
-        ga = from_wkb(batch.column("geometry").to_pylist())
+        ga = from_wkb(batch.column("geometry"))
         return pa.table(
             {
                 "n_parts": pa.array(
@@ -877,7 +898,7 @@ def q_dissolve_within_distance_bars(sf):
     ds = dissolve_within_distance(_dwd_bars_dataset(), distance=_DWD_DIST)
 
     def fn(batch: pa.Table) -> pa.Table:
-        ga = from_wkb(batch.column("geometry").to_pylist())
+        ga = from_wkb(batch.column("geometry"))
         b = ga.bounds()
         return pa.table(
             {
@@ -930,7 +951,7 @@ def q_select_two_layers(sf):
     from ..stages.compound import select_two_layers
 
     def with_bbox(batch: pa.Table) -> pa.Table:
-        ga = from_wkb(batch.column("geometry").to_pylist())
+        ga = from_wkb(batch.column("geometry"))
         b = ga.bounds()
         for j, nm in enumerate(("minx", "miny", "maxx", "maxy")):
             batch = batch.append_column(nm, pa.array(b[:, j], pa.float64()))
@@ -1225,7 +1246,7 @@ def q_dissolve_tri(sf):
     )
 
     def fn(batch: pa.Table) -> pa.Table:
-        ga = from_wkb(batch.column("geometry").to_pylist())
+        ga = from_wkb(batch.column("geometry"))
         nparts = (ga.geom_offsets[1:] - ga.geom_offsets[:-1]).astype(np.int64)
         return pa.table(
             {
@@ -1307,7 +1328,7 @@ def _with_geom_length(ds, out_name: str, nd: int = 4):
     from ..geom.measure import length as _length
 
     def fn(batch: pa.Table) -> pa.Table:
-        ga = from_wkb(batch.column("geometry").to_pylist())
+        ga = from_wkb(batch.column("geometry"))
         batch = batch.append_column(
             out_name, pa.array(_round_half_up(_length(ga), nd), pa.float64())
         )
@@ -1370,7 +1391,7 @@ def q_dissolve_lines(sf):
     def fn(batch: pa.Table) -> pa.Table:
         from ..geom.measure import length as _length
 
-        ga = from_wkb(batch.column("geometry").to_pylist())
+        ga = from_wkb(batch.column("geometry"))
         return pa.table(
             {
                 "grp": batch.column("grp"),
@@ -1400,7 +1421,7 @@ def q_reproject_3857(sf):
     ds = sl.reproject(ds, 4326, 3857)
 
     def fn(batch: pa.Table) -> pa.Table:
-        ga = from_wkb(batch.column("geometry").to_pylist())
+        ga = from_wkb(batch.column("geometry"))
         lo, _ = ga.geom_coord_ranges()
         c = ga.coords[lo]
         return pa.table(
@@ -1445,18 +1466,21 @@ SELECT doc_id,
 FROM bowties ORDER BY 1"""
 
 
-def _zigzag_simplify_query(algorithm: str):
-    """LANG / LANG+ simplify over the zigzag line layer: amplitude
-    (0.25) < tolerance (0.5) makes the kept-point count closed-form
-    (synth.ZIGZAGS_CTE docstring); endpoints always survive."""
+def _zigzag_simplify_query(algorithm: str, tolerance: float = 0.5):
+    """LANG / LANG+ / VW simplify over the zigzag line layer: amplitude
+    (0.25) < tolerance (0.5, or an area for VW) makes the kept-point
+    count closed-form (synth.ZIGZAGS_CTE docstring); endpoints always
+    survive."""
 
     def q(sf):
         from ..io.synth import zigzags_dataset
 
-        ds = sl.simplify(zigzags_dataset(sf), tolerance=0.5, algorithm=algorithm)
+        ds = sl.simplify(
+            zigzags_dataset(sf), tolerance=tolerance, algorithm=algorithm
+        )
 
         def fn(batch: pa.Table) -> pa.Table:
-            ga = from_wkb(batch.column("geometry").to_pylist())
+            ga = from_wkb(batch.column("geometry"))
             last = np.array(
                 [ga._parts_of(i)[0][0][-1] for i in range(len(ga))], dtype=np.float64
             ).reshape(-1, 2)
@@ -1623,6 +1647,7 @@ QUERIES = {
     "union_overlay_areas": q_union_overlay,
     "identity_areas": q_identity,
     "quadkey_cover_12": q_quadkey_cover,
+    "layer_digest_parcels": q_layer_digest,
     # irregular (non-rectangle) layer — general kernel coverage
     "point_in_polygon_tri": q_point_in_polygon,
     "sjoin_intersects_tri": q_sjoin_tri,
@@ -1638,6 +1663,9 @@ QUERIES = {
     "makevalid_bowties": q_makevalid,
     "simplify_lang_counts": _zigzag_simplify_query("lang"),
     "simplify_langp_counts": _zigzag_simplify_query("lang+"),
+    # VW with tolerance-area >> any effective area: every interior point
+    # cascades away, endpoints survive — closed-form count of 2
+    "simplify_vw_counts": _zigzag_simplify_query("vw", tolerance=1e9),
     "reproject_3857": q_reproject_3857,
     "intersection_lines": q_intersection_lines,
     "difference_lines": q_difference_lines,
@@ -1699,6 +1727,7 @@ ORACLES = {
     "union_overlay_areas": O_UNION_OVERLAY,
     "identity_areas": O_IDENTITY,
     "quadkey_cover_12": _o_quadkey_cover(),
+    "layer_digest_parcels": O_LAYER_DIGEST,
     "point_in_polygon_tri": O_PIP,
     "sjoin_intersects_tri": O_SJOIN_TRI,
     "sjoin_relate_mask_tri": O_SJOIN_MASK_TRI,
@@ -1713,6 +1742,7 @@ ORACLES = {
     "makevalid_bowties": O_MAKEVALID,
     "simplify_lang_counts": _zigzag_oracle("1 + CEIL((n_pts - 1) / 8.0)"),
     "simplify_langp_counts": _zigzag_oracle("2"),
+    "simplify_vw_counts": _zigzag_oracle("2"),
     "reproject_3857": O_REPROJECT,
     "intersection_lines": O_INTERSECTION_LINES(),
     "difference_lines": O_DIFFERENCE_LINES(),

@@ -18,7 +18,7 @@ import ray.data
 from ray.data.aggregate import Max, Min
 
 from ..config import OPTIONS
-from ..geom import GeometryArray, from_wkb, to_wkb
+from ..geom import GeometryArray, from_wkb, to_wkb, to_wkb_arrow
 from ..geom.array import POLYGON, TYPE_NAMES
 from ..geom.overlay import parts_to_geom, polygon_overlay
 from .geometry_batch import add_bounds, decode_geometry
@@ -127,6 +127,77 @@ def copy_layer(
     write_layer(ds, dst_path)
 
 
+def layer_digest(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    mode: str = "wkb",
+) -> ray.data.Dataset:
+    """Order-insensitive content digest of a layer — the object-store
+    analogue of the reference's file compare ``gfo.cmp``
+    (fileops.py:2706-3480): two layers hold the same multiset of
+    (id, geometry) rows iff their digests AND row counts match.
+
+    Per row ``h = md5_number_lower(key)`` (DuckDB-reproducible, like
+    textops.dedup); digest = ``sum(h) mod (2^63 - 1)``. Partial sums are
+    combined per batch BEFORE the reduce, so the aggregate moves one
+    int per block regardless of layer size.
+
+    mode 'wkb': key = "<id>|<hex(wkb)>" (full geometry content);
+    mode 'bbox': key = "<id>|<int bounds>" (oracle-mirrorable when
+    coordinates are integral — the driver query uses this)."""
+    import hashlib
+
+    _MOD = (1 << 63) - 1
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        if mode == "wkb":
+            keys = [
+                f"{i}|{g.hex().upper()}" if g is not None else f"{i}|"
+                for i, g in zip(ids, batch.column(_GEOM).to_pylist())
+            ]
+        else:
+            b = decode_geometry(batch).bounds()
+            keys = [
+                f"{i}|{int(r[0])}|{int(r[1])}|{int(r[2])}|{int(r[3])}"
+                for i, r in zip(ids, b)
+            ]
+        s = 0
+        for k in keys:
+            s += int.from_bytes(hashlib.md5(k.encode()).digest()[8:], "little")
+        return pa.table(
+            {
+                "part_sum": pa.array([s % _MOD], pa.int64()),
+                "part_rows": pa.array([len(keys)], pa.int64()),
+            }
+        )
+
+    # one tiny row per block leaves the cluster (NOT one per input row);
+    # the exact big-int fold happens on the driver so the int64 column
+    # never overflows (sum of per-block residues ≡ total mod M)
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    return ray.data.from_items(
+        [
+            {
+                "digest": sum(r["part_sum"] for r in parts) % _MOD,
+                "nb_rows": int(sum(r["part_rows"] for r in parts)),
+            }
+        ]
+    )
+
+
+def cmp_layers(
+    ds1: ray.data.Dataset, ds2: ray.data.Dataset, id_col: str = "doc_id"
+) -> bool:
+    """True iff both layers hold the same multiset of (id, geometry)
+    rows (reference gfo.cmp for files)."""
+    a = layer_digest(ds1, id_col).take_all()[0]
+    b = layer_digest(ds2, id_col).take_all()[0]
+    return a == b
+
+
 def subdivide(
     ds: ray.data.Dataset, max_coords: int | None = None
 ) -> ray.data.Dataset:
@@ -210,7 +281,7 @@ def subdivide(
                 seqs.append(seq)
         out = batch.take(pa.array(keep_rows, pa.int64()))
         ga_out = GeometryArray.from_parts(out_geoms)
-        wkb = pa.array(to_wkb(ga_out), pa.binary())
+        wkb = to_wkb_arrow(ga_out)
         out = out.set_column(out.schema.get_field_index(_GEOM), _GEOM, wkb)
         out = out.append_column("orig_doc_id", out.column("doc_id"))
         return out.append_column("part_seq", pa.array(seqs, pa.int64()))

@@ -33,7 +33,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from ..config import OPTIONS
-from ..geom import GeometryArray, bbox_join, from_wkb, to_wkb
+from ..geom import GeometryArray, bbox_join, from_wkb, to_wkb, to_wkb_arrow
 from ..geom.overlay import parts_to_geom, polygon_overlay, union_all_parts
 from .geometry_batch import decode_geometry
 from .spatial_join import _pair_table, _ref_cell, cell_cogroup
@@ -132,7 +132,7 @@ def _self_round(
         out_ga = GeometryArray.from_parts([(code, parts)])
         if out_ga.is_empty()[0]:
             return base.slice(0, 0).append_column(_GEOM, pa.array([], pa.binary()))
-        return base.append_column(_GEOM, pa.array(to_wkb(out_ga), pa.binary()))
+        return base.append_column(_GEOM, to_wkb_arrow(out_ga))
 
     diff = pairs.groupby("l1_doc_id").map_groups(per_doc_diff, batch_format="pyarrow")
 
@@ -407,7 +407,7 @@ def dissolve_within_distance(
             else:
                 # geoops.py:258-281: big areas and well-connected pieces
                 # stay
-                ig = from_wkb(group.column(_GEOM).to_pylist())
+                ig = from_wkb(group.column(_GEOM))
                 n_len = float(np.sum(_length_of(ig)))
                 n_per = float(np.sum(_perim(ig)))
                 p_area = float(group.column("l1_p_area")[0].as_py())

@@ -37,7 +37,7 @@ import pyarrow as pa
 import ray.data
 
 from ..config import OPTIONS
-from ..geom import GeometryArray, from_wkb, to_wkb
+from ..geom import GeometryArray, from_wkb, to_wkb, to_wkb_arrow
 from ..geom.array import LINESTRING, MULTILINESTRING, POINT, POLYGON
 from ..geom.overlay import (
     clip_ring_rect,
@@ -101,7 +101,7 @@ def _dissolve_lines_points(
     (ST_LineMerge applied in spirit: single part stays LINESTRING)."""
 
     def per_group(group: pa.Table) -> pa.Table:
-        ga = from_wkb(group.column(_GEOM).to_pylist())
+        ga = from_wkb(group.column(_GEOM))
         t = ga.part_types(0) if len(ga) else POINT
         if t == POINT:
             pts = np.unique(np.round(ga.coords, 12), axis=0)
@@ -124,7 +124,7 @@ def _dissolve_lines_points(
         for src, func, out_name in agg_columns:
             v = _agg_from_lists(group.column(src).to_pylist(), func)
             cols[out_name] = pa.array([v])
-        cols[_GEOM] = pa.array(to_wkb(out_ga), pa.binary())
+        cols[_GEOM] = to_wkb_arrow(out_ga)
         return pa.table(cols)
 
     if groupby:
@@ -685,7 +685,7 @@ def dissolve(
             else:
                 r0 = cell_bounds(cell, size)
             rect = (r0[0] + origin, r0[1] + origin, r0[2] + origin, r0[3] + origin)
-            ga = from_wkb(group.column(_GEOM).to_pylist())
+            ga = from_wkb(group.column(_GEOM))
             if groupby:
                 key_cols = [group.column(k).to_pylist() for k in groupby]
                 keys = list(zip(*key_cols))

@@ -21,13 +21,15 @@ from ..geom.algorithms import set_precision
 
 
 def decode_geometry(batch: pa.Table, column: str = "geometry") -> GeometryArray:
-    return from_wkb(batch.column(column).to_pylist())
+    return from_wkb(batch.column(column))
 
 
 def encode_geometry(
     batch: pa.Table, ga: GeometryArray, column: str = "geometry"
 ) -> pa.Table:
-    wkb = pa.array(to_wkb(ga), pa.binary())
+    from ..geom.wkb import to_wkb_arrow
+
+    wkb = to_wkb_arrow(ga)
     idx = batch.schema.get_field_index(column)
     if idx >= 0:
         return batch.set_column(idx, column, wkb)

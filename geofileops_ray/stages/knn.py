@@ -290,8 +290,8 @@ def join_nearest(
             g2 = group.filter(pc.equal(group.column("__side"), 1)).select(
                 [f.name for f in f2]
             )
-            ga1 = from_wkb(g1.column("l1_" + _GEOM).to_pylist())
-            ga2 = from_wkb(g2.column("l2_" + _GEOM).to_pylist())
+            ga1 = from_wkb(g1.column("l1_" + _GEOM))
+            ga2 = from_wkb(g2.column("l2_" + _GEOM))
             rects1 = detect_rects(ga1)
             rects2 = detect_rects(ga2)
             ids2 = g2.column("l2_doc_id").to_numpy()

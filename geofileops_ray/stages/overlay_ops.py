@@ -30,7 +30,7 @@ import pyarrow as pa
 import ray.data
 
 from ..config import OPTIONS
-from ..geom import GeometryArray, bbox_join, from_wkb, to_wkb
+from ..geom import GeometryArray, bbox_join, from_wkb, to_wkb, to_wkb_arrow
 from ..geom.array import LINESTRING, MULTILINESTRING, MULTIPOINT, POINT, POLYGON
 from ..geom.overlay import (
     line_polygon_overlay,
@@ -224,7 +224,7 @@ def _sliver_keep_mask(ga: GeometryArray, tolerance: float) -> np.ndarray:
 
 def _filter_slivers(ds: ray.data.Dataset, tolerance: float) -> ray.data.Dataset:
     def fn(batch: pa.Table) -> pa.Table:
-        ga = from_wkb(batch.column(_GEOM).to_pylist())
+        ga = from_wkb(batch.column(_GEOM))
         keep = _sliver_keep_mask(ga, tolerance)
         return batch.take(pa.array(np.flatnonzero(keep)))
 
@@ -316,11 +316,11 @@ def intersection(
         def reunion(group: pa.Table) -> pa.Table:
             if len(group) == 1:
                 return group
-            ga = from_wkb(group.column(_GEOM).to_pylist())
+            ga = from_wkb(group.column(_GEOM))
             parts = union_all_parts([ga._parts_of(i) for i in range(len(ga))])
             g = GeometryArray.from_parts([parts_to_geom(parts)])
             base = group.slice(0, 1).drop_columns([_GEOM])
-            return base.append_column(_GEOM, pa.array(to_wkb(g), pa.binary()))
+            return base.append_column(_GEOM, to_wkb_arrow(g))
 
         out = out.groupby(["l1_doc_id", "l2_doc_id"]).map_groups(
             reunion, batch_format="pyarrow"
@@ -465,7 +465,7 @@ def _per_row_overlay(
             # fully erased / fully outside → dropped ('DIFF_EMPTY' sentinel
             # analogue, _geoops_sql.py:1227-1270)
             return base.slice(0, 0).append_column(_GEOM, pa.array([], pa.binary()))
-        return base.append_column(_GEOM, pa.array(to_wkb(out_ga), pa.binary()))
+        return base.append_column(_GEOM, to_wkb_arrow(out_ga))
 
     resolved = pending.groupby("l1_doc_id").map_groups(per_doc, batch_format="pyarrow")
     out = done_ds.union(resolved)

@@ -85,7 +85,7 @@ def simplify(
     lookahead: int = 8,
     **post,
 ) -> ray.data.Dataset:
-    """Simplify with 'rdp' | 'lang' | 'lang+' (reference geoops.simplify
+    """Simplify with 'rdp' | 'lang' | 'lang+' | 'vw' (reference geoops.simplify
     algorithm= param, SimplifyAlgorithm _geometry_util.py:32-38)."""
     return _apply_op(
         ds, lambda ga: alg.simplify(ga, tolerance, algorithm, lookahead), **post

@@ -100,7 +100,7 @@ def _bcast_side(ref) -> tuple[pa.Table, GeometryArray]:
     hit = _BCAST_CACHE.get(key)
     if hit is None:
         g2 = _ray.get(ref)
-        ga2 = from_wkb(g2.column("l2_" + _GEOM).to_pylist())
+        ga2 = from_wkb(g2.column("l2_" + _GEOM))
         ga2.bounds()  # memoize
         if len(_BCAST_CACHE) >= 4:
             _BCAST_CACHE.pop(next(iter(_BCAST_CACHE)))
@@ -242,8 +242,8 @@ def cell_cogroup(
         g2 = group.filter(pc.equal(group.column("__side"), 1)).select(
             [f.name for f in f2]
         )
-        ga1 = from_wkb(g1.column("l1_" + _GEOM).to_pylist())
-        ga2 = from_wkb(g2.column("l2_" + _GEOM).to_pylist())
+        ga1 = from_wkb(g1.column("l1_" + _GEOM))
+        ga2 = from_wkb(g2.column("l2_" + _GEOM))
         # contract: group_fn always returns a table (possibly 0 rows)
         # with a stable schema, so Ray's block schema tracking stays sane
         return group_fn(g1, ga1, g2, ga2, cell)

@@ -390,3 +390,20 @@ class TestAlgorithms:
         assert len(ex) == 3
         assert src.tolist() == [0, 0, 1]
         assert (ex.types[:2] == G.POLYGON).all()
+
+
+def test_simplify_vw_kernel():
+    import numpy as np
+
+    from geofileops_ray.geom.algorithms import _vw
+
+    x = np.arange(10.0)
+    y = np.where(np.arange(10) % 2 == 0, 0.0, 0.25)
+    zig = np.column_stack([x, y])
+    # effective area of every interior zigzag point is 0.25: below that
+    # nothing moves, far above it everything interior cascades away
+    assert len(_vw(zig, 0.1)) == 10
+    assert len(_vw(zig, 1e9)) == 2
+    # square ring: corners have area 0.5 each -> preserved at small tol
+    sq = np.array([[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]], dtype=float)
+    assert len(_vw(sq, 0.01)) == 5

@@ -11,7 +11,8 @@ timings measure operator throughput (the reference benchmark reads
 pre-built GPKGs the same way, benchmark/benchmarks/testdata.py).
 
 ``--scaling`` runs the headline sjoin+dissolve pipeline twice in FRESH
-processes at N=2 and 4N=8 CPUs on the same (larger, 8M-row) input and
+processes at N and 4N CPUs (default 8 vs 32; override with
+BENCH_SCALING_CPUS="2,8") on the same (larger, 8M-row) input and
 reports both throughputs + scaling efficiency = (T_N / T_4N) / 4 — the
 sandbox evidence for the north rule's N vs 4N cluster criterion. The
 larger input keeps the parallel compute dominant over the fixed
@@ -199,8 +200,11 @@ def run_benchmarks(num_cpus: int, only_flagship: bool = False, repeat: int = 0) 
 def main():
     if "--scaling" in sys.argv:
         rep = SCALING_REPEAT or _auto_repeat(SF_DIR, 8_000_000)
+        cpu_n, cpu_4n = (
+            int(c) for c in os.environ.get("BENCH_SCALING_CPUS", "8,32").split(",")
+        )
         outs = {}
-        for cpus in (2, 8):
+        for cpus in (cpu_n, cpu_4n):
             env = dict(os.environ)
             env["RAY_GRAFT_CPUS"] = str(cpus)
             env["BENCH_REPEAT"] = str(rep)
@@ -210,24 +214,27 @@ def main():
             )
             line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
             outs[cpus] = json.loads(line)
-        th_n = outs[2]["value"]
-        th_4n = outs[8]["value"]
+        th_n = outs[cpu_n]["value"]
+        th_4n = outs[cpu_4n]["value"]
         eff = (th_4n / th_n) / 4.0
         print(
             json.dumps(
                 {
-                    "metric": "scaling efficiency (N=2 vs 4N=8 cpus, same input)",
+                    "metric": (
+                        f"scaling efficiency (N={cpu_n} vs 4N={cpu_4n} cpus, "
+                        "same input)"
+                    ),
                     "value": round(eff, 3),
                     "unit": "ratio",
-                    "throughput_2cpu": th_n,
-                    "throughput_8cpu": th_4n,
+                    f"throughput_{cpu_n}cpu": th_n,
+                    f"throughput_{cpu_4n}cpu": th_4n,
                     "queries": {
-                        "t_2cpu": outs[2]["queries"]["sjoin_dissolve"],
-                        "t_8cpu": outs[8]["queries"]["sjoin_dissolve"],
+                        f"t_{cpu_n}cpu": outs[cpu_n]["queries"]["sjoin_dissolve"],
+                        f"t_{cpu_4n}cpu": outs[cpu_4n]["queries"]["sjoin_dissolve"],
                     },
-                    "n_parcels": outs[2]["n_parcels"],
+                    "n_parcels": outs[cpu_n]["n_parcels"],
                     "sf": SF_DIR,
-                    "num_cpus": 8,
+                    "num_cpus": cpu_4n,
                 }
             )
         )

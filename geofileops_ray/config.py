@@ -37,8 +37,11 @@ class Options:
     # dissolve pass picks cell_size = sqrt(extent_area * target / nrows)
     # (clamped to >= cell_size) so per-cell union work stays constant as
     # the dataset grows — a fixed edge length over-shards sparse data and
-    # under-shards dense data at 1000x scale
-    dissolve_cell_rows: int = _env_int("GFR_DISSOLVE_CELL_ROWS", 600)
+    # under-shards dense data at 1000x scale. 3000 measured best at 500k
+    # rows / 32 CPUs (sweep 300..9600: 600→6.1s, 2400-4800→4.6-5.0s,
+    # 9600→5.9s on both rect and triangle layers); keeps group count
+    # ≈ rows/3000 » CPU count at any realistic scale
+    dissolve_cell_rows: int = _env_int("GFR_DISSOLVE_CELL_ROWS", 3000)
     # subdivide geometries with more coords than this before two-layer ops
     # (reference default: 2000 for difference, 15000 for intersection,
     # geofileops _geoops_sql.py:1893-1929)

@@ -1591,6 +1591,27 @@ SELECT doc_id, ref AS media_ref, 'image' AS media_type,
 FROM m ORDER BY doc_id"""
 
 
+def q_top10_quality(sf):
+    """Distributed top-k-per-key selection (keep the 10 best documents
+    per language by quality score) — partial top-k combiner per block,
+    one groupby(lang) final."""
+    q = ta._quality_score(
+        ray.data.read_parquet(
+            f"{sf}/documents.parquet", columns=["doc_id", "text", "lang"]
+        ),
+        keep_cols=("lang",),
+    )
+    return ta.topk_per_group(
+        q.map_batches(
+            lambda b: b.select(["lang", "doc_id", "quality"]),
+            batch_format="pyarrow",
+        ),
+        "lang",
+        "quality",
+        k=10,
+    )
+
+
 def q_sessionize(sf):
     from ..textops.events import sessionize
 
@@ -1690,6 +1711,7 @@ QUERIES = {
     "media_metadata": q_media_metadata,
     "windowed_events": q_windowed_events,
     "sessionize_30m": q_sessionize,
+    "top10_quality_per_lang": q_top10_quality,
 }
 
 ORACLES = {
@@ -1767,6 +1789,7 @@ ORACLES = {
     "sessionize_30m": __import__(
         "geofileops_ray.textops.events", fromlist=["sessionize_sql"]
     ).sessionize_sql(1800),
+    "top10_quality_per_lang": ta.topk_quality_sql(10),
 }
 
 

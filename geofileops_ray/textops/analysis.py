@@ -49,7 +49,12 @@ def quality_score(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Data
     """Quality components + composite score:
     n_tokens, n_alpha_tokens, alpha_ratio, stop_ratio, quality.
     quality = alpha_ratio * 0.5 + stop_ratio * 0.5 (rounded 6)."""
+    return _quality_score(ds, text_col)
 
+
+def _quality_score(
+    ds: ray.data.Dataset, text_col: str = "text", keep_cols: tuple = ()
+) -> ray.data.Dataset:
     def _round6(x: np.ndarray) -> np.ndarray:
         # DuckDB ROUND semantics: half away from zero (positives: half-up)
         return np.floor(x * 1e6 + 0.5) / 1e6
@@ -72,18 +77,87 @@ def quality_score(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Data
         alpha_ratio = _round6(n_alpha / denom)
         stop_ratio = _round6(stop_hits / denom)
         quality = _round6(alpha_ratio * 0.5 + stop_ratio * 0.5)
-        return pa.table(
-            {
-                "doc_id": batch.column("doc_id"),
-                "n_tokens": pa.array(n_tok.astype(np.int64), pa.int64()),
-                "n_alpha_tokens": pa.array(n_alpha.astype(np.int64), pa.int64()),
-                "alpha_ratio": pa.array(alpha_ratio, pa.float64()),
-                "stop_ratio": pa.array(stop_ratio, pa.float64()),
-                "quality": pa.array(quality, pa.float64()),
-            }
-        )
+        cols = {
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pa.array(n_tok.astype(np.int64), pa.int64()),
+            "n_alpha_tokens": pa.array(n_alpha.astype(np.int64), pa.int64()),
+            "alpha_ratio": pa.array(alpha_ratio, pa.float64()),
+            "stop_ratio": pa.array(stop_ratio, pa.float64()),
+            "quality": pa.array(quality, pa.float64()),
+        }
+        for c in keep_cols:
+            cols[c] = batch.column(c)
+        return pa.table(cols)
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def topk_per_group(
+    ds: ray.data.Dataset,
+    key_col: str,
+    score_col: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Distributed top-k rows per key (the data-selection primitive:
+    "keep the k best documents per language/domain/source").
+
+    Shape: vectorized per-batch PARTIAL top-k (at most k rows per
+    (key, block) enter the shuffle — the combiner that keeps the
+    exchange O(#keys · k · #blocks) instead of O(rows)) → one
+    groupby(key) final top-k. Ties break deterministically by
+    (score DESC, id ASC) — mirroring SQL
+    ``ROW_NUMBER() OVER (PARTITION BY key ORDER BY score DESC, id)``.
+    """
+
+    def _select_topk(
+        kidx: np.ndarray, s: np.ndarray, ids: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Row indices of the per-key top-k plus each row's 0-based rank,
+        ordered (key, score desc, id asc); fully vectorized."""
+        order = np.lexsort((ids, -s, kidx))
+        ks = kidx[order]
+        newkey = np.empty(len(ks), dtype=bool)
+        if len(ks):
+            newkey[0] = True
+            newkey[1:] = ks[1:] != ks[:-1]
+        starts = np.flatnonzero(newkey)
+        run = np.repeat(starts, np.diff(np.append(starts, len(ks))))
+        rank = np.arange(len(ks)) - run
+        keep = rank < k
+        return order[keep], rank[keep]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        col = batch.column(key_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = (
+                col.chunk(0)
+                if col.num_chunks == 1
+                else pa.concat_arrays(col.chunks)
+                if col.num_chunks
+                else pa.array([], type=col.type)
+            )
+        enc = _pc.dictionary_encode(col)
+        kidx = enc.indices.to_numpy().astype(np.int64)
+        s = batch.column(score_col).to_numpy(zero_copy_only=False)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        take, _ = _select_topk(kidx, s, ids)
+        return batch.take(pa.array(take)).select([key_col, id_col, score_col])
+
+    def final(group: pa.Table) -> pa.Table:
+        s = group.column(score_col).to_numpy(zero_copy_only=False)
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        take, rank = _select_topk(np.zeros(len(group), np.int64), s, ids)
+        out = group.take(pa.array(take))
+        return out.append_column("rank", pa.array(rank + 1, pa.int64()))
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(key_col)
+        .map_groups(final, batch_format="pyarrow")
+    )
 
 
 def language_id(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
@@ -156,6 +230,27 @@ SELECT doc_id,
   ROUND(ROUND(n_alpha / GREATEST(n_tok, 1), 6) * 0.5
       + ROUND(stop_hits / GREATEST(n_tok, 1), 6) * 0.5, 6) AS quality
 FROM q ORDER BY doc_id
+"""
+
+
+def topk_quality_sql(k: int = 10) -> str:
+    """Oracle for topk_per_group over the quality score, keyed on lang."""
+    return f"""
+WITH q AS (
+  SELECT doc_id, lang,
+    CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) n_tok,
+    CAST(len(regexp_extract_all(text, '\\b[A-Za-z]+\\b')) AS DOUBLE) n_alpha,
+    CAST(len(regexp_extract_all(lower(text), '\\b({_STOP_EN})\\b')) AS DOUBLE) stop_hits
+  FROM documents),
+s AS (
+  SELECT doc_id, lang,
+    ROUND(ROUND(n_alpha / GREATEST(n_tok, 1), 6) * 0.5
+        + ROUND(stop_hits / GREATEST(n_tok, 1), 6) * 0.5, 6) AS quality
+  FROM q)
+SELECT lang, doc_id, quality,
+  CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id)
+       AS BIGINT) AS rank
+FROM s QUALIFY rank <= {k} ORDER BY 1, 4
 """
 
 

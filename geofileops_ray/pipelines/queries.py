@@ -1621,6 +1621,16 @@ def q_sessionize(sf):
     return sessionize(ev, gap_seconds=1800)
 
 
+def q_asof_join(sf):
+    from ..textops.events import asof_join_events
+
+    ev = ray.data.read_parquet(
+        f"{sf}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    return asof_join_events(ev, "click", "view")
+
+
 def q_windowed_events(sf):
     from ..textops.events import tumbling_window_agg
 
@@ -1712,6 +1722,7 @@ QUERIES = {
     "windowed_events": q_windowed_events,
     "sessionize_30m": q_sessionize,
     "top10_quality_per_lang": q_top10_quality,
+    "asof_click_view": q_asof_join,
 }
 
 ORACLES = {
@@ -1790,6 +1801,9 @@ ORACLES = {
         "geofileops_ray.textops.events", fromlist=["sessionize_sql"]
     ).sessionize_sql(1800),
     "top10_quality_per_lang": ta.topk_quality_sql(10),
+    "asof_click_view": __import__(
+        "geofileops_ray.textops.events", fromlist=["asof_join_sql"]
+    ).asof_join_sql("click", "view"),
 }
 
 

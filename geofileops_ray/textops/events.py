@@ -188,6 +188,98 @@ def sessionize(
     )
 
 
+def asof_join_events(
+    ds: ray.data.Dataset,
+    left_type: str = "click",
+    right_type: str = "view",
+) -> ray.data.Dataset:
+    """As-of join (the brief's named custom operator): attach to every
+    ``left_type`` event the LATEST ``right_type`` event of the same user
+    with ``ts_right <= ts_left`` plus the running count of prior
+    right-side events.
+
+    Shape: column-pruned filter to the two types → ONE shuffle keyed on
+    ``user_id`` → per-user vectorized merge (sort right side once,
+    ``np.searchsorted`` for all left rows). Same per-key partitioning
+    assumption as ``sessionize``; ties at identical timestamps resolve
+    deterministically to the max event_id (the SQL ROW_NUMBER mirror).
+    """
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        m = _pc.is_in(
+            batch.column("event_type"),
+            value_set=pa.array([left_type, right_type]),
+        )
+        b = batch.filter(m)
+        return pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "event_id": b.column("event_id"),
+                "ts_us": b.column("ts").cast(pa.int64()),
+                "is_left": pc.equal(b.column("event_type"), left_type),
+            }
+        )
+
+    def per_user(group: pa.Table) -> pa.Table:
+        is_l = group.column("is_left").to_numpy(zero_copy_only=False)
+        ts = group.column("ts_us").to_numpy()
+        eid = group.column("event_id").to_numpy()
+        ta_, ia_ = ts[is_l], eid[is_l]
+        tb, ib = ts[~is_l], eid[~is_l]
+        order = np.lexsort((ib, tb))
+        tb, ib = tb[order], ib[order]
+        pos = np.searchsorted(tb, ta_, side="right") - 1
+        hit = pos >= 0
+        safe = np.maximum(pos, 0)
+        return pa.table(
+            {
+                "user_id": pa.array(
+                    np.full(len(ta_), group.column("user_id")[0].as_py()),
+                    pa.int64(),
+                ),
+                "event_id": pa.array(ia_, pa.int64()),
+                "ts_us": pa.array(ta_, pa.int64()),
+                "ref_event_id": pa.array(
+                    np.where(hit, ib[safe] if len(ib) else 0, 0),
+                    pa.int64(),
+                    mask=~hit,
+                ),
+                "ref_ts_us": pa.array(
+                    np.where(hit, tb[safe] if len(tb) else 0, 0),
+                    pa.int64(),
+                    mask=~hit,
+                ),
+                "n_ref_before": pa.array(pos + 1, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pyarrow")
+    )
+
+
+def asof_join_sql(left_type: str = "click", right_type: str = "view") -> str:
+    return f"""
+WITH a AS (SELECT * FROM events WHERE event_type='{left_type}'),
+b AS (SELECT user_id, ts, event_id,
+       ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) rn
+      FROM events WHERE event_type='{right_type}'),
+b1 AS (SELECT * FROM b WHERE rn = 1)
+SELECT a.user_id, a.event_id, epoch_us(a.ts) AS ts_us,
+       bb.event_id AS ref_event_id, epoch_us(bb.ts) AS ref_ts_us,
+       (SELECT COUNT(*) FROM events b2
+         WHERE b2.user_id = a.user_id AND b2.event_type='{right_type}'
+           AND b2.ts <= a.ts) AS n_ref_before
+FROM a ASOF LEFT JOIN b1 bb
+  ON a.user_id = bb.user_id AND a.ts >= bb.ts
+ORDER BY 1, 2
+"""
+
+
 def sessionize_sql(gap_seconds: int = 1800) -> str:
     gap_us = gap_seconds * 1_000_000
     return f"""

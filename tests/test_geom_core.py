@@ -407,3 +407,33 @@ def test_simplify_vw_kernel():
     # square ring: corners have area 0.5 each -> preserved at small tol
     sq = np.array([[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]], dtype=float)
     assert len(_vw(sq, 0.01)) == 5
+
+
+def test_from_wkb_arrow_zero_copy_paths():
+    import numpy as np
+    import pyarrow as pa
+
+    from geofileops_ray.geom import from_wkb, to_wkb, to_wkb_arrow
+    from geofileops_ray.io.synth import rect_wkb, point_wkb
+
+    rects = rect_wkb(
+        np.array([0.0, 5.0]), np.array([0.0, 5.0]),
+        np.array([2.0, 9.0]), np.array([3.0, 7.0]),
+    )
+    pts = point_wkb(np.array([1.5]), np.array([2.5]))
+    mixed = pa.concat_arrays([rects, pts])
+    ga = from_wkb(mixed)
+    assert len(ga) == 3 and ga.num_coords().tolist() == [5, 5, 1]
+    # sliced array (non-zero offset) must decode the right rows
+    ga_s = from_wkb(mixed.slice(1, 2))
+    assert len(ga_s) == 2
+    assert ga_s.bounds()[0].tolist() == [5.0, 5.0, 9.0, 7.0]
+    # chunked input
+    ch = pa.chunked_array([rects, pts])
+    assert len(from_wkb(ch)) == 3
+    # round-trip through the Arrow encoder
+    back = to_wkb_arrow(ga)
+    assert back.to_pylist() == to_wkb(ga)
+    # all-degenerate batch (empty blobs) falls back safely
+    empty = pa.array([b"", b""], pa.binary())
+    assert len(from_wkb(empty)) == 2

@@ -1631,6 +1631,15 @@ def q_asof_join(sf):
     return asof_join_events(ev, "click", "view")
 
 
+def q_percentiles(sf):
+    from ..textops.events import percentiles_per_group
+
+    ev = ray.data.read_parquet(
+        f"{sf}/events.parquet", columns=["event_type", "value"]
+    )
+    return percentiles_per_group(ev)
+
+
 def q_windowed_events(sf):
     from ..textops.events import tumbling_window_agg
 
@@ -1723,6 +1732,7 @@ QUERIES = {
     "sessionize_30m": q_sessionize,
     "top10_quality_per_lang": q_top10_quality,
     "asof_click_view": q_asof_join,
+    "value_percentiles_per_type": q_percentiles,
 }
 
 ORACLES = {
@@ -1804,6 +1814,9 @@ ORACLES = {
     "asof_click_view": __import__(
         "geofileops_ray.textops.events", fromlist=["asof_join_sql"]
     ).asof_join_sql("click", "view"),
+    "value_percentiles_per_type": __import__(
+        "geofileops_ray.textops.events", fromlist=["percentiles_sql"]
+    ).percentiles_sql(),
 }
 
 

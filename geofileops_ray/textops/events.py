@@ -7,6 +7,8 @@ the driver tables are bounded batch).
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -260,6 +262,70 @@ def asof_join_events(
         .groupby("user_id")
         .map_groups(per_user, batch_format="pyarrow")
     )
+
+
+def percentiles_per_group(
+    ds: ray.data.Dataset,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    qs: tuple = (0.5, 0.9, 0.99),
+) -> ray.data.Dataset:
+    """Exact per-key percentiles (DuckDB ``quantile_cont`` semantics:
+    sorted linear interpolation at q·(n-1)).
+
+    One shuffle keyed on ``key_col``, vectorized sort+interp per group.
+    Exact-by-sort assumes a key's values fit one group (fine for
+    low-cardinality keys like event_type/lang at any row scale since the
+    projection is 2 columns); for high-cardinality × huge-group inputs
+    swap the final for a t-digest style sketch — the pipeline shape
+    (prune → shuffle → per-key reduce) stays the same."""
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                key_col: batch.column(key_col),
+                value_col: batch.column(value_col),
+            }
+        )
+
+    def per_key(group: pa.Table) -> pa.Table:
+        v = group.column(value_col).to_numpy(zero_copy_only=False)
+        v = np.sort(v[~np.isnan(v)])
+        cols = {key_col: group.column(key_col).slice(0, 1)}
+        for q in qs:
+            if len(v) == 0:
+                val = float("nan")
+            else:
+                pos = q * (len(v) - 1)
+                lo = int(math.floor(pos))
+                hi = min(lo + 1, len(v) - 1)
+                val = v[lo] + (pos - lo) * (v[hi] - v[lo])
+            cols[f"p{str(q)[2:]}"] = pa.array(
+                [round(float(val), 6)], pa.float64()
+            )
+        return pa.table(cols)
+
+    return (
+        ds.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(key_col)
+        .map_groups(per_key, batch_format="pyarrow")
+    )
+
+
+def percentiles_sql(
+    key_col: str = "event_type",
+    value_col: str = "value",
+    qs: tuple = (0.5, 0.9, 0.99),
+) -> str:
+    cols = ",\n       ".join(
+        f"ROUND(quantile_cont({value_col}, {q}), 6) AS p{str(q)[2:]}"
+        for q in qs
+    )
+    return f"""
+SELECT {key_col},
+       {cols}
+FROM events GROUP BY 1 ORDER BY 1
+"""
 
 
 def asof_join_sql(left_type: str = "click", right_type: str = "view") -> str:

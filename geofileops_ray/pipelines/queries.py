@@ -452,6 +452,36 @@ FROM ctr JOIN parcels p
 GROUP BY 1, 2, 3 ORDER BY 2, 3"""
 
 
+def q_polygonize(sf):
+    """Raster→vector polygonize of the parcel coverage mask: covered
+    pixels → squares → dissolve sweep union; invariants (area,
+    perimeter) are exact rect algebra in SQL."""
+    from ..tiling.grid import polygonize_covered
+
+    bounds = _layer_bounds(parcels_dataset(sf))
+    return polygonize_covered(parcels_dataset(sf), bounds, 16, pixels_per_tile=4)
+
+
+O_POLYGONIZE = f"""{CTE},
+{_GRID_G2_SQL.strip()},
+pxy AS (SELECT x0, y0, w, h, nc, nr, pc, unnest(range(0, nr * 4)) AS pr
+        FROM (SELECT *, unnest(range(0, nc * 4)) AS pc FROM g2)),
+ctr AS (SELECT nc, nr, w, h, pc, pr,
+               x0 + (pc + 0.5) * ((w / nc) / 4) AS cx,
+               y0 + (pr + 0.5) * ((h / nr) / 4) AS cy
+        FROM pxy),
+cov AS (SELECT DISTINCT pc, pr FROM ctr JOIN parcels p
+          ON cx >= p.minx AND cx <= p.maxx AND cy >= p.miny AND cy <= p.maxy),
+dims AS (SELECT (w / nc) / 4 AS pw, (h / nr) / 4 AS ph FROM g2),
+n AS (SELECT COUNT(*) c FROM cov),
+adjh AS (SELECT COUNT(*) c FROM cov a JOIN cov b ON b.pc = a.pc + 1 AND b.pr = a.pr),
+adjv AS (SELECT COUNT(*) c FROM cov a JOIN cov b ON b.pc = a.pc AND b.pr = a.pr + 1)
+SELECT ROUND(n.c * pw * ph, 4) AS covered_area,
+       ROUND(2 * n.c * (pw + ph) - 2 * (adjh.c * ph + adjv.c * pw), 4)
+         AS boundary_len
+FROM n, adjh, adjv, dims"""
+
+
 def q_vector_tile_cut(sf):
     """Vector half of the tiling pair: clip every parcel to each grid
     tile its interior overlaps; project piece areas for the oracle."""
@@ -1666,6 +1696,7 @@ QUERIES = {
     "tile_assignments_16": q_tile_assign,
     "zonal_rasterize_16": q_zonal_rasterize,
     "vector_tile_cut_16": q_vector_tile_cut,
+    "polygonize_mask_16": q_polygonize,
     "intersection_complexpoly": q_intersection_complex,
     "buffer_area": q_buffer,
     "convexhull_area": q_convexhull,
@@ -1752,6 +1783,7 @@ ORACLES = {
     "tile_assignments_16": _o_tile_assign(),
     "zonal_rasterize_16": O_ZONAL_RASTERIZE,
     "vector_tile_cut_16": O_VECTOR_TILE_CUT,
+    "polygonize_mask_16": O_POLYGONIZE,
     "intersection_complexpoly": O_INTERSECTION_COMPLEX,
     "buffer_area": O_BUFFER,
     "convexhull_area": O_CONVEXHULL,

@@ -251,6 +251,70 @@ def zonal_rasterize(
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def polygonize_covered(
+    ds: ray.data.Dataset,
+    bounds: tuple[float, float, float, float],
+    nb_tiles: int,
+    pixels_per_tile: int = 8,
+) -> ray.data.Dataset:
+    """Raster→vector: polygonize the binary coverage mask of
+    ``zonal_rasterize`` (the gdal_polygonize analogue for a mask) —
+    covered pixels become unit squares and dissolve's n-ary sweep
+    unions them into polygons, merging adjacent pixels and carving
+    interior holes.
+
+    Output: ONE summary row (covered_area, boundary_len) rounded 1e-4 —
+    the two SQL-checkable invariants of a correct polygonization (area =
+    npix·pw·ph; perimeter = unshared pixel-edge sum, both exact in rect
+    algebra). The polygon stream itself is the dissolve output; callers
+    wanting geometries use ``dissolve`` on the squares directly.
+
+    Pixel corners are built with the same float expressions on both
+    sides (ox + pc·pw), so shared edges cancel exactly in the sweep."""
+    import numpy as np
+
+    from ..geom.measure import area as _area
+    from ..geom.measure import perimeter as _perimeter
+    from ..io.synth import rect_wkb
+    from ..stages.dissolve import dissolve
+    from ..stages.geometry_batch import decode_geometry
+
+    ox, oy, dx, dy, ncols, nrows = _grid_params(bounds, nb_tiles)
+    P = pixels_per_tile
+    pw, ph = dx / P, dy / P
+
+    px = zonal_rasterize(ds, bounds, nb_tiles, P)
+
+    def to_squares(batch: pa.Table) -> pa.Table:
+        pc_ = batch.column("pcol").to_numpy()
+        pr = batch.column("prow").to_numpy()
+        return pa.table(
+            {
+                "geometry": rect_wkb(
+                    ox + pc_ * pw, oy + pr * ph,
+                    ox + (pc_ + 1) * pw, oy + (pr + 1) * ph,
+                ),
+            }
+        )
+
+    merged = dissolve(px.map_batches(to_squares, batch_format="pyarrow"))
+
+    def measure_fn(batch: pa.Table) -> pa.Table:
+        ga = decode_geometry(batch)
+        return pa.table(
+            {
+                "covered_area": pa.array(
+                    np.round(_area(ga), 4), pa.float64()
+                ),
+                "boundary_len": pa.array(
+                    np.round(_perimeter(ga), 4), pa.float64()
+                ),
+            }
+        )
+
+    return merged.map_batches(measure_fn, batch_format="pyarrow")
+
+
 def vector_tile_cut(
     ds: ray.data.Dataset,
     bounds: tuple[float, float, float, float],

@@ -159,3 +159,59 @@ def test_union_many_matches_inclusion_exclusion_pairwise(all_pts):
             term = abs(_shoelace(cur)) if len(cur) else 0.0
             total += term if k % 2 == 1 else -term
     assert abs(got - total) < 1e-6
+
+
+def _rect_ring(x0, y0, x1, y1):
+    return np.array(
+        [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]], dtype=float
+    )
+
+
+def _ov(a, b):
+    return max(0.0, min(a[2], b[2]) - max(a[0], b[0])) * max(
+        0.0, min(a[3], b[3]) - max(a[1], b[1])
+    )
+
+
+frame_strategy = st.tuples(
+    st.integers(0, 10), st.integers(0, 10),  # outer origin
+    st.integers(4, 8), st.integers(4, 8),    # outer size
+    st.integers(1, 2), st.integers(1, 2),    # hole inset
+    st.integers(1, 3), st.integers(1, 3),    # hole size
+)
+
+
+def _frame(t):
+    ox, oy, w, h, ix, iy, hw, hh = t
+    outer = (ox, oy, ox + w, oy + h)
+    hole = (
+        ox + ix,
+        oy + iy,
+        min(ox + ix + hw, ox + w - 1),
+        min(oy + iy + hh, oy + h - 1),
+    )
+    return outer, hole
+
+
+@settings(max_examples=120, deadline=None)
+@given(frame_strategy, frame_strategy)
+def test_hole_overlay_areas_match_rect_algebra(ta, tb):
+    """Polygons WITH HOLES through the sweep: intersection/union/diff
+    areas of two rectangular frames vs exact rect inclusion-exclusion."""
+    (ao, ah), (bo, bh) = _frame(ta), _frame(tb)
+    A = [[_rect_ring(*ao), _rect_ring(*ah)]]
+    B = [[_rect_ring(*bo), _rect_ring(*bh)]]
+    area_a = _ov(ao, ao) - _ov(ah, ah)
+    area_b = _ov(bo, bo) - _ov(bh, bh)
+    inter = _ov(ao, bo) - _ov(ao, bh) - _ov(ah, bo) + _ov(ah, bh)
+
+    tol = 1e-7
+    assert abs(_parts_area(boolean_op(A, B, "intersection")) - inter) < tol
+    assert (
+        abs(_parts_area(boolean_op(A, B, "union")) - (area_a + area_b - inter))
+        < tol
+    )
+    assert (
+        abs(_parts_area(boolean_op(A, B, "difference")) - (area_a - inter))
+        < tol
+    )

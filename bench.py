@@ -184,6 +184,28 @@ def run_benchmarks(num_cpus: int, only_flagship: bool = False, repeat: int = 0) 
         emb = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet")
         _, t = timed(lambda: ts.brute_topk(emb, np.array([qv]), k=10))
         results["embedding_topk"] = round(t, 3)
+        from geofileops_ray.textops.events import asof_join_events, sessionize
+        from geofileops_ray.tiling.grid import polygonize_covered
+
+        ev = ray.data.read_parquet(f"{SF_DIR}/events.parquet").materialize()
+        _, t = timed(lambda: sessionize(ev).count())
+        results["sessionize"] = round(t, 3)
+        _, t = timed(lambda: asof_join_events(ev).count())
+        results["asof_join"] = round(t, 3)
+        from ray.data.aggregate import Max as _Max
+        from ray.data.aggregate import Min as _Min
+
+        from geofileops_ray.stages.geometry_batch import add_bounds
+
+        bb = p.map_batches(
+            lambda b: add_bounds(b).select(["minx", "miny", "maxx", "maxy"]),
+            batch_format="pyarrow",
+        ).aggregate(_Min("minx"), _Min("miny"), _Max("maxx"), _Max("maxy"))
+        bounds = (bb["min(minx)"], bb["min(miny)"], bb["max(maxx)"], bb["max(maxy)"])
+        _, t = timed(
+            lambda: polygonize_covered(p, bounds, 16, pixels_per_tile=8).count()
+        )
+        results["polygonize"] = round(t, 3)
 
     return {
         "metric": "sjoin+dissolve rows/sec (parcels rows / wall sec)",

@@ -1586,6 +1586,10 @@ def q_minhash_pairs(sf):
 
 
 def q_media_features(sf):
+    """Actor-pool media feature extraction; the deterministic-fake
+    decode is md5-derived, so the u16 lane checksum (feat_sum) is
+    bit-reproducible in SQL — a real value oracle for the multimodal
+    plumbing, not just a rows check."""
     ds = extract_media_features(parcels_dataset(sf))
 
     def fn(batch: pa.Table) -> pa.Table:
@@ -1594,10 +1598,30 @@ def q_media_features(sf):
                 "doc_id": batch.column("doc_id"),
                 "media_ref": batch.column("media_ref"),
                 "feat_dim": pa.array([8] * len(batch), pa.int64()),
+                "feat_sum": batch.column("feat_sum"),
             }
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _o_media_features() -> str:
+    # u16 little-endian lanes of md5(repeat(md5(ref), 8)):
+    # lane i = byte(2i) + 256*byte(2i+1); byte j = hex pair j
+    lanes = " + ".join(
+        f"CAST(('0x' || substr(h2, {4 * i + 1}, 2)) AS BIGINT)"
+        f" + 256 * CAST(('0x' || substr(h2, {4 * i + 3}, 2)) AS BIGINT)"
+        for i in range(8)
+    )
+    return f"""{CTE},
+m AS (
+  SELECT doc_id,
+    'media://' || CAST(((doc_id * 2654435761) % 4294967296) % 1000 AS VARCHAR) AS ref
+  FROM documents),
+h AS (SELECT doc_id, ref, md5(repeat(md5(ref), 8)) AS h2 FROM m)
+SELECT doc_id, ref AS media_ref, CAST(8 AS BIGINT) AS feat_dim,
+       CAST({lanes} AS BIGINT) AS feat_sum
+FROM h ORDER BY doc_id"""
 
 
 def q_media_metadata(sf):
@@ -1836,6 +1860,7 @@ ORACLES = {
     "embedding_topk10": ts.topk_sql(0, 10),
     "embedding_neardup": ts.neardup_sql(0.4),
     "media_metadata": O_MEDIA_METADATA,
+    "media_features": _o_media_features(),
     "windowed_events": __import__(
         "geofileops_ray.textops.events", fromlist=["tumbling_window_sql"]
     ).tumbling_window_sql(3600),

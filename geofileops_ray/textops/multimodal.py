@@ -84,11 +84,17 @@ class MediaFeatureExtractor:
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column("payload").to_pylist()
         feats = np.zeros((len(payloads), self.FEATURE_DIM), dtype=np.float32)
+        sums = np.zeros(len(payloads), dtype=np.int64)
         for i, p in enumerate(payloads):
-            d = hashlib.md5(p or b"").digest()
-            feats[i] = np.frombuffer(d[: self.FEATURE_DIM * 2], dtype=np.uint16).astype(
-                np.float32
-            ) / 65535.0
+            # hash the HEX form so the fake is reproducible in plain SQL
+            # (DuckDB md5() is VARCHAR-only): hex(md5(ref)·8) ==
+            # repeat(md5(ref), 8) as text
+            d = hashlib.md5((p or b"").hex().encode()).digest()
+            u16 = np.frombuffer(
+                d[: self.FEATURE_DIM * 2], dtype="<u2"
+            ).astype(np.int64)
+            feats[i] = u16.astype(np.float32) / 65535.0
+            sums[i] = int(u16.sum())
         flat = pa.array(feats.reshape(-1), pa.float32())
         lists = pa.FixedSizeListArray.from_arrays(flat, self.FEATURE_DIM)
         return pa.table(
@@ -96,6 +102,10 @@ class MediaFeatureExtractor:
                 "doc_id": batch.column("doc_id"),
                 "media_ref": batch.column("media_ref"),
                 "feature": lists,
+                # integer checksum of the u16 lanes — the float32 feature
+                # itself can't be compared against double SQL math, the
+                # lane sum can (oracle: md5(repeat(md5(ref),8)) bytes)
+                "feat_sum": pa.array(sums, pa.int64()),
             }
         )
 

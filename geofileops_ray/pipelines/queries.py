@@ -358,6 +358,46 @@ FROM (SELECT *, unnest(range(0, (c1 - c0 + 1) * (r1 - r0 + 1))) i FROM asn)
 ORDER BY 1, 2"""
 
 
+_CLIP_WINDOW = (100.0, 100.0, 600.0, 450.0)
+
+
+def q_clip_by_geometry(sf):
+    """Clip every parcel by one constant rectangle (closed-form areas)."""
+    from ..io.synth import rect_wkb
+
+    wkb = rect_wkb(
+        np.array([_CLIP_WINDOW[0]]), np.array([_CLIP_WINDOW[1]]),
+        np.array([_CLIP_WINDOW[2]]), np.array([_CLIP_WINDOW[3]]),
+    )[0].as_py()
+    ds = sl.clip_by_geometry(parcels_dataset(sf), wkb)
+    ds = _with_geom_area(ds, "clip_area")
+    ds = ds.filter(expr="clip_area > 0")
+    return _select(ds, ["doc_id", "clip_area"])
+
+
+O_CLIP_BY_GEOMETRY = f"""{CTE}
+SELECT doc_id,
+  ROUND((LEAST(maxx, {_CLIP_WINDOW[2]}) - GREATEST(minx, {_CLIP_WINDOW[0]}))
+      * (LEAST(maxy, {_CLIP_WINDOW[3]}) - GREATEST(miny, {_CLIP_WINDOW[1]})), 4)
+    AS clip_area
+FROM parcels
+WHERE LEAST(maxx, {_CLIP_WINDOW[2]}) > GREATEST(minx, {_CLIP_WINDOW[0]})
+  AND LEAST(maxy, {_CLIP_WINDOW[3]}) > GREATEST(miny, {_CLIP_WINDOW[1]})
+ORDER BY 1"""
+
+
+def q_export_by_bounds(sf):
+    ds = sl.export_by_bounds(parcels_dataset(sf), _CLIP_WINDOW)
+    return _select(ds, ["doc_id", "OIDN"])
+
+
+O_EXPORT_BY_BOUNDS = f"""{CTE}
+SELECT doc_id, OIDN FROM parcels
+WHERE minx <= {_CLIP_WINDOW[2]} AND maxx >= {_CLIP_WINDOW[0]}
+  AND miny <= {_CLIP_WINDOW[3]} AND maxy >= {_CLIP_WINDOW[1]}
+ORDER BY 1"""
+
+
 def q_layer_digest(sf):
     """Order-insensitive distributed content digest (the gfo.cmp
     analogue, stages/catalog.layer_digest): md5-per-row summed mod
@@ -1743,6 +1783,8 @@ QUERIES = {
     "identity_areas": q_identity,
     "quadkey_cover_12": q_quadkey_cover,
     "layer_digest_parcels": q_layer_digest,
+    "clip_by_geometry_window": q_clip_by_geometry,
+    "export_by_bounds_window": q_export_by_bounds,
     # irregular (non-rectangle) layer — general kernel coverage
     "point_in_polygon_tri": q_point_in_polygon,
     "sjoin_intersects_tri": q_sjoin_tri,
@@ -1827,6 +1869,8 @@ ORACLES = {
     "identity_areas": O_IDENTITY,
     "quadkey_cover_12": _o_quadkey_cover(),
     "layer_digest_parcels": O_LAYER_DIGEST,
+    "clip_by_geometry_window": O_CLIP_BY_GEOMETRY,
+    "export_by_bounds_window": O_EXPORT_BY_BOUNDS,
     "point_in_polygon_tri": O_PIP,
     "sjoin_intersects_tri": O_SJOIN_TRI,
     "sjoin_relate_mask_tri": O_SJOIN_MASK_TRI,

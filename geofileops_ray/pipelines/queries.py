@@ -233,6 +233,28 @@ def q_join_nearest(sf):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def q_join_nearest_scalepath(sf):
+    """Same kNN contract, but FORCING the cell-ring-expansion scale path
+    (broadcast_threshold=0) — the path a 10^9-row right side takes —
+    against the identical exact SQL oracle."""
+    ds = join_nearest(
+        points_dataset(sf), zones_dataset(sf), nb_nearest=2,
+        cols1=[], cols2=[], broadcast_threshold=0,
+    )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        d = _round_half_up(batch.column("distance").to_numpy(), 6)
+        return pa.table(
+            {
+                "l1_doc_id": batch.column("l1_doc_id"),
+                "pos": batch.column("pos"),
+                "distance": pa.array(d, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 O_JOIN_NEAREST = f"""{CTE},
 d AS (
   SELECT p.doc_id, ROW_NUMBER() OVER (PARTITION BY p.doc_id
@@ -1755,6 +1777,7 @@ QUERIES = {
     "clip_areas": q_clip,
     "difference_areas": q_difference,
     "join_nearest_k2": q_join_nearest,
+    "join_nearest_k2_scalepath": q_join_nearest_scalepath,
     "dissolve_gewasgroep": q_dissolve,
     "dissolve_median_json": q_dissolve_median_json,
     "tile_assignments_16": q_tile_assign,
@@ -1843,6 +1866,7 @@ ORACLES = {
     "clip_areas": O_CLIP,
     "difference_areas": O_DIFFERENCE,
     "join_nearest_k2": O_JOIN_NEAREST,
+    "join_nearest_k2_scalepath": O_JOIN_NEAREST,
     "dissolve_gewasgroep": O_DISSOLVE,
     "dissolve_within_distance_bars": O_DWD_BARS,
     "dissolve_median_json": O_DISSOLVE_MEDIAN_JSON,

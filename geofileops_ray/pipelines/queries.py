@@ -107,6 +107,18 @@ SELECT p.doc_id AS l1_doc_id, z.doc_id AS l2_doc_id, p.OIDN AS l1_OIDN,
 FROM parcels p JOIN zones z ON {BBOX_ON} ORDER BY 1, 2"""
 
 
+def q_sjoin_shuffle(sf):
+    """Same sjoin contract FORCING the cell co-shuffle path
+    (broadcast=False) — the path a large right side takes at 10^12 rows
+    — against the identical oracle (reference-cell pair dedup and hot-
+    cell handling get driver-gated, not just pytest-gated)."""
+    ds = join_by_location(
+        parcels_dataset(sf), zones_dataset(sf), "intersects is True",
+        cols1=["OIDN", "GEWASGROEP"], cols2=["naam"], broadcast=False,
+    )
+    return _select(ds, ["l1_doc_id", "l2_doc_id", "l1_OIDN", "l1_GEWASGROEP", "l2_naam"])
+
+
 def q_sjoin_within(sf):
     ds = join_by_location(
         parcels_dataset(sf), zones_dataset(sf), "within is True",
@@ -1768,6 +1780,7 @@ def q_windowed_events(sf):
 QUERIES = {
     # spatial
     "sjoin_intersects": q_sjoin_intersects,
+    "sjoin_intersects_shuffle": q_sjoin_shuffle,
     "sjoin_within": q_sjoin_within,
     "export_by_location_semi": q_export_semi,
     "export_by_location_anti": q_export_anti,
@@ -1857,6 +1870,7 @@ QUERIES = {
 
 ORACLES = {
     "sjoin_intersects": O_SJOIN,
+    "sjoin_intersects_shuffle": O_SJOIN,
     "sjoin_within": O_SJOIN_WITHIN,
     "export_by_location_semi": O_EXPORT_SEMI,
     "export_by_location_anti": O_EXPORT_ANTI,

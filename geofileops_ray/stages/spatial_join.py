@@ -287,6 +287,7 @@ def join_by_location(
     discard_nonmatching: bool = True,
     size: float | None = None,
     salt: bool = False,
+    broadcast: bool | None = None,
 ) -> ray.data.Dataset:
     """Spatial join (geoops.join_by_location, _geoops_sql.py:2185-2342):
     inner pairs where the relations query holds; with
@@ -336,7 +337,10 @@ def join_by_location(
                 )
         return out
 
-    matched = cell_cogroup(ds1, ds2, group_fn, cols1, cols2, size=size, salt=salt)
+    matched = cell_cogroup(
+        ds1, ds2, group_fn, cols1, cols2, size=size, salt=salt,
+        broadcast=broadcast,
+    )
     if discard_nonmatching:
         return matched
     # left part: layer1 rows whose doc_id never matched, l2 columns null

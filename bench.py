@@ -85,6 +85,7 @@ def run_benchmarks(num_cpus: int, only_flagship: bool = False, repeat: int = 0) 
     import ray.data
 
     from geofileops_ray.io.synth import (
+        lshapes_dataset,
         parcels_dataset,
         points_dataset,
         triangles_dataset,
@@ -174,6 +175,20 @@ def run_benchmarks(num_cpus: int, only_flagship: bool = False, repeat: int = 0) 
             ).count()
         )
         results["dissolve_tri"] = round(t, 3)
+        # concave layer: interlocking staircase L-shapes (general
+        # NON-convex kernels — neither rect nor convex-SAT fast paths)
+        lsh = lshapes_dataset(SF_DIR, repeat).materialize()
+        _, t = timed(
+            lambda: intersection(lsh, z, cols1=["grp"], cols2=["naam"]).count()
+        )
+        results["intersection_lshape"] = round(t, 3)
+        _, t = timed(
+            lambda: dissolve(
+                lsh, groupby=["grp"],
+                agg_columns=[("larea", "sum", "sum_area")],
+            ).count()
+        )
+        results["dissolve_lshape"] = round(t, 3)
         pts = points_dataset(SF_DIR, repeat).materialize()
         _, t = timed(
             lambda: join_nearest(pts, z, nb_nearest=1, cols1=[], cols2=[]).count()

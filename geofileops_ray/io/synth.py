@@ -636,3 +636,144 @@ def zigzags_dataset(sf_dir: str, repeat: int = 1) -> ray.data.Dataset:
     return expand_documents(read_documents(sf_dir), repeat).map_batches(
         synth_zigzag_batch, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+# --------------------------------------- lshapes (layer 8, CONCAVE polygons)
+
+
+def poly6_wkb(xs: np.ndarray, ys: np.ndarray) -> pa.Array:
+    """Vectorized WKB POLYGON with one CCW closed 7-point ring per row.
+
+    ``xs``/``ys`` are (n, 6) vertex arrays. 125 bytes/row: header(13) +
+    7 xy pairs. Zero Python loops."""
+    n = len(xs)
+    coords = np.empty((n, 14), dtype="<f8")
+    coords[:, 0:12:2] = xs
+    coords[:, 1:13:2] = ys
+    coords[:, 12] = xs[:, 0]
+    coords[:, 13] = ys[:, 0]
+    out = np.empty((n, 125), dtype=np.uint8)
+    header = np.frombuffer(
+        b"\x01\x03\x00\x00\x00\x01\x00\x00\x00\x07\x00\x00\x00", dtype=np.uint8
+    )
+    out[:, :13] = header
+    out[:, 13:] = coords.view(np.uint8).reshape(n, 112)
+    offsets = pa.array(np.arange(n + 1, dtype=np.int32) * 125)
+    return pa.Array.from_buffers(
+        pa.binary(), n, [None, offsets.buffers()[1], pa.py_buffer(out.tobytes())]
+    )
+
+
+def _lshape_params(doc_id: np.ndarray):
+    """Pure-int64 staircase parameters, SQL-mirrorable (LSHAPES_CTE).
+
+    Docs come in PAIRS (pair = doc_id // 2) that split one w×h rectangle
+    along a hash-chosen one-step staircase into two interlocking CONCAVE
+    L-shapes (6 vertices, one reflex corner each). Both shapes' bboxes
+    cover their notch, so bbox overlap does NOT imply intersects — the
+    discriminating case for disjoint-query semantics — and every
+    predicate/overlay on them must take the general (non-convex) kernel
+    path, not the rect or convex fast paths. Max extent 9 < grid pitch
+    10, so distinct pairs never touch (keeps dissolve part counts
+    closed-form)."""
+    pair = doc_id // 2
+    s = doc_id % 2
+    hp = (pair.astype(np.int64) * _MULT) % _MOD
+    x0 = ((pair % 100) * 10 + hp % 2).astype(np.int64)
+    y0 = ((pair // 100) * 10 + (hp // 2) % 2).astype(np.int64)
+    ay = 1 + (hp // 4) % 3
+    by = ay + 1 + (hp // 12) % 3
+    h = by + 1 + (hp // 36) % 2
+    w = 4 + (hp // 108) % 5
+    bx = 1 + (hp // 540) % (w - 1)
+    return pair, s, hp, x0, y0, ay, by, h, w, bx
+
+
+def synth_lshapes_batch(batch: pa.Table) -> pa.Table:
+    """documents batch → concave L-shape layer. Everything derives from
+    doc_id, mirrored exactly by LSHAPES_CTE for the DuckDB oracle."""
+    doc_id = batch.column("doc_id").to_numpy()
+    text = batch.column("text").to_pylist()
+    pair, s, hp, x0, y0, ay, by, h, w, bx = _lshape_params(doc_id)
+    lo = s == 0  # lower-left L (bottom slab + left tower); else upper-right
+    xs = np.empty((len(doc_id), 6), dtype=np.float64)
+    ys = np.empty_like(xs)
+    # s=0 CCW: (0,0)(w,0)(w,ay)(bx,ay)(bx,by)(0,by)  [reflex at (bx,ay)]
+    # s=1 CCW: (bx,ay)(w,ay)(w,h)(0,h)(0,by)(bx,by)  [reflex at (bx,by)]
+    xs[:, 0] = np.where(lo, 0, bx)
+    ys[:, 0] = np.where(lo, 0, ay)
+    xs[:, 1] = w
+    ys[:, 1] = np.where(lo, 0, ay)
+    xs[:, 2] = w
+    ys[:, 2] = np.where(lo, ay, h)
+    xs[:, 3] = np.where(lo, bx, 0)
+    ys[:, 3] = np.where(lo, ay, h)
+    xs[:, 4] = np.where(lo, bx, 0)
+    ys[:, 4] = np.where(lo, by, by)
+    xs[:, 5] = np.where(lo, 0, bx)
+    ys[:, 5] = by
+    xs += x0[:, None]
+    ys += y0[:, None]
+    larea = np.where(lo, w * ay + bx * (by - ay), w * (h - by) + (w - bx) * (by - ay))
+    perim = 2 * (w + np.where(lo, by, h - ay))
+    cols = {
+        "doc_id": pa.array(doc_id, pa.int64()),
+        "spans": _spans_array(doc_id, text),
+        "geometry": poly6_wkb(xs, ys),
+        "pair": pa.array(pair, pa.int64()),
+        "grp": pa.array([f"L{v}" for v in hp % 5], pa.string()),
+        "larea": pa.array(larea.astype(np.float64), pa.float64()),
+        "perim": pa.array(perim.astype(np.float64), pa.float64()),
+        "lang": batch.column("lang"),
+    }
+    return pa.table(cols)
+
+
+# SQL mirror: each L-shape decomposed into two interior-disjoint
+# axis-aligned rects r1/r2 (areas, overlaps and point-in tests all
+# decompose over them) plus its bbox — integer-exact.
+LSHAPES_CTE = """
+lshapes AS (
+  SELECT doc_id, pair, grp, s, w, h, ay, by, bx,
+         CAST(CASE WHEN s = 0 THEN w*ay + bx*(by-ay)
+                   ELSE w*(h-by) + (w-bx)*(by-ay) END AS DOUBLE) AS larea,
+         CAST(2 * (w + CASE WHEN s = 0 THEN by ELSE h - ay END) AS DOUBLE) AS perim,
+         CAST(CASE WHEN s = 0 THEN x0 ELSE x0 + bx END AS DOUBLE) AS r1x0,
+         CAST(CASE WHEN s = 0 THEN y0 ELSE y0 + ay END AS DOUBLE) AS r1y0,
+         CAST(x0 + w AS DOUBLE) AS r1x1,
+         CAST(CASE WHEN s = 0 THEN y0 + ay ELSE y0 + by END AS DOUBLE) AS r1y1,
+         CAST(x0 AS DOUBLE) AS r2x0,
+         CAST(CASE WHEN s = 0 THEN y0 + ay ELSE y0 + by END AS DOUBLE) AS r2y0,
+         CAST(CASE WHEN s = 0 THEN x0 + bx ELSE x0 + w END AS DOUBLE) AS r2x1,
+         CAST(CASE WHEN s = 0 THEN y0 + by ELSE y0 + h END AS DOUBLE) AS r2y1,
+         CAST(x0 AS DOUBLE) AS bbx0,
+         CAST(CASE WHEN s = 0 THEN y0 ELSE y0 + ay END AS DOUBLE) AS bby0,
+         CAST(x0 + w AS DOUBLE) AS bbx1,
+         CAST(CASE WHEN s = 0 THEN y0 + by ELSE y0 + h END AS DOUBLE) AS bby1
+  FROM (
+    SELECT doc_id, pair, s, 'L' || CAST(hp % 5 AS VARCHAR) AS grp,
+           (pair % 100) * 10 + hp % 2 AS x0,
+           (pair // 100) * 10 + (hp // 2) % 2 AS y0,
+           ay, by, by + 1 + (hp // 36) % 2 AS h, w,
+           1 + (hp // 540) % (w - 1) AS bx
+    FROM (
+      SELECT doc_id, pair, s, hp, ay, ay + 1 + (hp // 12) % 3 AS by,
+             4 + (hp // 108) % 5 AS w
+      FROM (SELECT doc_id, doc_id // 2 AS pair, doc_id % 2 AS s,
+                   ((doc_id // 2) * 2654435761) % 4294967296 AS hp,
+                   1 + (((doc_id // 2) * 2654435761) % 4294967296 // 4) % 3 AS ay
+            FROM documents)
+    )
+  )
+)
+"""
+
+
+def lshapes_dataset(sf_dir: str, repeat: int = 1) -> ray.data.Dataset:
+    """The concave layer-8 Dataset (interlocking staircase L-shapes) —
+    exercises the general non-convex boolean/predicate kernels AND the
+    bbox-overlap-without-intersection case (the notch) that rect and
+    convex layers can never produce."""
+    return expand_documents(read_documents(sf_dir), repeat).map_batches(
+        synth_lshapes_batch, batch_format="pyarrow", zero_copy_batch=True
+    )

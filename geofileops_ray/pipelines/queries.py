@@ -26,11 +26,13 @@ from ..geom.measure import area as _area
 from ..io import synth
 from ..io.synth import (
     BOWTIES_CTE,
+    LSHAPES_CTE,
     PARCELS_CTE,
     POINTS_CTE,
     TRIANGLES_CTE,
     ZONES_CTE,
     bowties_dataset,
+    lshapes_dataset,
     parcels_dataset,
     points_dataset,
     triangles_dataset,
@@ -1406,6 +1408,251 @@ O_CONVEXHULL_TRI = f"""{TRI_CTE}
 SELECT doc_id, ROUND(tri_area, 4) AS area_hull FROM triangles ORDER BY 1"""
 
 
+def q_apply_scale(sf):
+    """The user-UDF surface (geoops.apply_vectorized analogue,
+    _geoops_gpd.py:421-479 — cloudpickled there, natively serialized by
+    Ray here): scale every geometry 2× about its bbox center, a batch
+    fn over the raw GeometryArray. Area scales ×4 exactly."""
+    import dataclasses
+
+    def scale2(ga):
+        b = ga.bounds()
+        lo, hi = ga.geom_coord_ranges()
+        cnt = hi - lo
+        cc = np.empty_like(ga.coords)
+        cc[:, 0] = np.repeat((b[:, 0] + b[:, 2]) / 2.0, cnt)
+        cc[:, 1] = np.repeat((b[:, 1] + b[:, 3]) / 2.0, cnt)
+        return dataclasses.replace(
+            ga, coords=cc + 2.0 * (ga.coords - cc), _bounds=None
+        )
+
+    ds = sl.apply_vectorized(parcels_dataset(sf), scale2)
+    ds = _with_geom_area(ds, "area_scaled")
+    return _select(ds, ["doc_id", "area_scaled"])
+
+
+O_APPLY_SCALE = f"""{CTE}
+SELECT doc_id, ROUND(4 * OPPERVL, 4) AS area_scaled FROM parcels ORDER BY 1"""
+
+
+# --------------------------------------------- CONCAVE L-shape queries
+
+# The lshapes layer (io/synth.py synth_lshapes_batch) is the CONCAVE
+# counterpart of the rect/triangle layers above: interlocking staircase
+# L-shapes whose bbox covers their own notch, so bbox candidates exist
+# that do NOT intersect — exactly the case where (a) the general
+# non-convex kernels must run (the convex SAT/Sutherland–Hodgman fast
+# paths cannot) and (b) disjoint-query De-Morgan semantics diverge from
+# naive EXISTS (reference _geoops_sql.py:2436-2445). The DuckDB mirror
+# decomposes each L into two interior-disjoint rects r1/r2.
+
+LSH_CTE = f"WITH {LSHAPES_CTE.strip()}, {ZONES_CTE.strip()}, {POINTS_CTE.strip()}"
+_L_R1_HIT = (
+    "l.r1x0 <= z.maxx AND l.r1x1 >= z.minx AND l.r1y0 <= z.maxy AND l.r1y1 >= z.miny"
+)
+_L_R2_HIT = (
+    "l.r2x0 <= z.maxx AND l.r2x1 >= z.minx AND l.r2y0 <= z.maxy AND l.r2y1 >= z.miny"
+)
+_L_OV1 = (
+    "GREATEST(0, LEAST(l.r1x1, z.maxx) - GREATEST(l.r1x0, z.minx))"
+    " * GREATEST(0, LEAST(l.r1y1, z.maxy) - GREATEST(l.r1y0, z.miny))"
+)
+_L_OV2 = (
+    "GREATEST(0, LEAST(l.r2x1, z.maxx) - GREATEST(l.r2x0, z.minx))"
+    " * GREATEST(0, LEAST(l.r2y1, z.maxy) - GREATEST(l.r2y0, z.miny))"
+)
+_L_PT_IN = (
+    "(p.x >= l.r1x0 AND p.x <= l.r1x1 AND p.y >= l.r1y0 AND p.y <= l.r1y1)"
+    " OR (p.x >= l.r2x0 AND p.x <= l.r2x1 AND p.y >= l.r2y0 AND p.y <= l.r2y1)"
+)
+
+
+def q_sjoin_lshape(sf):
+    ds = join_by_location(
+        lshapes_dataset(sf), zones_dataset(sf), "intersects is True",
+        cols1=["grp"], cols2=["naam"],
+    )
+    return _select(ds, ["l1_doc_id", "l2_doc_id", "l1_grp", "l2_naam"])
+
+
+O_SJOIN_LSHAPE = f"""{LSH_CTE}
+SELECT l.doc_id AS l1_doc_id, z.doc_id AS l2_doc_id,
+       l.grp AS l1_grp, z.naam AS l2_naam
+FROM lshapes l JOIN zones z ON ({_L_R1_HIT}) OR ({_L_R2_HIT})
+ORDER BY 1, 2"""
+
+
+def q_pip_lshape(sf):
+    """Point-in-CONCAVE-polygon: quarter-integer points vs the staircase
+    L-shapes; notch points are bbox candidates that must NOT match."""
+    ds = join_by_location(
+        points_dataset(sf), lshapes_dataset(sf), "intersects is True",
+        cols1=["naam"], cols2=["grp"],
+    )
+    return _select(ds, ["l1_doc_id", "l2_doc_id", "l1_naam", "l2_grp"])
+
+
+O_PIP_LSHAPE = f"""{LSH_CTE}
+SELECT p.doc_id AS l1_doc_id, l.doc_id AS l2_doc_id,
+       p.naam AS l1_naam, l.grp AS l2_grp
+FROM points p JOIN lshapes l ON {_L_PT_IN}
+ORDER BY 1, 2"""
+
+
+def q_export_disjoint_lshape(sf):
+    """Spatial anti-join where bbox-overlap ≠ intersects: a point in an
+    L-shape's notch is a bbox candidate of that L yet disjoint from it
+    (while usually hitting the interlocked sibling), so naive per-pair
+    EXISTS("intersects is False") KEEPS such mixed-candidate points while
+    the reference's De-Morgan ALL-candidates rule drops them (35 points
+    diverge at sf0.001) — rect/convex layers can never discriminate the
+    two semantics (reference _geoops_sql.py:2436-2445, 1613)."""
+    ds = export_by_location(
+        points_dataset(sf), lshapes_dataset(sf), "intersects is False"
+    )
+    return _select(ds, ["l1_doc_id", "l1_naam"])
+
+
+O_EXPORT_DISJOINT_LSHAPE = f"""{LSH_CTE}
+SELECT p.doc_id AS l1_doc_id, p.naam AS l1_naam
+FROM points p
+WHERE NOT EXISTS (SELECT 1 FROM lshapes l WHERE {_L_PT_IN})
+ORDER BY 1"""
+
+
+def q_intersection_lshape(sf):
+    ds = intersection(
+        lshapes_dataset(sf), zones_dataset(sf), cols1=["grp"], cols2=["naam"]
+    )
+    ds = _with_geom_area(ds, "area_inters")
+    return _select(ds, ["l1_doc_id", "l2_doc_id", "l1_grp", "l2_naam", "area_inters"])
+
+
+O_INTERSECTION_LSHAPE = f"""{LSH_CTE}
+SELECT l.doc_id AS l1_doc_id, z.doc_id AS l2_doc_id,
+       l.grp AS l1_grp, z.naam AS l2_naam,
+       ROUND({_L_OV1} + {_L_OV2}, 4) AS area_inters
+FROM lshapes l JOIN zones z
+  ON l.bbx0 < z.maxx AND l.bbx1 > z.minx AND l.bby0 < z.maxy AND l.bby1 > z.miny
+WHERE {_L_OV1} + {_L_OV2} > 0 ORDER BY 1, 2"""
+
+
+def q_difference_lshape(sf):
+    from ..stages.overlay_ops import difference
+
+    ds = difference(lshapes_dataset(sf), zones_dataset(sf), cols1=["grp"])
+    ds = _with_geom_area(ds, "area_diff")
+    return _select(ds, ["l1_doc_id", "l1_grp", "area_diff"])
+
+
+# zones never overlap each other (125-pitch grid of 100×100), so the
+# per-zone coverage of an L decomposes additively over r1/r2 and zones.
+O_DIFFERENCE_LSHAPE = f"""{LSH_CTE},
+ov AS (
+  SELECT l.doc_id, SUM({_L_OV1} + {_L_OV2}) cov
+  FROM lshapes l JOIN zones z
+    ON l.bbx0 < z.maxx AND l.bbx1 > z.minx AND l.bby0 < z.maxy AND l.bby1 > z.miny
+  GROUP BY 1)
+SELECT l.doc_id AS l1_doc_id, l.grp AS l1_grp,
+       ROUND(l.larea - COALESCE(ov.cov, 0), 4) AS area_diff
+FROM lshapes l LEFT JOIN ov USING (doc_id)
+WHERE l.larea - COALESCE(ov.cov, 0) > 0 ORDER BY 1"""
+
+
+def q_dissolve_lshape(sf):
+    """Dissolve the interlocking L-shape pairs: the union kernel must
+    merge each pair along its STAIRCASE shared edge (two collinear-
+    partial segments + one jog) into ONE rectangle-area part."""
+    ds = dissolve(
+        lshapes_dataset(sf),
+        groupby=["grp"],
+        agg_columns=[("larea", "sum", "sum_area"), ("doc_id", "count", "nb_rows")],
+    )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ga = from_wkb(batch.column("geometry"))
+        nparts = (ga.geom_offsets[1:] - ga.geom_offsets[:-1]).astype(np.int64)
+        return pa.table(
+            {
+                "grp": batch.column("grp"),
+                "union_area": pa.array(_round_half_up(_area(ga), 3), pa.float64()),
+                "n_parts": pa.array(nparts, pa.int64()),
+                "sum_area": pa.array(
+                    _round_half_up(batch.column("sum_area").to_numpy(), 3), pa.float64()
+                ),
+                "nb_rows": batch.column("nb_rows"),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+O_DISSOLVE_LSHAPE = f"""{LSH_CTE},
+tp AS (SELECT pair, grp, MAX(w) w, MAX(h) h, COUNT(*) nd, SUM(larea) sa
+       FROM lshapes GROUP BY 1, 2)
+SELECT grp,
+  ROUND(SUM(CASE WHEN nd = 2 THEN w*h ELSE sa END), 3) AS union_area,
+  CAST(COUNT(*) AS BIGINT) AS n_parts,
+  ROUND(SUM(sa), 3) AS sum_area,
+  CAST(SUM(nd) AS BIGINT) AS nb_rows
+FROM tp GROUP BY 1 ORDER BY 1"""
+
+
+_L_BBOX_ON = (
+    "l.bbx0 < z.maxx AND l.bbx1 > z.minx AND l.bby0 < z.maxy AND l.bby1 > z.miny"
+)
+
+
+def q_union_lshape(sf):
+    """Full union overlay (intersection ⊎ residues both ways) on CONCAVE
+    inputs. All L-shapes have pairwise-disjoint interiors (pair halves
+    share only the staircase edge; distinct pairs never touch), so zone
+    residual areas are plain coverage sums — exact in SQL."""
+    from ..stages.overlay_ops import union as union_op
+
+    ds = union_op(lshapes_dataset(sf), zones_dataset(sf), cols1=[], cols2=[])
+    ds = _with_geom_area(ds, "area_part")
+    return _select(ds, ["l1_doc_id", "l2_doc_id", "area_part"])
+
+
+O_UNION_LSHAPE = f"""{LSH_CTE},
+lcover AS (
+  SELECT z.doc_id AS zid, SUM({_L_OV1} + {_L_OV2}) cov
+  FROM lshapes l JOIN zones z ON {_L_BBOX_ON}
+  GROUP BY 1)
+SELECT l.doc_id AS l1_doc_id, z.doc_id AS l2_doc_id,
+       ROUND({_L_OV1} + {_L_OV2}, 4) AS area_part
+FROM lshapes l JOIN zones z ON {_L_BBOX_ON}
+WHERE {_L_OV1} + {_L_OV2} > 0
+UNION ALL
+SELECT doc_id, CAST(NULL AS BIGINT), ROUND(a, 4) FROM (
+  SELECT l.doc_id,
+         l.larea - SUM(CASE WHEN z.doc_id IS NULL THEN 0
+                            ELSE {_L_OV1} + {_L_OV2} END) a
+  FROM lshapes l LEFT JOIN zones z ON {_L_BBOX_ON}
+  GROUP BY 1, l.larea) t WHERE a > 0
+UNION ALL
+SELECT CAST(NULL AS BIGINT), z.doc_id,
+       ROUND((z.maxx - z.minx) * (z.maxy - z.miny) - COALESCE(c.cov, 0), 4)
+FROM zones z LEFT JOIN lcover c ON c.zid = z.doc_id
+WHERE (z.maxx - z.minx) * (z.maxy - z.miny) - COALESCE(c.cov, 0) > 0
+ORDER BY 1, 2"""
+
+
+def q_buffer_lshape(sf):
+    """Mitre buffer of a CONCAVE polygon: closed form A + P·d + d²·Σtanθ
+    where the reflex corner contributes −tan(45°) (5 convex − 1 reflex =
+    4 net); d=0.5 < min edge length 1 keeps the offset simple."""
+    ds = sl.buffer(lshapes_dataset(sf), 0.5, join_style="mitre")
+    ds = _with_geom_area(ds, "area_buf")
+    return _select(ds, ["doc_id", "grp", "area_buf"])
+
+
+O_BUFFER_LSHAPE = f"""{LSH_CTE}
+SELECT doc_id, grp, ROUND(larea + perim * 0.5 + 1.0, 4) AS area_buf
+FROM lshapes ORDER BY 1"""
+
+
 # ------------------------------------------------- line-layer overlays
 
 LINES_CTE_FULL = None  # composed below
@@ -1832,6 +2079,15 @@ QUERIES = {
     "dissolve_tri": q_dissolve_tri,
     "buffer_tri": q_buffer_tri,
     "convexhull_tri": q_convexhull_tri,
+    "apply_scale2": q_apply_scale,
+    "sjoin_intersects_lshape": q_sjoin_lshape,
+    "point_in_polygon_lshape": q_pip_lshape,
+    "export_by_location_disjoint_lshape": q_export_disjoint_lshape,
+    "intersection_lshape": q_intersection_lshape,
+    "difference_lshape": q_difference_lshape,
+    "dissolve_lshape": q_dissolve_lshape,
+    "union_overlay_lshape": q_union_lshape,
+    "buffer_lshape": q_buffer_lshape,
     "isvalid_bowties": q_isvalid,
     "makevalid_bowties": q_makevalid,
     "simplify_lang_counts": _zigzag_simplify_query("lang"),
@@ -1919,6 +2175,15 @@ ORACLES = {
     "dissolve_tri": O_DISSOLVE_TRI,
     "buffer_tri": O_BUFFER_TRI,
     "convexhull_tri": O_CONVEXHULL_TRI,
+    "apply_scale2": O_APPLY_SCALE,
+    "sjoin_intersects_lshape": O_SJOIN_LSHAPE,
+    "point_in_polygon_lshape": O_PIP_LSHAPE,
+    "export_by_location_disjoint_lshape": O_EXPORT_DISJOINT_LSHAPE,
+    "intersection_lshape": O_INTERSECTION_LSHAPE,
+    "difference_lshape": O_DIFFERENCE_LSHAPE,
+    "dissolve_lshape": O_DISSOLVE_LSHAPE,
+    "union_overlay_lshape": O_UNION_LSHAPE,
+    "buffer_lshape": O_BUFFER_LSHAPE,
     "isvalid_bowties": O_ISVALID,
     "makevalid_bowties": O_MAKEVALID,
     "simplify_lang_counts": _zigzag_oracle("1 + CEIL((n_pts - 1) / 8.0)"),

@@ -154,6 +154,7 @@ def run_benchmarks(num_cpus: int, only_flagship: bool = False, repeat: int = 0) 
             ).count()
         )
         results["dissolve"] = round(t, 3)
+# (union_overlay row is added below, after the triangle layer exists)
         # irregular layer: right triangles (general sweep/predicate path,
         # no rectangle fast paths) — same row count as the rect benchmarks
         tri = triangles_dataset(SF_DIR, repeat).materialize()
@@ -175,6 +176,15 @@ def run_benchmarks(num_cpus: int, only_flagship: bool = False, repeat: int = 0) 
             ).count()
         )
         results["dissolve_tri"] = round(t, 3)
+        # full 3-way union overlay on two FULL-SIZE layers (parcels ×
+        # triangles, 500k × 500k) — the shape of the reference's slowest
+        # benchmark op (union 515k × 521k: 93.7 s, benchmark_results.csv:95)
+        from geofileops_ray.stages.overlay_ops import union as union_overlay
+
+        _, t = timed(
+            lambda: union_overlay(p, tri, cols1=[], cols2=[]).count()
+        )
+        results["union_overlay"] = round(t, 3)
         # concave layer: interlocking staircase L-shapes (general
         # NON-convex kernels — neither rect nor convex-SAT fast paths)
         lsh = lshapes_dataset(SF_DIR, repeat).materialize()

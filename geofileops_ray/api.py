@@ -59,15 +59,44 @@ from .stages.dissolve import dissolve  # noqa: F401
 # catalog / files (fileops.py)
 from .io.readwrite import read_layer as read_file  # noqa: F401
 from .io.readwrite import write_layer as to_file  # noqa: F401
+from .io.readwrite import (  # noqa: F401
+    copy,
+    is_geofile,
+    is_geofile_ext,
+    move,
+    read_file_nogeom,
+    read_file_sql,
+    remove,
+)
 from .stages.catalog import (  # noqa: F401
     add_column,
+    add_columns,
+    cmp_layers as cmp,
     copy_layer,
+    create_spatial_index,
+    has_spatial_index,
+    remove_spatial_index,
     drop_column,
+    get_default_layer,
+    get_layer_geometrytypes,
+    get_only_layer,
     layer_info as get_layerinfo,
+    listlayers,
     rename_column,
+    rename_layer,
     subdivide,
 )
+from .geom.crs import get_crs  # noqa: F401
 
-# deprecated aliases kept by the reference (geoops.py:2267, :2683)
+# deprecated aliases kept by the reference (geoops.py:2267, :2683, :2917)
 erase = difference
 split = identity
+intersect = intersection
+
+# legacy copy/append spellings (fileops.py:2909-3042) — same engine path
+convert = copy_layer
+append_to = copy_layer
+
+# the reference's execute_sql mutates a file in place (fileops.py:577-620);
+# the Dataset-native analogue is the batch-safe SQL select stage
+execute_sql = select

@@ -54,3 +54,87 @@ def write_layer(
         ds.write_parquet(path, partition_cols=partition_cols)
     else:
         ds.write_parquet(path)
+
+
+def read_file_nogeom(
+    path: str, columns: list[str] | None = None
+) -> ray.data.Dataset:
+    """Attribute-only read (fileops.py:1746-1776): geometry column is
+    pruned AT THE READ so it never leaves storage."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    if columns is None:
+        schema = pq.read_schema(
+            path if os.path.isfile(path) else _first_fragment(path)
+        )
+        columns = [n for n in schema.names if n != "geometry"]
+    return ray.data.read_parquet(path, columns=columns)
+
+
+def read_file_sql(path: str, sql_stmt: str) -> ray.data.Dataset:
+    """SQL read (fileops.py:2192-2229): column-pruned read + the batch-
+    safe DuckDB ``select`` stage over view ``batch`` (same caveat as the
+    reference's nb_parallel>1 mode — the query must be row-wise)."""
+    from ..stages.single_layer import select
+
+    return select(ray.data.read_parquet(path), sql_stmt)
+
+
+def _first_fragment(path: str) -> str:
+    import os
+
+    for root, _dirs, files in os.walk(path):
+        for f in sorted(files):
+            if f.endswith(".parquet"):
+                return os.path.join(root, f)
+    raise FileNotFoundError(f"no parquet fragments under {path}")
+
+
+# ------------------------------------------------- store-level file utils
+# (fileops.py:2706-3480 copy/move/remove/is_geofile; zip/unzip are
+# GPKG-transport specific and intentionally out of scope)
+
+_LAYER_EXTS = (".parquet", ".lance")
+
+
+def is_geofile_ext(path: str) -> bool:
+    return path.endswith(_LAYER_EXTS)
+
+
+def is_geofile(path: str) -> bool:
+    import os
+
+    if is_geofile_ext(path):
+        return True
+    return os.path.isdir(path) and any(
+        f.endswith(".parquet") for _r, _d, fs in os.walk(path) for f in fs
+    )
+
+
+def copy(src: str, dst: str) -> None:
+    """Copy a layer store (file or partitioned directory)."""
+    import os
+    import shutil
+
+    if os.path.isdir(src):
+        shutil.copytree(src, dst)
+    else:
+        shutil.copy2(src, dst)
+
+
+def move(src: str, dst: str) -> None:
+    import shutil
+
+    shutil.move(src, dst)
+
+
+def remove(path: str, missing_ok: bool = False) -> None:
+    import os
+    import shutil
+
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    elif os.path.exists(path) or not missing_ok:
+        os.remove(path)

@@ -1945,6 +1945,56 @@ SELECT doc_id, ref AS media_ref, CAST(8 AS BIGINT) AS feat_dim,
 FROM h ORDER BY doc_id"""
 
 
+def q_media_resize(sf):
+    """Actor-pool media RESIZE stage (decode → resample → re-encode;
+    codec stubbed, plumbing real): output payload bytes scale with the
+    target pixel count and the new payload's leading-digest u16 lane
+    checksum is bit-reproducible in SQL."""
+    from ..textops.multimodal import resize_media
+
+    ds = resize_media(parcels_dataset(sf), out_w=32, out_h=24)
+    return _select(ds, ["doc_id", "media_ref", "width", "height", "resize_sum"])
+
+
+def _o_media_resize() -> str:
+    lanes = " + ".join(
+        f"CAST(('0x' || substr(h2, {4 * i + 1}, 2)) AS BIGINT)"
+        f" + 256 * CAST(('0x' || substr(h2, {4 * i + 3}, 2)) AS BIGINT)"
+        for i in range(8)
+    )
+    return f"""{CTE},
+m AS (
+  SELECT doc_id,
+    'media://' || CAST(((doc_id * 2654435761) % 4294967296) % 1000 AS VARCHAR) AS ref
+  FROM documents),
+h AS (SELECT doc_id, ref, md5(repeat(md5(ref), 8) || '32x24') AS h2 FROM m)
+SELECT doc_id, ref AS media_ref, CAST(32 AS BIGINT) AS width,
+       CAST(24 AS BIGINT) AS height, CAST({lanes} AS BIGINT) AS resize_sum
+FROM h ORDER BY doc_id"""
+
+
+def q_media_frames(sf):
+    """Frame sampling: each media row explodes into 1 + payload[0] % 4
+    frame rows inside the batch (flat-map shape, no shuffle)."""
+    from ..textops.multimodal import sample_frames
+
+    ds = sample_frames(parcels_dataset(sf), max_frames=4)
+    return _select(ds, ["doc_id", "media_ref", "frame_idx", "frame_ref"])
+
+
+O_MEDIA_FRAMES = f"""{CTE},
+m AS (
+  SELECT doc_id,
+    'media://' || CAST(((doc_id * 2654435761) % 4294967296) % 1000 AS VARCHAR) AS ref
+  FROM documents),
+n AS (SELECT doc_id, ref,
+             1 + CAST(('0x' || substr(md5(ref), 1, 2)) AS INT) % 4 AS nf
+      FROM m)
+SELECT doc_id, ref AS media_ref, r.range AS frame_idx,
+       ref || '#' || CAST(r.range AS VARCHAR) AS frame_ref
+FROM n, range(4) r WHERE r.range < n.nf ORDER BY doc_id, frame_idx"""
+
+
 def q_media_metadata(sf):
     """Media rows extracted from interleaved spans with typed metadata
     (width/height derived from md5(media_ref) — bit-reproducible in
@@ -2116,6 +2166,8 @@ QUERIES = {
     "ivf_topk10": q_ivf_topk,
     "minhash_dedup_pairs": q_minhash_pairs,
     "media_features": q_media_features,
+    "media_resize": q_media_resize,
+    "media_frames": q_media_frames,
     "media_metadata": q_media_metadata,
     "windowed_events": q_windowed_events,
     "sessionize_30m": q_sessionize,
@@ -2208,6 +2260,8 @@ ORACLES = {
     "embedding_neardup": ts.neardup_sql(0.4),
     "media_metadata": O_MEDIA_METADATA,
     "media_features": _o_media_features(),
+    "media_resize": _o_media_resize(),
+    "media_frames": O_MEDIA_FRAMES,
     "windowed_events": __import__(
         "geofileops_ray.textops.events", fromlist=["tumbling_window_sql"]
     ).tumbling_window_sql(3600),

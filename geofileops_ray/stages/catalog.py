@@ -294,3 +294,112 @@ def _rect_ring(rect) -> np.ndarray:
     return np.array(
         [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]], dtype=np.float64
     )
+
+
+# ------------------------------------------------- layer-store catalog ops
+#
+# The reference's geofile-level catalog (fileops.py:114-180 listlayers,
+# :462-576 get_only_layer/get_default_layer, :1496-1520 rename_layer,
+# :961-977 get_layer_geometrytypes, :847-960 add_columns). Our layer
+# store is a directory of named parquet layers (one file or one
+# partition-dir per layer), so these are thin path/metadata ops; the
+# geometry-type probe is the only distributed one.
+
+
+def listlayers(path: str) -> list[str]:
+    """Layer names inside a layer-store directory (fileops.py:114-180).
+    A bare ``<name>.parquet`` file is a single-layer store."""
+    import os
+
+    if os.path.isfile(path):
+        return [os.path.splitext(os.path.basename(path))[0]]
+    out = []
+    for entry in sorted(os.listdir(path)):
+        if entry.endswith(".parquet"):
+            out.append(entry[: -len(".parquet")])
+        elif os.path.isdir(os.path.join(path, entry)):
+            out.append(entry)
+    return out
+
+
+def get_only_layer(path: str) -> str:
+    """The single layer of a store; raises if ambiguous (fileops.py:462-530)."""
+    layers = listlayers(path)
+    if len(layers) != 1:
+        raise ValueError(f"expected exactly one layer in {path}, found {layers}")
+    return layers[0]
+
+
+def get_default_layer(path: str) -> str:
+    """Default layer name = store stem (fileops.py:562-576)."""
+    import os
+
+    base = os.path.basename(path.rstrip("/"))
+    return base[: -len(".parquet")] if base.endswith(".parquet") else base
+
+
+def rename_layer(path: str, layer: str, new_layer: str) -> None:
+    """Rename one layer inside a store directory (fileops.py:1496-1520)."""
+    import os
+
+    src = os.path.join(path, f"{layer}.parquet")
+    dst = os.path.join(path, f"{new_layer}.parquet")
+    if not os.path.exists(src):
+        src = os.path.join(path, layer)
+        dst = os.path.join(path, new_layer)
+    if os.path.exists(dst):
+        raise FileExistsError(dst)
+    os.rename(src, dst)
+
+
+def add_columns(ds: ray.data.Dataset, columns: dict[str, object]) -> ray.data.Dataset:
+    """Add several constant/expression columns in ONE projection pass
+    (fileops.py:847-960 add_columns loops add_column; here a single
+    map_batches)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        for name, value in columns.items():
+            batch = batch.append_column(
+                name, pa.array([value] * batch.num_rows)
+            )
+        return batch
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def get_layer_geometrytypes(ds: ray.data.Dataset) -> list[str]:
+    """Distinct geometry type names in the layer (fileops.py:961-977):
+    per-batch decode to type codes, tiny distinct-codes aggregate — the
+    full geometry column never leaves the workers."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ga = from_wkb(batch.column(_GEOM))
+        return pa.table({"code": pa.array(np.unique(ga.types).astype(np.int64))})
+
+    codes = ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True).unique(
+        "code"
+    )
+    return sorted(TYPE_NAMES[int(c)] for c in codes)
+
+
+def create_spatial_index(ds: ray.data.Dataset, size: float | None = None):
+    """R-tree analogue (fileops.py:621-708): this engine has no
+    persistent index — two-layer ops cell-shuffle and build per-cell
+    STRtree-style structures in the workers. The precomputable part is
+    the HOT-CELL SALT MAP (cell id → split factor) the joins use to
+    defeat skew; this returns it so callers can inspect/reuse it."""
+    from ..config import OPTIONS as _O
+    from ..tiling.cells import compute_salt_map
+
+    return compute_salt_map(ds, size or _O.cell_size)
+
+
+def has_spatial_index(ds: ray.data.Dataset) -> bool:
+    """Always False: no persistent index exists by design (cell shuffle
+    replaces it; see create_spatial_index)."""
+    return False
+
+
+def remove_spatial_index(ds: ray.data.Dataset) -> None:
+    """No-op: nothing persistent to remove (see create_spatial_index)."""
+    return None

@@ -162,7 +162,9 @@ def select(ds: ray.data.Dataset, sql: str, concurrency=None) -> ray.data.Dataset
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=OPTIONS.batch_size,
-        concurrency=concurrency or 4,
+        # autoscaling pool (min 1): a fixed pool equal to the session CPU
+        # count starves the upstream read operator of slots and deadlocks
+        concurrency=concurrency or (1, 4),
     )
 
 

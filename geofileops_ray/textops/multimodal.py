@@ -123,3 +123,101 @@ def extract_media_features(
         batch_size=batch_size,
         fn_constructor_kwargs={"deterministic_fake": True},
     )
+
+
+class MediaResizer:
+    """Actor-pool stage: decode → resize → re-encode media payloads.
+
+    Same contract as MediaFeatureExtractor: a real deployment builds its
+    codec/resampler ONCE in ``__init__`` (per actor) and does the pixel
+    work in ``__call__``; this container has no codecs, so the fake
+    "resize" is md5-derived — output payload bytes scale with the target
+    pixel count (so batch-size × payload × concurrency memory sizing is
+    exercised for real) and the u16 lane checksum of the new payload's
+    leading digest is bit-reproducible in SQL."""
+
+    def __init__(self, out_w: int, out_h: int, deterministic_fake: bool = True):
+        self.out_w, self.out_h = int(out_w), int(out_h)
+        if not deterministic_fake:
+            raise NotImplementedError(
+                "no image codecs in this container; pass "
+                "deterministic_fake=True or vendor a codec here"
+            )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        tag = f"{self.out_w}x{self.out_h}".encode()
+        npix = self.out_w * self.out_h
+        reps = max(1, npix // 16)
+        out_payloads = []
+        sums = np.zeros(len(payloads), dtype=np.int64)
+        for i, p in enumerate(payloads):
+            d = hashlib.md5((p or b"").hex().encode() + tag).digest()
+            out_payloads.append(d * reps)
+            sums[i] = int(
+                np.frombuffer(d, dtype="<u2").astype(np.int64).sum()
+            )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "media_ref": batch.column("media_ref"),
+                "width": pa.array([self.out_w] * len(batch), pa.int32()),
+                "height": pa.array([self.out_h] * len(batch), pa.int32()),
+                "payload": pa.array(out_payloads, pa.binary()),
+                "resize_sum": pa.array(sums, pa.int64()),
+            }
+        )
+
+
+def resize_media(
+    ds: ray.data.Dataset,
+    out_w: int = 32,
+    out_h: int = 24,
+    concurrency: int = 2,
+    batch_size: int = 256,
+) -> ray.data.Dataset:
+    """documents → media rows → actor-pool resize (out_w × out_h)."""
+    media = synth_media_from_spans(ds)
+    return media.map_batches(
+        MediaResizer,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+        batch_size=batch_size,
+        fn_constructor_kwargs={"out_w": out_w, "out_h": out_h},
+    )
+
+
+def sample_frames(
+    ds: ray.data.Dataset, max_frames: int = 4
+) -> ray.data.Dataset:
+    """Frame sampling for video-like media: each media row explodes into
+    ``1 + payload[0] % max_frames`` frame rows (``frame_idx``,
+    ``frame_ref = media_ref#idx``) — the Ray-side shape of ffmpeg-style
+    strided frame extraction (a flat_map, NOT a shuffle: row expansion
+    happens inside the batch). The frame count derives from the payload's
+    first byte, so it's SQL-reproducible."""
+    media = synth_media_from_spans(ds)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        ids = batch.column("doc_id").to_numpy()
+        refs = batch.column("media_ref").to_pylist()
+        n = np.array(
+            [1 + (p[0] if p else 0) % max_frames for p in payloads],
+            dtype=np.int64,
+        )
+        idx = np.concatenate([np.arange(k, dtype=np.int64) for k in n])
+        row = np.repeat(np.arange(len(n)), n)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[row], pa.int64()),
+                "media_ref": pa.array([refs[r] for r in row], pa.string()),
+                "frame_idx": pa.array(idx, pa.int64()),
+                "frame_ref": pa.array(
+                    [f"{refs[r]}#{k}" for r, k in zip(row, idx)], pa.string()
+                ),
+            }
+        )
+
+    return media.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

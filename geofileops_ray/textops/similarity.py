@@ -92,21 +92,31 @@ def lsh_topk(
     n_planes: int = 8,
     seed: int = 42,
     id_col: str = "vec_id",
+    hamming: int = 1,
 ) -> pa.Table:
     """Approximate top-k: random-hyperplane bucket per vector, search
-    only buckets within Hamming distance ≤ 1 of each query's bucket."""
+    only buckets within Hamming distance ≤ ``hamming`` of each query's
+    bucket (multi-probe LSH — the recall/selectivity knob: deeper
+    probing scans more of the corpus but recovers more true
+    neighbours)."""
     q = np.asarray(query_vectors, dtype=np.float64)
     dim = q.shape[1]
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((dim, n_planes))
     qsig = (q @ planes > 0).astype(np.int64)
     qbits = (qsig * (1 << np.arange(n_planes))).sum(axis=1)
-    # probe set: exact bucket + all 1-bit flips
+    # probe set: exact bucket + all flips of ≤ `hamming` bits
+    from itertools import combinations
+
     probes: set[int] = set()
     for b in qbits:
         probes.add(int(b))
-        for p in range(n_planes):
-            probes.add(int(b) ^ (1 << p))
+        for r in range(1, max(0, int(hamming)) + 1):
+            for bits in combinations(range(n_planes), r):
+                flip = 0
+                for p in bits:
+                    flip |= 1 << p
+                probes.add(int(b) ^ flip)
     planes_ref = ray.put(planes)
     qn = q / np.linalg.norm(q, axis=1, keepdims=True)
     qref = ray.put(qn)

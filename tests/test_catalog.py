@@ -55,3 +55,50 @@ def test_subdivide_preserves_area(ray_session):
     # small geometries pass through untouched
     small = subdivide(parcels_dataset(SF), max_coords=2000).take_all()
     assert len(small) == 500
+
+
+def test_layer_store_catalog(ray_session, tmp_path):
+    """The api façade's store-level catalog surface: listlayers /
+    get_only_layer / rename_layer / file utils / attribute-only reads /
+    geometry-type probe / add_columns / spatial-index analogues."""
+    from geofileops_ray import api as gfo
+
+    p = parcels_dataset("/root/testdata/sf0.001")
+    store = tmp_path / "store"
+    store.mkdir()
+    gfo.to_file(p.limit(50), str(store / "parcels.parquet"))
+    assert gfo.listlayers(str(store)) == ["parcels"]
+    assert gfo.get_only_layer(str(store)) == "parcels"
+    assert gfo.get_default_layer(str(store / "parcels.parquet")) == "parcels"
+    assert gfo.is_geofile(str(store / "parcels.parquet"))
+
+    gfo.rename_layer(str(store), "parcels", "fields")
+    assert gfo.listlayers(str(store)) == ["fields"]
+    gfo.copy(str(store / "fields.parquet"), str(store / "fields2.parquet"))
+    assert sorted(gfo.listlayers(str(store))) == ["fields", "fields2"]
+    assert gfo.cmp(
+        gfo.read_file(str(store / "fields.parquet")),
+        gfo.read_file(str(store / "fields2.parquet")),
+    )
+    gfo.remove(str(store / "fields2.parquet"))
+    assert gfo.listlayers(str(store)) == ["fields"]
+
+    ng = gfo.read_file_nogeom(str(store / "fields.parquet"))
+    assert "geometry" not in ng.schema().names and ng.count() == 50
+    sq = gfo.read_file_sql(
+        str(store / "fields.parquet"),
+        "SELECT doc_id, OPPERVL * 2 AS opp2 FROM batch",
+    )
+    t = pa.Table.from_pylist(sq.take_all())
+    assert t.num_rows == 50 and "opp2" in t.column_names
+
+    assert gfo.get_layer_geometrytypes(p.limit(50)) == ["POLYGON"]
+
+    ds2 = gfo.add_columns(p.limit(10), {"tag": "x", "v": 7})
+    row = ds2.take(1)[0]
+    assert row["tag"] == "x" and row["v"] == 7
+
+    sm = gfo.create_spatial_index(p.limit(50))
+    assert isinstance(sm, dict)
+    assert gfo.has_spatial_index(p) is False
+    assert gfo.remove_spatial_index(p) is None

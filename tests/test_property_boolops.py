@@ -215,3 +215,54 @@ def test_hole_overlay_areas_match_rect_algebra(ta, tb):
         abs(_parts_area(boolean_op(A, B, "difference")) - (area_a - inter))
         < tol
     )
+
+
+# ------------------------------------------ rectilinear staircase (CONCAVE)
+
+
+def _skyline(h: list[int]) -> np.ndarray:
+    """CCW rectilinear 'histogram' polygon over unit columns of heights
+    h[i] ≥ 1 — one reflex corner per descending step, shared collinear
+    bottom edges, coincident verticals: the concave stress shape."""
+    W = len(h)
+    pts = [(0.0, 0.0), (float(W), 0.0), (float(W), float(h[W - 1]))]
+    for i in range(W - 1, 0, -1):
+        if h[i - 1] != h[i]:
+            pts.append((float(i), float(h[i])))
+            pts.append((float(i), float(h[i - 1])))
+    pts.append((0.0, float(h[0])))
+    return np.array(pts, dtype=float)
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    st.lists(st.integers(1, 8), min_size=2, max_size=12),
+    st.lists(st.integers(1, 8), min_size=2, max_size=12),
+    st.integers(0, 3),
+    st.integers(0, 3),
+)
+def test_concave_staircase_overlay_matches_column_algebra(ha, hb, dx, dy):
+    """boolean_op on two CONCAVE staircase polygons (B shifted by
+    (dx, dy)) vs independent per-column interval algebra. Covers reflex
+    vertices, long shared collinear edges and coincident verticals —
+    the cases the convex property test can't produce."""
+    A = _skyline(ha)
+    B = _skyline(hb) + np.array([float(dx), float(dy)])
+    area_a, area_b = float(sum(ha)), float(sum(hb))
+    inter = 0.0
+    for i, hai in enumerate(ha):
+        j = i - dx
+        if 0 <= j < len(hb):
+            inter += max(0.0, min(float(hai), dy + float(hb[j])) - dy)
+
+    pa_, pb_ = [[A]], [[B]]
+    got_i = _parts_area(boolean_op(pa_, pb_, "intersection"))
+    got_u = _parts_area(boolean_op(pa_, pb_, "union"))
+    got_d = _parts_area(boolean_op(pa_, pb_, "difference"))
+    got_s = _parts_area(boolean_op(pa_, pb_, "symmetric_difference"))
+
+    tol = 1e-7
+    assert abs(got_i - inter) < tol
+    assert abs(got_u - (area_a + area_b - inter)) < tol
+    assert abs(got_d - (area_a - inter)) < tol
+    assert abs(got_s - (area_a + area_b - 2 * inter)) < tol

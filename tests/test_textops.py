@@ -38,3 +38,54 @@ def test_connected_components_chain_and_singletons(ray_session):
     assert got[20] == got[21] == got[22] == 20
     assert got[30] == got[31] == 30
     assert got[99] == 99
+
+
+def test_ann_recall_vs_bruteforce(ray_session):
+    """Quantify the recall of the two approximate top-k paths against
+    exact brute force on the driver embeddings — the `no_oracle` driver
+    entries (`lsh_topk10`, `ivf_topk10`) are recall<1 BY DESIGN; this
+    pins how much below 1 they actually are. The synthetic embeddings
+    are near-uniform (a worst case for LSH), so the assertions pin the
+    recall/selectivity TRADEOFF: multi-probe depth must buy recall
+    monotonically, Hamming≤2 probing must clear 0.8 macro recall@10,
+    IVF must clear 0.8 at nprobe=4, and IVF with nprobe=n_lists
+    (exhaustive) must be exact."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import ray.data
+    from geofileops_ray.textops import similarity as ts
+
+    sf = "/root/testdata/sf0.001"
+    qv = pq.read_table(f"{sf}/embeddings.parquet", columns=["embedding"])
+    queries = np.array(
+        [qv.column("embedding")[i].as_py() for i in range(0, 64, 8)]
+    )
+
+    def topk_sets(tbl):
+        d = tbl.to_pydict()
+        out = {}
+        for q, v in zip(d["query_id"], d["vec_id"]):
+            out.setdefault(q, set()).add(v)
+        return out
+
+    emb = ray.data.read_parquet(f"{sf}/embeddings.parquet").materialize()
+    exact = topk_sets(ts.brute_topk(emb, queries, k=10))
+    lsh1 = topk_sets(ts.lsh_topk(emb, queries, k=10, hamming=1))
+    lsh2 = topk_sets(ts.lsh_topk(emb, queries, k=10, hamming=2))
+    ivf = topk_sets(ts.ivf_topk(emb, queries, k=10))
+
+    def recall(approx):
+        return float(
+            np.mean([len(approx.get(q, set()) & s) / len(s) for q, s in exact.items()])
+        )
+
+    r1, r2, r_ivf = recall(lsh1), recall(lsh2), recall(ivf)
+    assert r2 >= r1, f"multi-probe depth must not lose recall: {r1} -> {r2}"
+    assert r2 >= 0.8, f"LSH hamming=2 recall@10 too low: {r2}"
+    assert r_ivf >= 0.8, f"IVF recall@10 too low: {r_ivf}"
+
+    # exhaustive probing must recover exact results (sanity of the
+    # bucketing, independent of the recall target)
+    ivf_full = topk_sets(ts.ivf_topk(emb, queries, k=10, n_lists=8, nprobe=8))
+    assert recall(ivf_full) == 1.0

@@ -467,6 +467,33 @@ def q_quadkey_cover(sf):
     return _select(out, ["doc_id", "qk_level", "qk_x", "qk_y", "qk_id"])
 
 
+def q_hex_bin(sf):
+    """H3-analogue hexagonal binning (north rule: "H3/S2 index" — hex
+    side): points → hexagonal Voronoi cells of the two-phase offset
+    lattice (tiling/hexgrid.py), per-cell counts via a per-batch
+    combiner + one small groupby. W=8 / H=3.5 centers are dyadic ⇒ the
+    nearest-center arithmetic is exact float64 in numpy AND DuckDB, so
+    the oracle mirrors the FLOOR/CASE algebra bit-for-bit."""
+    from ..tiling.hexgrid import hex_bin_points
+
+    return hex_bin_points(points_dataset(sf))
+
+
+O_HEX_BIN = f"""{CTE},
+c AS (SELECT doc_id, x, y,
+        FLOOR(x / 8 + 0.5) AS ia, FLOOR(y / 7 + 0.5) AS ja,
+        FLOOR((x - 4) / 8 + 0.5) AS ib, FLOOR((y - 3.5) / 7 + 0.5) AS jb
+      FROM points),
+d AS (SELECT doc_id, ia, ja, ib, jb,
+        (x - ia*8)*(x - ia*8) + (y - ja*7)*(y - ja*7) AS da,
+        (x - (ib*8+4))*(x - (ib*8+4)) + (y - (jb*7+3.5))*(y - (jb*7+3.5)) AS db
+      FROM c)
+SELECT CAST(CASE WHEN da <= db THEN ja*2 ELSE jb*2+1 END AS BIGINT) AS hex_row,
+       CAST(CASE WHEN da <= db THEN ia*2 ELSE ib*2+1 END AS BIGINT) AS hex_col,
+       COUNT(*) AS n_points, MIN(doc_id) AS min_doc
+FROM d GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
 def _o_quadkey_cover() -> str:
     # 2**52 = 4503599627370496, 2**26 = 67108864 (tiling/quadkey.py pack)
     clamp = (
@@ -2016,6 +2043,74 @@ SELECT doc_id, ref AS media_ref, 'image' AS media_type,
 FROM m ORDER BY doc_id"""
 
 
+# ------------------------------------------- interleaved-span operators
+# (input_hint data model: spans list<struct<kind,text,media_ref,offset>>
+# with VARIABLE length per doc — io/synth.py synth_docspans_batch)
+
+
+def _docspans_sample(sf):
+    from ..io.synth import docspans_dataset
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        return batch.take(pa.array(np.flatnonzero(ids % 10 == 0)))
+
+    return docspans_dataset(sf).map_batches(
+        keep, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def q_spans_explode(sf):
+    """Flatten interleaved spans to one row per span (Arrow list-offset
+    → parent-index flatten, zero per-row Python)."""
+    from ..textops.spans import explode_spans
+
+    return explode_spans(_docspans_sample(sf))
+
+
+def q_spans_reassemble(sf):
+    """kind-filter + offset-ordered reassembly — the input_hint's
+    span-sequence-equality invariant made observable: any reorder of
+    the flat buffers changes text_joined."""
+    from ..textops.spans import reassemble_text
+
+    return reassemble_text(_docspans_sample(sf))
+
+
+def q_media_fanout(sf):
+    """Invert doc→media_ref over all docs: per-ref span count + distinct
+    doc count (per-batch distinct-pair combiner before the one small
+    groupby — shuffle bounded by ref vocabulary, not span count)."""
+    from ..io.synth import docspans_dataset
+    from ..textops.spans import media_ref_fanout
+
+    return media_ref_fanout(docspans_dataset(sf))
+
+
+def _docspans_with(select: str) -> str:
+    from ..io.synth import DOCSPANS_CTE
+
+    return f"WITH {DOCSPANS_CTE.strip()} {select}"
+
+
+O_SPANS_EXPLODE = _docspans_with(
+    """SELECT doc_id, span_idx, kind, piece, media_ref, span_off
+FROM docspans WHERE doc_id % 10 = 0 ORDER BY 1, 2"""
+)
+
+O_SPANS_REASSEMBLE = _docspans_with(
+    """SELECT doc_id, COUNT(*) AS n_text_spans,
+       string_agg(piece, '' ORDER BY span_off) AS text_joined
+FROM docspans WHERE kind = 'text' AND doc_id % 10 = 0
+GROUP BY 1 ORDER BY 1"""
+)
+
+O_MEDIA_FANOUT = _docspans_with(
+    """SELECT media_ref, COUNT(*) AS n_spans, COUNT(DISTINCT doc_id) AS n_docs
+FROM docspans WHERE kind = 'media' GROUP BY 1 ORDER BY 1"""
+)
+
+
 def q_top10_quality(sf):
     """Distributed top-k-per-key selection (keep the 10 best documents
     per language by quality score) — partial top-k combiner per block,
@@ -2103,6 +2198,9 @@ QUERIES = {
     "warp_poly2": _q_warp_gcps(_POLY2_GCPS, "polynomial", 2),
     "warp_tps": _q_warp_gcps(_TPS_GCPS, "tps"),
     "spans_roundtrip": q_spans_roundtrip,
+    "spans_explode": q_spans_explode,
+    "spans_reassemble": q_spans_reassemble,
+    "media_ref_fanout": q_media_fanout,
     "sjoin_left": q_sjoin_left,
     "join_attributes": q_join_attributes,
     "delete_duplicate_geometries": q_dedup_geometries,
@@ -2115,6 +2213,7 @@ QUERIES = {
     "union_overlay_areas": q_union_overlay,
     "identity_areas": q_identity,
     "quadkey_cover_12": q_quadkey_cover,
+    "hex_bin_points": q_hex_bin,
     "layer_digest_parcels": q_layer_digest,
     "clip_by_geometry_window": q_clip_by_geometry,
     "export_by_bounds_window": q_export_by_bounds,
@@ -2205,6 +2304,9 @@ ORACLES = {
     "warp_poly2": _o_warp_poly(_POLY2_GCPS, 2),
     "warp_tps": _o_warp_tps(_TPS_GCPS),
     "spans_roundtrip": O_SPANS,
+    "spans_explode": O_SPANS_EXPLODE,
+    "spans_reassemble": O_SPANS_REASSEMBLE,
+    "media_ref_fanout": O_MEDIA_FANOUT,
     "sjoin_left": O_SJOIN_LEFT,
     "join_attributes": O_JOIN_ATTRS,
     "delete_duplicate_geometries": O_DEDUP_GEOM,
@@ -2214,6 +2316,7 @@ ORACLES = {
     "union_overlay_areas": O_UNION_OVERLAY,
     "identity_areas": O_IDENTITY,
     "quadkey_cover_12": _o_quadkey_cover(),
+    "hex_bin_points": O_HEX_BIN,
     "layer_digest_parcels": O_LAYER_DIGEST,
     "clip_by_geometry_window": O_CLIP_BY_GEOMETRY,
     "export_by_bounds_window": O_EXPORT_BY_BOUNDS,

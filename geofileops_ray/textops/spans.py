@@ -1,0 +1,172 @@
+"""Interleaved-span operators over documents with a
+``spans: list<struct<kind,text,media_ref,offset>>`` column — the
+BASELINE.json input_hint's core data model. The per-row invariant every
+transform here must honour: span-sequence equality (kind, text,
+media_ref, ORDER) — reassembly is always offset-ordered.
+
+All four operators are stateless vectorized ``map_batches`` stages over
+Arrow list/struct buffers (list offsets → parent indices, flat struct
+children; no per-row Python in the hot path except Arrow's own
+kernels). Only ``media_ref_fanout`` shuffles, and it pre-aggregates
+per batch so the exchange carries one row per distinct (ref, doc) pair
+per block, never one per span — at 10^12 docs the shuffle is bounded by
+the ref-vocabulary × block count, not the span count.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+
+def _spans_list(batch: pa.Table, col: str = "spans") -> pa.ListArray:
+    arr = batch.column(col)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    return arr
+
+
+def _flat_parts(spans: pa.ListArray):
+    """(parent row index, within-list index, flat struct children)."""
+    parent = pc.list_parent_indices(spans).to_numpy().astype(np.int64)
+    counts = pc.list_value_length(spans).fill_null(0).to_numpy().astype(np.int64)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    idx = np.arange(int(counts.sum()), dtype=np.int64) - np.repeat(starts, counts)
+    flat = spans.flatten()
+    return parent, idx, flat
+
+
+def explode_spans(
+    ds: ray.data.Dataset, id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """One output row per span: (id, span_idx, kind, piece, media_ref,
+    span_off), in original sequence order. Embarrassingly parallel."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        spans = _spans_list(batch)
+        parent, idx, flat = _flat_parts(spans)
+        ids = batch.column(id_col).to_numpy()
+        return pa.table(
+            {
+                id_col: pa.array(ids[parent], pa.int64()),
+                "span_idx": pa.array(idx, pa.int64()),
+                "kind": flat.field("kind"),
+                "piece": flat.field("text"),
+                "media_ref": flat.field("media_ref"),
+                "span_off": flat.field("offset"),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def filter_spans(
+    ds: ray.data.Dataset, kind: str, id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """Keep only spans of ``kind`` per doc, PRESERVING sequence order —
+    output schema identical to the input (id, spans). Flat boolean mask
+    + list-offset rebuild; no per-row Python."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        spans = _spans_list(batch)
+        parent, _, flat = _flat_parts(spans)
+        keep = pc.equal(flat.field("kind"), kind).to_numpy(zero_copy_only=False)
+        kept_parent = parent[keep]
+        new_counts = np.zeros(len(batch), dtype=np.int64)
+        np.add.at(new_counts, kept_parent, 1)
+        offsets = pa.array(
+            np.concatenate([[0], np.cumsum(new_counts)]).astype(np.int32)
+        )
+        new_flat = flat.filter(pa.array(keep))
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "spans": pa.ListArray.from_arrays(offsets, new_flat),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def reassemble_text(
+    ds: ray.data.Dataset, id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """Concatenate the text of the 'text'-kind spans per doc in offset
+    order → (id, n_text_spans, text_joined). The order-preservation
+    invariant made observable: any reordering of the flat buffers
+    changes text_joined. Join is Arrow's ``binary_join`` kernel."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        spans = _spans_list(batch)
+        parent, _, flat = _flat_parts(spans)
+        kinds = flat.field("kind")
+        offs = flat.field("offset").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = pc.equal(kinds, "text").to_numpy(zero_copy_only=False)
+        # offset-order within doc: stable sort by (parent, offset)
+        order = np.lexsort((offs[keep], parent[keep]))
+        kept_parent = parent[keep][order]
+        pieces = flat.field("text").filter(pa.array(keep)).take(
+            pa.array(order, pa.int64())
+        )
+        n_kept = np.zeros(len(batch), dtype=np.int64)
+        np.add.at(n_kept, kept_parent, 1)
+        offsets = pa.array(np.concatenate([[0], np.cumsum(n_kept)]).astype(np.int32))
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(offsets, pieces), ""
+        )
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "n_text_spans": pa.array(n_kept, pa.int64()),
+                "text_joined": joined,
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def media_ref_fanout(
+    ds: ray.data.Dataset, id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """Invert the doc→media relation: per media_ref, how many spans
+    reference it and from how many distinct docs — the shape of a
+    media-dedup / hot-asset audit over interleaved corpora.
+
+    Per-batch combiner emits distinct (media_ref, doc) pairs with local
+    span counts; the final groupby sums spans and counts distinct docs.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        spans = _spans_list(batch)
+        parent, _, flat = _flat_parts(spans)
+        refs = flat.field("media_ref")
+        keep = pc.invert(pc.equal(refs, "")).to_numpy(zero_copy_only=False)
+        ids = batch.column(id_col).to_numpy()[parent[keep]]
+        sub = pa.table(
+            {
+                "media_ref": refs.filter(pa.array(keep)),
+                id_col: pa.array(ids, pa.int64()),
+            }
+        )
+        grp = sub.group_by(["media_ref", id_col]).aggregate([([], "count_all")])
+        return grp.rename_columns(["media_ref", id_col, "n_spans_part"])
+
+    def final(group: pa.Table) -> pa.Table:
+        n = group.column("n_spans_part").to_numpy()
+        docs = group.column(id_col).to_numpy()
+        return pa.table(
+            {
+                "media_ref": group.column("media_ref").slice(0, 1),
+                "n_spans": pa.array([int(n.sum())], pa.int64()),
+                "n_docs": pa.array([int(len(np.unique(docs)))], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("media_ref")
+        .map_groups(final, batch_format="pyarrow")
+    )

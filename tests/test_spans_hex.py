@@ -1,0 +1,127 @@
+"""Unit tests for the hex cell index (tiling/hexgrid.py) and the
+interleaved-span operators (textops/spans.py). The driver-level oracle
+rows (hex_bin_points / spans_explode / spans_reassemble /
+media_ref_fanout) are covered by test_registry; these pin the kernel
+math and the operators not exercised there (filter_spans, hex_ring)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def test_hex_assign_is_nearest_center_voronoi():
+    from geofileops_ray.tiling.hexgrid import hex_assign
+
+    rng = np.random.default_rng(7)
+    x = np.round(rng.uniform(0, 200, 5000) * 4) / 4
+    y = np.round(rng.uniform(0, 200, 5000) * 4) / 4
+    row, col = hex_assign(x, y)
+    W, H = 8.0, 3.5
+    cs = []
+    for i in range(-2, 30):
+        for j in range(-2, 32):
+            cs.append((i * W, j * 2 * H, 2 * j, 2 * i))
+            cs.append((i * W + 4, j * 2 * H + 3.5, 2 * j + 1, 2 * i + 1))
+    cs = np.array(cs)
+    d = (x[:, None] - cs[None, :, 0]) ** 2 + (y[:, None] - cs[None, :, 1]) ** 2
+    k = d.argmin(1)
+    ties = (d == d.min(1)[:, None]).sum(1) > 1
+    ok = ((row == cs[k, 2]) & (col == cs[k, 3])) | ties
+    assert ok.all()
+    # parity invariant of doubled coordinates
+    assert (((row + col) % 2) == 0).all()
+
+
+def test_hex_center_roundtrip_and_rings():
+    from geofileops_ray.tiling.hexgrid import hex_assign, hex_center, hex_ring
+
+    row = np.array([0, 1, 2, 5, -3])
+    col = np.array([0, 1, 4, 7, -1])
+    cx, cy = hex_center(row, col)
+    r2, c2 = hex_assign(cx, cy)
+    assert (r2 == row).all() and (c2 == col).all()
+    # H3 kRing sizes: 1 + 3k(k+1)
+    for k in (0, 1, 2, 3):
+        ring = hex_ring(4, 6, k)
+        assert len(ring) == 1 + 3 * k * (k + 1)
+        assert (4, 6) in ring
+
+
+def _spans_table() -> pa.Table:
+    from geofileops_ray.io.synth import synth_docspans_batch
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array(np.arange(40), pa.int64()),
+            "text": ["word%02d_abcdefghijklmnop" % i for i in range(40)],
+            "lang": ["en"] * 40,
+        }
+    )
+    return synth_docspans_batch(docs)
+
+
+def test_filter_spans_preserves_order_and_schema(ray_session):
+    import ray.data
+
+    from geofileops_ray.textops.spans import explode_spans, filter_spans
+
+    src = _spans_table()
+    ds = ray.data.from_arrow(src)
+    out = pa.Table.from_pylist(filter_spans(ds, "media").take_all())
+    assert out.column_names == ["doc_id", "spans"]
+    rows = {r["doc_id"]: r["spans"] for r in out.to_pylist()}
+    for r in src.to_pylist():
+        expect = [s for s in r["spans"] if s["kind"] == "media"]
+        assert rows[r["doc_id"]] == expect  # order + all fields preserved
+    # exploding the filtered set yields only media spans, still in order
+    ex = pa.Table.from_pylist(
+        explode_spans(ray.data.from_arrow(out)).take_all()
+    ).to_pylist()
+    for doc_id in rows:
+        offs = [e["span_off"] for e in ex if e["doc_id"] == doc_id]
+        assert offs == sorted(offs)
+        assert all(
+            e["kind"] == "media" for e in ex if e["doc_id"] == doc_id
+        )
+
+
+def test_reassemble_is_order_sensitive(ray_session):
+    import ray.data
+
+    from geofileops_ray.textops.spans import reassemble_text
+
+    src = _spans_table()
+    out = pa.Table.from_pylist(
+        reassemble_text(ray.data.from_arrow(src)).take_all()
+    ).to_pylist()
+    got = {r["doc_id"]: r for r in out}
+    for r in src.to_pylist():
+        text_spans = sorted(
+            (s for s in r["spans"] if s["kind"] == "text"),
+            key=lambda s: s["offset"],
+        )
+        joined = "".join(s["text"] for s in text_spans)
+        assert got[r["doc_id"]]["text_joined"] == joined
+        assert got[r["doc_id"]]["n_text_spans"] == len(text_spans)
+
+
+def test_media_fanout_counts(ray_session):
+    import ray.data
+
+    from geofileops_ray.textops.spans import media_ref_fanout
+
+    src = _spans_table()
+    out = pa.Table.from_pylist(
+        media_ref_fanout(ray.data.from_arrow(src)).take_all()
+    ).to_pylist()
+    expect: dict[str, list] = {}
+    for r in src.to_pylist():
+        for s in r["spans"]:
+            if s["kind"] == "media":
+                expect.setdefault(s["media_ref"], []).append(r["doc_id"])
+    assert {o["media_ref"]: o["n_spans"] for o in out} == {
+        k: len(v) for k, v in expect.items()
+    }
+    assert {o["media_ref"]: o["n_docs"] for o in out} == {
+        k: len(set(v)) for k, v in expect.items()
+    }

@@ -260,6 +260,83 @@ def line_polygon_overlay(
     return pieces
 
 
+def line_line_overlap(
+    line_parts: list[list[np.ndarray]],
+    cand: "GeometryArray",
+    js: np.ndarray,
+    op: str,
+) -> list[np.ndarray]:
+    """Overlay of a (multi)linestring against candidate LINESTRING rows,
+    extracted to the LINE primitive (the reference's lower-primitive
+    rule, _geoops_sql.py:1880-1891): ``op='intersection'`` keeps the
+    COLLINEAR overlap portions (point crossings have lower dimension and
+    are dropped by ST_CollectionExtract(...,2)); ``'difference'``
+    removes them. Returns a list of (2,2) sub-segment arrays.
+
+    Per layer1 segment the candidate segments are tested in one numpy
+    pass (cross-product collinearity + projected parameter intervals);
+    the Python loop is only over layer1 segments, mirroring
+    line_polygon_overlay above."""
+    segs = []
+    for j in js:
+        for part in cand._parts_of(int(j)):
+            line = np.asarray(part[0], dtype=np.float64)
+            if len(line) < 2:
+                continue
+            e = np.empty((len(line) - 1, 4))
+            e[:, :2] = line[:-1]
+            e[:, 2:] = line[1:]
+            segs.append(e)
+    E = np.concatenate(segs) if segs else np.empty((0, 4))
+    pieces: list[np.ndarray] = []
+    for part in line_parts:
+        line = np.asarray(part[0], dtype=np.float64)
+        for k in range(len(line) - 1):
+            p, q = line[k], line[k + 1]
+            r = q - p
+            rn2 = float(r @ r)
+            if rn2 < 1e-300:
+                continue
+            ivals: list[tuple[float, float]] = []
+            if len(E):
+                s = E[:, 2:] - E[:, :2]
+                qp = E[:, :2] - p
+                denom = r[0] * s[:, 1] - r[1] * s[:, 0]
+                cross_qp_r = qp[:, 0] * r[1] - qp[:, 1] * r[0]
+                col = (np.abs(denom) <= 1e-300) & (
+                    np.abs(cross_qp_r) <= 1e-9 * max(1.0, np.sqrt(rn2))
+                )
+                if col.any():
+                    t0 = ((E[col, 0] - p[0]) * r[0] + (E[col, 1] - p[1]) * r[1]) / rn2
+                    t1 = ((E[col, 2] - p[0]) * r[0] + (E[col, 3] - p[1]) * r[1]) / rn2
+                    lo = np.clip(np.minimum(t0, t1), 0.0, 1.0)
+                    hi = np.clip(np.maximum(t0, t1), 0.0, 1.0)
+                    keep = hi - lo > 1e-12
+                    ivals = list(zip(lo[keep].tolist(), hi[keep].tolist()))
+            # merge the kept intervals, then emit (or complement for diff)
+            merged: list[list[float]] = []
+            for lo_v, hi_v in sorted(ivals):
+                if merged and lo_v <= merged[-1][1] + 1e-12:
+                    merged[-1][1] = max(merged[-1][1], hi_v)
+                else:
+                    merged.append([lo_v, hi_v])
+            if op == "intersection":
+                out_iv = merged
+            else:
+                out_iv, prev = [], 0.0
+                for lo_v, hi_v in merged:
+                    if lo_v - prev > 1e-12:
+                        out_iv.append([prev, lo_v])
+                    prev = max(prev, hi_v)
+                if 1.0 - prev > 1e-12:
+                    out_iv.append([prev, 1.0])
+            for t0v, t1v in out_iv:
+                if t1v - t0v < 1e-12:
+                    continue
+                pieces.append(np.stack([p + t0v * r, p + t1v * r], axis=0))
+    return pieces
+
+
 def parts_to_geom(parts: list[list[np.ndarray]]) -> tuple[int, list[list[np.ndarray]]]:
     """(type_code, parts) for GeometryArray.from_parts."""
     parts = [p for p in parts if len(p) and len(p[0]) >= 4]

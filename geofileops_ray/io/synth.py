@@ -779,6 +779,78 @@ def lshapes_dataset(sf_dir: str, repeat: int = 1) -> ray.data.Dataset:
     )
 
 
+# ------------------------------------ lines2 (layer 9b, line×line overlays)
+
+
+def synth_lines2_batch(batch: pa.Table) -> pa.Table:
+    """documents batch → 2-point segments targeting the ``lines`` layer's
+    doc cells: even docs are HORIZONTAL bars collinear with the L's
+    horizontal run (overlap length = exact 1D interval math); odd docs
+    are VERTICAL crossers that intersect the run at a single POINT only
+    — the lower-primitive rule must drop them from line×line
+    intersection output. Integer/half-integer lattice ⇒ exact SQL."""
+    doc_id = batch.column("doc_id").to_numpy()
+    h = _hash(doc_id)
+    gx, gy = doc_id % GRID_W, doc_id // GRID_W
+    px = (gx * 10 + h % 3).astype(np.float64)
+    py = (gy * 10 + (h // 3) % 3).astype(np.float64)
+    d2 = (h // 225) % 5
+    l2 = 2 + (h // 1125) % 5
+    even = doc_id % 2 == 0
+    x0 = np.where(even, px + d2, px + 0.5)
+    y0 = np.where(even, py, py - 0.5)
+    x1 = np.where(even, px + d2 + l2, px + 0.5)
+    y1 = np.where(even, py, py + 1.5)
+    n = len(doc_id)
+    coords = np.empty((n, 4), dtype="<f8")
+    coords[:, 0], coords[:, 1] = x0, y0
+    coords[:, 2], coords[:, 3] = x1, y1
+    out = np.empty((n, 41), dtype=np.uint8)
+    out[:, :9] = np.frombuffer(
+        b"\x01\x02\x00\x00\x00\x02\x00\x00\x00", dtype=np.uint8
+    )
+    out[:, 9:] = coords.view(np.uint8).reshape(n, 32)
+    offsets = pa.array(np.arange(n + 1, dtype=np.int32) * 41)
+    geom = pa.Array.from_buffers(
+        pa.binary(), n, [None, offsets.buffers()[1], pa.py_buffer(out.tobytes())]
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_id, pa.int64()),
+            "geometry": geom,
+            "kind2": pa.array(
+                np.where(even, "hbar", "vcross").tolist(), pa.string()
+            ),
+        }
+    )
+
+
+# SQL mirror: the overlap length of lines2 (even docs) against the
+# lines layer's horizontal run is closed-form interval math; odd docs
+# never contribute line-primitive output.
+LINES2_CTE = """
+lines2 AS (
+  SELECT doc_id,
+         CAST(px + d2 AS DOUBLE) AS hx0, CAST(px + d2 + l2 AS DOUBLE) AS hx1,
+         CAST(py AS DOUBLE) AS hy,
+         doc_id % 2 = 0 AS is_hbar
+  FROM (
+    SELECT doc_id,
+           (doc_id % 100) * 10 + h % 3 AS px,
+           (doc_id // 100) * 10 + (h // 3) % 3 AS py,
+           (h // 225) % 5 AS d2, 2 + (h // 1125) % 5 AS l2
+    FROM (SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS h FROM documents)
+  )
+)
+"""
+
+
+def lines2_dataset(sf_dir: str, repeat: int = 1) -> ray.data.Dataset:
+    return expand_documents(read_documents(sf_dir), repeat).map_batches(
+        synth_lines2_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 # ------------------------------ docspans (layer 9, variable interleaved spans)
 
 

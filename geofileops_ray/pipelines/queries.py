@@ -1757,6 +1757,74 @@ FROM lines l LEFT JOIN cov USING (doc_id)
 WHERE l.line_len - COALESCE(cov.c, 0) > 0 ORDER BY 1"""
 
 
+# line × line overlays (lower-primitive rule: COLLINEAR overlap kept,
+# point crossings dropped — geom/overlay.py line_line_overlap; the
+# lines2 layer mixes collinear hbars with vertical point-crossers, and
+# hbars reach up to 2 units into the NEXT doc cell so cross-doc pairs
+# are real, not a same-id join)
+
+
+def _lines2_cte() -> str:
+    from ..io.synth import LINES2_CTE, LINES_CTE
+
+    return f"WITH {LINES_CTE.strip()}, {LINES2_CTE.strip()}"
+
+
+def q_intersection_line_line(sf):
+    from ..io.synth import lines2_dataset, lines_dataset
+
+    ds = intersection(
+        lines_dataset(sf), lines2_dataset(sf), cols1=["grp"], cols2=["kind2"]
+    )
+    ds = _with_geom_length(ds, "len_inters")
+    return _select(ds, ["l1_doc_id", "l2_doc_id", "l2_kind2", "len_inters"])
+
+
+def O_INTERSECTION_LINE_LINE() -> str:
+    return f"""{_lines2_cte()}
+SELECT a.doc_id AS l1_doc_id, b.doc_id AS l2_doc_id, 'hbar' AS l2_kind2,
+       ROUND(LEAST(a.px + a.lh, b.hx1) - GREATEST(a.px, b.hx0), 4) AS len_inters
+FROM lines a JOIN lines2 b
+  ON b.is_hbar AND a.py = b.hy
+ AND LEAST(a.px + a.lh, b.hx1) > GREATEST(a.px, b.hx0)
+ORDER BY 1, 2"""
+
+
+def q_difference_line_line(sf):
+    from ..io.synth import lines2_dataset, lines_dataset
+    from ..stages.overlay_ops import difference
+
+    ds = difference(lines_dataset(sf), lines2_dataset(sf), cols1=["grp"])
+    ds = _with_geom_length(ds, "len_diff")
+    return _select(ds, ["l1_doc_id", "l1_grp", "len_diff"])
+
+
+def O_DIFFERENCE_LINE_LINE() -> str:
+    # a run can be overlapped by at most TWO hbars: its own doc's and the
+    # left neighbour's (bars reach ≤2 units right of their cell). Union
+    # length of two intervals = |A| + |B| − |A∩B|, all clipped to the run.
+    # NB DuckDB's LEAST/GREATEST IGNORE NULL arguments, so every term is
+    # guarded by an explicit IS NULL CASE instead of relying on NULL
+    # propagation through the interval arithmetic.
+    ov = (
+        "CASE WHEN {b}.doc_id IS NULL THEN 0 ELSE "
+        "GREATEST(0, LEAST(a.px + a.lh, {b}.hx1) - GREATEST(a.px, {b}.hx0)) END"
+    )
+    o1, o2 = ov.format(b="b1"), ov.format(b="b2")
+    both = (
+        "CASE WHEN b1.doc_id IS NULL OR b2.doc_id IS NULL THEN 0 ELSE "
+        "GREATEST(0, LEAST(LEAST(a.px + a.lh, b1.hx1), LEAST(a.px + a.lh, b2.hx1))"
+        " - GREATEST(GREATEST(a.px, b1.hx0), GREATEST(a.px, b2.hx0))) END"
+    )
+    return f"""{_lines2_cte()}
+SELECT a.doc_id AS l1_doc_id, a.grp AS l1_grp,
+       ROUND(a.line_len - {o1} - {o2} + {both}, 4) AS len_diff
+FROM lines a
+LEFT JOIN lines2 b1 ON b1.doc_id = a.doc_id AND b1.is_hbar AND b1.hy = a.py
+LEFT JOIN lines2 b2 ON b2.doc_id = a.doc_id - 1 AND b2.is_hbar AND b2.hy = a.py
+ORDER BY 1"""
+
+
 def q_dissolve_lines(sf):
     from ..io.synth import lines_dataset
 
@@ -2247,6 +2315,8 @@ QUERIES = {
     "reproject_3857": q_reproject_3857,
     "intersection_lines": q_intersection_lines,
     "difference_lines": q_difference_lines,
+    "intersection_line_line": q_intersection_line_line,
+    "difference_line_line": q_difference_line_line,
     "dissolve_lines": q_dissolve_lines,
     # text / training-data
     "token_count": lambda sf: ta.token_count(_docs(sf)),
@@ -2346,6 +2416,8 @@ ORACLES = {
     "simplify_vw_counts": _zigzag_oracle("2"),
     "reproject_3857": O_REPROJECT,
     "intersection_lines": O_INTERSECTION_LINES(),
+    "intersection_line_line": O_INTERSECTION_LINE_LINE(),
+    "difference_line_line": O_DIFFERENCE_LINE_LINE(),
     "difference_lines": O_DIFFERENCE_LINES(),
     "dissolve_lines": O_DISSOLVE_LINES(),
     "token_count": ta.TOKEN_COUNT_SQL,

@@ -33,6 +33,7 @@ from ..config import OPTIONS
 from ..geom import GeometryArray, bbox_join, from_wkb, to_wkb, to_wkb_arrow
 from ..geom.array import LINESTRING, MULTILINESTRING, MULTIPOINT, POINT, POLYGON
 from ..geom.overlay import (
+    line_line_overlap,
     line_polygon_overlay,
     parts_to_geom,
     polygon_overlay,
@@ -71,10 +72,21 @@ def _geom_of_pair_op(ga1: GeometryArray, i: int, cand: GeometryArray,
             return POINT, [[sel]]
         return MULTIPOINT, [[sel[k : k + 1]] for k in range(len(sel))]
     if t1 == LINESTRING:
-        # line layer1: clip/subtract against the candidate polygon union,
-        # extracted to the line primitive (the reference's lower-primitive
-        # rule, _geoops_sql.py:1880-1891)
-        pieces = line_polygon_overlay(ga1._parts_of(i), cand, js, op)
+        # line layer1: clip/subtract against the candidates, extracted to
+        # the line primitive (the reference's lower-primitive rule,
+        # _geoops_sql.py:1880-1891). line×line keeps/removes the
+        # COLLINEAR overlap portions (point crossings drop out of
+        # ST_CollectionExtract(..., 2)); line×polygon clips against the
+        # candidate polygon union.
+        cand_types = cand.types[js]
+        if np.isin(cand_types, (LINESTRING, MULTILINESTRING)).all():
+            pieces = line_line_overlap(ga1._parts_of(i), cand, js, op)
+        elif np.isin(cand_types, (LINESTRING, MULTILINESTRING)).any():
+            raise NotImplementedError(
+                "mixed line/polygon layer2 candidates in one overlay"
+            )
+        else:
+            pieces = line_polygon_overlay(ga1._parts_of(i), cand, js, op)
         if not pieces:
             return LINESTRING, []
         if len(pieces) == 1:

@@ -125,3 +125,44 @@ def test_media_fanout_counts(ray_session):
     assert {o["media_ref"]: o["n_docs"] for o in out} == {
         k: len(set(v)) for k, v in expect.items()
     }
+
+
+def test_line_line_overlap_kernel():
+    """Collinear overlap kept + merged, point crossings dropped,
+    difference is the exact complement (geom/overlay.line_line_overlap)."""
+    import pyarrow as pa
+
+    from geofileops_ray.geom import from_wkb
+    from geofileops_ray.geom.overlay import line_line_overlap
+
+    def wkb_line(coords):
+        import struct
+
+        n = len(coords)
+        return (
+            b"\x01\x02\x00\x00\x00"
+            + struct.pack("<I", n)
+            + b"".join(struct.pack("<dd", *c) for c in coords)
+        )
+
+    base = from_wkb(pa.array([wkb_line([(0, 0), (10, 0), (10, 5)])]))
+    cand = from_wkb(
+        pa.array(
+            [
+                wkb_line([(1, 0), (4, 0)]),     # collinear overlap [1,4]
+                wkb_line([(3, 0), (6, 0)]),     # overlaps previous → merge [1,6]
+                wkb_line([(8, -1), (8, 2)]),    # vertical crosser → point, dropped
+                wkb_line([(10, 1), (10, 3)]),   # collinear with vertical run
+                wkb_line([(20, 0), (30, 0)]),   # disjoint
+            ]
+        )
+    )
+    import numpy as np
+
+    js = np.arange(5)
+    inter = line_line_overlap(base._parts_of(0), cand, js, "intersection")
+    total = sum(abs(p[1] - p[0]).sum() for p in inter)
+    assert total == 5 + 2  # [1,6] on the run + [1,3] on the riser
+    diff = line_line_overlap(base._parts_of(0), cand, js, "difference")
+    dtotal = sum(np.hypot(*(p[1] - p[0])) for p in diff)
+    assert dtotal == (10 + 5) - 7

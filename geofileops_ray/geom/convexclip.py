@@ -21,7 +21,20 @@ MAX_CONVEX_VERTS = 64
 
 def convex_single_ring(ga: GeometryArray) -> np.ndarray:
     """bool[n]: row is a single-part, single-ring POLYGON whose ring is
-    convex (consecutive-edge cross products never change sign)."""
+    convex (consecutive-edge cross products never change sign).
+    Memoized per array — every two-layer fast-path probe calls this on
+    the same (broadcast) array."""
+    cached = getattr(ga, "_convex_single_ring_cache", None)
+    if cached is None:
+        cached = _convex_single_ring_impl(ga)
+        try:
+            ga._convex_single_ring_cache = cached
+        except AttributeError:
+            pass
+    return cached
+
+
+def _convex_single_ring_impl(ga: GeometryArray) -> np.ndarray:
     n = len(ga)
     out = np.zeros(n, dtype=bool)
     if n == 0:

@@ -291,6 +291,9 @@ def detect_rects(ga: GeometryArray) -> np.ndarray:
     """Boolean mask: geometry is an axis-aligned rectangle (single ring,
     5 coords, all on its own bbox corners) or a point. Fully vectorized
     (one fancy-indexed gather over the coord slab)."""
+    cached = getattr(ga, "_detect_rects_cache", None)
+    if cached is not None:
+        return cached
     n = len(ga)
     out = np.zeros(n, dtype=bool)
     if n == 0:
@@ -318,6 +321,10 @@ def detect_rects(ga: GeometryArray) -> np.ndarray:
         )
         out[cand] = ok
     out |= is_pt
+    try:  # memoize: immutable per array, recomputed at every hot call site
+        ga._detect_rects_cache = out
+    except AttributeError:
+        pass
     return out
 
 

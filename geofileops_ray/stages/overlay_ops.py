@@ -45,7 +45,10 @@ from .spatial_join import (
     _owner_cell,
     _pair_table,
     _prefixed_schema,
+    _probe_collect,
+    _prefixed_projection,
     _ref_cell,
+    broadcast_cogroup,
     cell_cogroup,
 )
 
@@ -398,7 +401,7 @@ def _interior_pairs_mask(
 def _resolve_local_rows(
     ga1: GeometryArray,
     ga2: GeometryArray,
-    g1: pa.Table,
+    geom_col,
     local: np.ndarray,
     ia_s: np.ndarray,
     ib_s: np.ndarray,
@@ -443,7 +446,6 @@ def _resolve_local_rows(
             starts = np.searchsorted(ia_s, np.arange(n1))
             stops = np.searchsorted(ia_s, np.arange(n1) + 1)
     ncand = stops[rows_all] - starts[rows_all]
-    geom_col = g1.column("l1_" + _GEOM)
     # ---- zero-candidate rows: pass through (difference) or drop (clip)
     for i in rows_all[ncand == 0]:
         if keep_no_candidate_rows:
@@ -602,6 +604,76 @@ def _resolve_local_rows(
     return done_idx, done_wkb
 
 
+def _difference_group_part(
+    gA: pa.Table,
+    gaA: GeometryArray,
+    gaB: GeometryArray,
+    geomA_name: str,
+    geomB_col,
+    ia: np.ndarray,
+    ib: np.ndarray,
+    cell: int | None,
+    size: float,
+    op: str,
+    keep_no_candidate_rows: bool,
+    force_pending: bool = False,
+) -> tuple[pa.Table, pa.Table]:
+    """One difference/clip direction inside a cell group: resolve the
+    single-cell A rows locally against the union of their candidates
+    (``_resolve_local_rows``), emit straddler A rows as pending pair rows
+    (one candidate each) plus one owner row, for the later per-doc
+    gather. ``ia`` indexes gA/gaA, ``ib`` indexes gaB; pairs must already
+    be ownership-deduped by the caller.
+
+    Returns ``(done_t, pend_t)`` — done_t: A attr columns + ``geometry``;
+    pend_t: A attr columns + ``__g1`` + ``__cand``. ``force_pending``
+    routes every A row through the gather (used by the fused overlay's
+    B-side under broadcast mode, where each call sees only one batch of
+    candidates)."""
+    bA = gaA.bounds()
+    nA = len(gA)
+    if force_pending:
+        local = np.zeros(nA, dtype=bool)
+        owner = np.ones(nA, dtype=bool)
+    elif cell is None:
+        # broadcast mode: every row sees all candidates — resolve
+        # everything locally, no straddler/owner machinery
+        local = np.ones(nA, dtype=bool)
+        owner = local
+    else:
+        owner = _owner_cell(bA, size) == cell
+        one_cell = (
+            np.floor(bA[:, 0] / size) == np.floor(bA[:, 2] / size)
+        ) & (np.floor(bA[:, 1] / size) == np.floor(bA[:, 3] / size))
+        local = owner & one_cell
+    attrs = gA.drop_columns([geomA_name])
+    order = np.argsort(ia, kind="stable") if len(ia) else np.empty(0, np.int64)
+    ia_s, ib_s = ia[order], ib[order]
+    starts = np.searchsorted(ia_s, np.arange(nA))
+    stops = np.searchsorted(ia_s, np.arange(nA) + 1)
+    done_idx, done_wkb = _resolve_local_rows(
+        gaA, gaB, gA.column(geomA_name), local, ia_s, ib_s, starts, stops,
+        op, keep_no_candidate_rows,
+    )
+    done_t = attrs.take(pa.array(done_idx, pa.int64()))
+    done_t = done_t.append_column(_GEOM, pa.array(done_wkb, pa.binary()))
+    keep_pair = ~local[ia_s] if len(ia_s) else np.zeros(0, bool)
+    pia = ia_s[keep_pair]
+    pib = ib_s[keep_pair]
+    pair_t = attrs.take(pa.array(pia))
+    pair_t = pair_t.append_column(
+        "__g1", gA.column(geomA_name).take(pa.array(pia))
+    )
+    pair_t = pair_t.append_column("__cand", geomB_col.take(pa.array(pib)))
+    own_rows = np.flatnonzero(owner & ~local)
+    own_t = attrs.take(pa.array(own_rows))
+    own_t = own_t.append_column(
+        "__g1", gA.column(geomA_name).take(pa.array(own_rows))
+    )
+    own_t = own_t.append_column("__cand", pa.nulls(len(own_rows), pa.binary()))
+    return done_t, pa.concat_tables([pair_t, own_t])
+
+
 def _per_row_overlay(
     ds1: ray.data.Dataset,
     ds2: ray.data.Dataset,
@@ -636,72 +708,61 @@ def _per_row_overlay(
     def group_fn(g1, ga1, g2, ga2, cell):
         b1 = ga1.bounds()
         ia, ib = bbox_join(b1, ga2.bounds())
-        if cell is None:
-            # broadcast mode: every row sees all candidates — resolve
-            # everything locally, no straddler/owner machinery
-            local = np.ones(len(g1), dtype=bool)
-            owner = local
-        else:
-            if len(ia):
-                ref = _ref_cell(b1[ia], ga2.bounds()[ib], size)
-                own = ref == cell
-                ia, ib = ia[own], ib[own]
-            owner = _owner_cell(b1, size) == cell
-            one_cell = (
-                np.floor(b1[:, 0] / size) == np.floor(b1[:, 2] / size)
-            ) & (np.floor(b1[:, 1] / size) == np.floor(b1[:, 3] / size))
-            local = owner & one_cell
-        attrs = g1.drop_columns(["l1_" + _GEOM])
-        n_attr = attrs.num_columns
-        # ---- local resolution for single-cell rows
-        order = np.argsort(ia, kind="stable") if len(ia) else np.empty(0, np.int64)
-        ia_s, ib_s = ia[order], ib[order]
-        starts = np.searchsorted(ia_s, np.arange(len(g1)))
-        stops = np.searchsorted(ia_s, np.arange(len(g1)) + 1)
-        done_idx, done_wkb = _resolve_local_rows(
-            ga1, ga2, g1, local, ia_s, ib_s, starts, stops, op,
-            keep_no_candidate_rows,
+        if cell is not None and len(ia):
+            ref = _ref_cell(b1[ia], ga2.bounds()[ib], size)
+            own = ref == cell
+            ia, ib = ia[own], ib[own]
+        done_t, pend_t = _difference_group_part(
+            g1, ga1, ga2, "l1_" + _GEOM, g2.column("l2_" + _GEOM),
+            ia, ib, cell, size, op, keep_no_candidate_rows,
         )
-        done_part = attrs.take(pa.array(done_idx, pa.int64()))
-        done_part = done_part.append_column("__g1", pa.nulls(len(done_idx), pa.binary()))
-        done_part = done_part.append_column("__cand", pa.nulls(len(done_idx), pa.binary()))
-        done_part = done_part.append_column(_GEOM, pa.array(done_wkb, pa.binary()))
+        n_d = len(done_t)
+        done_part = done_t.drop_columns([_GEOM])
+        done_part = done_part.append_column("__g1", pa.nulls(n_d, pa.binary()))
+        done_part = done_part.append_column("__cand", pa.nulls(n_d, pa.binary()))
+        done_part = done_part.append_column(_GEOM, done_t.column(_GEOM))
         done_part = done_part.append_column(
-            "__done", pa.array(np.ones(len(done_idx), dtype=bool))
+            "__done", pa.array(np.ones(n_d, dtype=bool))
         )
-        # ---- straddlers: emit owned pairs + one owner row, gather later
-        keep_pair = ~local[ia] if len(ia) else np.zeros(0, bool)
-        pia, pib = ia[keep_pair], ib[keep_pair]
-        pair_part = attrs.take(pa.array(pia))
-        pair_part = pair_part.append_column(
-            "__g1", g1.column("l1_" + _GEOM).take(pa.array(pia))
-        )
-        pair_part = pair_part.append_column(
-            "__cand", g2.column("l2_" + _GEOM).take(pa.array(pib))
-        )
-        own_rows = np.flatnonzero(owner & ~local)
-        own_part = attrs.take(pa.array(own_rows))
-        own_part = own_part.append_column(
-            "__g1", g1.column("l1_" + _GEOM).take(pa.array(own_rows))
-        )
-        own_part = own_part.append_column(
-            "__cand", pa.nulls(len(own_rows), pa.binary())
-        )
-        pend = pa.concat_tables([pair_part, own_part])
-        pend = pend.append_column(_GEOM, pa.nulls(len(pend), pa.binary()))
+        pend = pend_t.append_column(_GEOM, pa.nulls(len(pend_t), pa.binary()))
         pend = pend.append_column(
             "__done", pa.array(np.zeros(len(pend), dtype=bool))
         )
         return pa.concat_tables([done_part, pend])
 
+    def strip(batch: pa.Table) -> pa.Table:
+        return batch.drop_columns(["__g1", "__cand", "__done"])
+
+    c1 = list(dict.fromkeys(["doc_id", *cols1]))
+    f1g = _prefixed_schema(
+        ds1.schema().base_schema, "l1_", [*c1, _GEOM]
+    )
+    f2g = _prefixed_schema(
+        ds2.schema().base_schema, "l2_", ["doc_id", _GEOM]
+    )
+    g2t = (
+        _probe_collect(
+            _prefixed_projection(ds2, f2g), f2g, OPTIONS.broadcast_bytes
+        )
+        if OPTIONS.broadcast_bytes
+        else None
+    )
+    if g2t is not None:
+        # broadcast: every row resolves locally (zero pending rows) — no
+        # materialization / filter / gather stages at all
+        out = broadcast_cogroup(ds1, g2t, group_fn, f1g, f2g).map_batches(
+            strip, batch_format="pyarrow"
+        )
+        if sliver_tolerance:
+            out = _filter_slivers(out, sliver_tolerance)
+        return out
+
     # one materialization so the two filter branches don't re-execute the
     # cogroup; size ≈ output rows + straddler pairs (spillable blocks)
     paired = cell_cogroup(
-        ds1, ds2, group_fn, cols1, ["doc_id"], size=size, salt=salt
+        ds1, ds2, group_fn, cols1, ["doc_id"], size=size, salt=salt,
+        broadcast=False,
     ).materialize()
-
-    def strip(batch: pa.Table) -> pa.Table:
-        return batch.drop_columns(["__g1", "__cand", "__done"])
 
     done_ds = paired.filter(expr="__done == True").map_batches(
         strip, batch_format="pyarrow"
@@ -793,6 +854,189 @@ def _with_null_cols(ds: ray.data.Dataset, fields: list[pa.Field],
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def _fused_overlay(
+    ds1: ray.data.Dataset,
+    ds2: ray.data.Dataset,
+    cols1: list[str],
+    cols2: list[str],
+    size: float,
+    want_inter: bool,
+    want_d21: bool,
+) -> ray.data.Dataset:
+    """Single-cogroup engine behind union / identity / symmetric_difference.
+
+    The composed definitions (union = intersection ⊎ diff(a,b) ⊎
+    diff(b,a)) run THREE full cell co-shuffles, each re-replicating,
+    re-decoding and re-bbox-joining both layers. This engine computes all
+    requested parts inside ONE cell group from ONE shared bbox_join +
+    ownership dedup (one replication of each layer, one WKB decode per
+    group, shared memoized rect/convex probes), emitting a tagged union:
+
+    * ``__side=0`` — pairwise intersections (done rows, both attr sets);
+    * ``__side=1`` — difference(a,b): single-cell rows resolved locally,
+      straddlers pending for the per-doc gather;
+    * ``__side=2`` — difference(b,a), roles swapped.
+
+    One ``groupby(__side, __key)`` then resolves all pending straddlers
+    of both directions together. Every row carries the full unified
+    l1_*/l2_* schema (other side null), so the output is a single stream
+    in the reference's column order — no dataset unions at all.
+
+    When layer2 fits the broadcast budget the engine instead runs ONE
+    no-shuffle broadcast pass computing intersection + difference(a,b)
+    fully locally (zero pending rows — each layer1 batch sees all of
+    layer2), plus, if requested, a second broadcast pass for
+    difference(b,a) with the roles swapped (2 embarrassingly-parallel
+    passes instead of the composed path's 3)."""
+    c1 = list(dict.fromkeys(["doc_id", *cols1]))
+    c2 = list(dict.fromkeys(["doc_id", *cols2]))
+    f1 = _prefixed_schema(ds1.schema().base_schema, "l1_", c1)
+    f2 = _prefixed_schema(ds2.schema().base_schema, "l2_", c2)
+    order = [f.name for f in f1] + [f.name for f in f2] + [_GEOM]
+    internal = ["__side", "__key", "__g1", "__cand", "__done"]
+
+    def _assemble(t: pa.Table, missing: list[pa.Field], side: int,
+                  key_name: str | None, done: bool) -> pa.Table:
+        n = len(t)
+        cols = {c: t.column(c) for c in t.column_names}
+        for f in missing:
+            cols[f.name] = pa.nulls(n, f.type)
+        if _GEOM not in cols:
+            cols[_GEOM] = pa.nulls(n, pa.binary())
+        cols["__side"] = pa.array(np.full(n, side, dtype=np.int8))
+        cols["__key"] = (
+            cols[key_name].cast(pa.int64()) if key_name
+            else pa.nulls(n, pa.int64())
+        )
+        if "__g1" not in cols:
+            cols["__g1"] = pa.nulls(n, pa.binary())
+        if "__cand" not in cols:
+            cols["__cand"] = pa.nulls(n, pa.binary())
+        cols["__done"] = pa.array(np.full(n, done, dtype=bool))
+        names = order + internal
+        return pa.table({k: cols[k] for k in names})
+
+    def group_fn(g1, ga1, g2, ga2, cell):
+        b1, b2 = ga1.bounds(), ga2.bounds()
+        ia, ib = bbox_join(b1, b2)
+        if cell is not None and len(ia):
+            ref = _ref_cell(b1[ia], b2[ib], size)
+            own = ref == cell
+            ia, ib = ia[own], ib[own]
+        parts: list[pa.Table] = []
+        if want_inter:
+            wkb = _pairwise_overlay_geoms(ga1, ia, ga2, ib)
+            keep = (
+                np.array([w is not None for w in wkb], dtype=bool)
+                if len(ia) else np.zeros(0, dtype=bool)
+            )
+            t = _pair_table(g1, ia[keep], g2, ib[keep]).drop_columns(
+                ["l1_" + _GEOM, "l2_" + _GEOM]
+            )
+            t = t.append_column(
+                _GEOM, pa.array([w for w in wkb if w is not None], pa.binary())
+            )
+            parts.append(_assemble(t, [], 0, None, done=True))
+        done12, pend12 = _difference_group_part(
+            g1, ga1, ga2, "l1_" + _GEOM, g2.column("l2_" + _GEOM),
+            ia, ib, cell, size, "difference", keep_no_candidate_rows=True,
+        )
+        parts.append(_assemble(done12, f2, 1, None, done=True))
+        parts.append(_assemble(pend12, f2, 1, "l1_doc_id", done=False))
+        if want_d21 and cell is not None:
+            done21, pend21 = _difference_group_part(
+                g2, ga2, ga1, "l2_" + _GEOM, g1.column("l1_" + _GEOM),
+                ib, ia, cell, size, "difference", keep_no_candidate_rows=True,
+            )
+            parts.append(_assemble(done21, f1, 2, None, done=True))
+            parts.append(_assemble(pend21, f1, 2, "l2_doc_id", done=False))
+        return pa.concat_tables(parts)
+
+    def strip(batch: pa.Table) -> pa.Table:
+        return batch.select(order)
+
+    c1g = [*c1, _GEOM] if _GEOM not in c1 else c1
+    c2g = [*c2, _GEOM] if _GEOM not in c2 else c2
+    f1g = _prefixed_schema(ds1.schema().base_schema, "l1_", c1g)
+    f2g = _prefixed_schema(ds2.schema().base_schema, "l2_", c2g)
+    g2t = (
+        _probe_collect(
+            _prefixed_projection(ds2, f2g), f2g, OPTIONS.broadcast_bytes
+        )
+        if OPTIONS.broadcast_bytes
+        else None
+    )
+    if g2t is not None:
+        # broadcast: one no-shuffle pass computes intersection + d12
+        # entirely locally (cell=None ⇒ no pending rows); d21 gets its
+        # own swapped broadcast pass below
+        out = broadcast_cogroup(ds1, g2t, group_fn, f1g, f2g).map_batches(
+            strip, batch_format="pyarrow"
+        )
+        if want_d21:
+            d21 = _per_row_overlay(
+                ds2, ds1, "difference", keep_no_candidate_rows=True,
+                cols1=[c for c in c2 if c != "doc_id"], size=size,
+            )
+
+            def remap21(batch: pa.Table) -> pa.Table:
+                batch = batch.rename_columns(
+                    [c.replace("l1_", "l2_", 1) if c.startswith("l1_") else c
+                     for c in batch.column_names]
+                )
+                for f in f1:
+                    batch = batch.append_column(
+                        f.name, pa.nulls(len(batch), f.type)
+                    )
+                return batch.select(order)
+
+            out = out.union(d21.map_batches(remap21, batch_format="pyarrow"))
+        return out
+
+    paired = cell_cogroup(
+        ds1, ds2, group_fn, c1, c2, size=size, broadcast=False
+    ).materialize()
+
+    done_ds = paired.filter(expr="__done == True").map_batches(
+        strip, batch_format="pyarrow"
+    )
+    pending = paired.filter(expr="__done == False")
+
+    def per_doc(group: pa.Table) -> pa.Table:
+        cands = [c for c in group.column("__cand").to_pylist() if c is not None]
+        g1_wkb = group.column("__g1")[0].as_py()
+        base = group.slice(0, 1).select(order).drop_columns([_GEOM])
+        if not cands:
+            return base.append_column(_GEOM, pa.array([g1_wkb], pa.binary()))
+        ga1 = from_wkb([g1_wkb])
+        cand = from_wkb(cands)
+        code, parts = _geom_of_pair_op(
+            ga1, 0, cand, np.arange(len(cands)), "difference"
+        )
+        out_ga = GeometryArray.from_parts([(code, parts)])
+        if out_ga.is_empty()[0]:
+            return base.slice(0, 0).append_column(
+                _GEOM, pa.array([], pa.binary())
+            )
+        return base.append_column(_GEOM, to_wkb_arrow(out_ga))
+
+    resolved = pending.groupby(["__side", "__key"]).map_groups(
+        per_doc, batch_format="pyarrow"
+    )
+    return done_ds.union(resolved)
+
+
+def _fused_eligible(ds1: ray.data.Dataset, ds2: ray.data.Dataset) -> bool:
+    """The fused engine skips the auto-subdivide machinery, so route
+    layers with complex geometries (difference would subdivide them)
+    through the composed path instead; the probe is the same cheap
+    byte-length scan the composed ops run anyway."""
+    return (
+        _max_coords_estimate(ds1) <= _SUBDIVIDE_DIFFERENCE
+        and _max_coords_estimate(ds2) <= _SUBDIVIDE_DIFFERENCE
+    )
+
+
 def identity(
     ds1: ray.data.Dataset,
     ds2: ray.data.Dataset,
@@ -806,6 +1050,15 @@ def identity(
     """intersection(a,b) ⊎ difference(a,b) (geoops.identity/split)."""
     cols1 = list(cols1 or _attr_cols(ds1))
     cols2 = list(cols2 or _attr_cols(ds2))
+    if _fused_eligible(ds1, ds2):
+        out = _fused_overlay(
+            ds1, ds2, cols1, cols2, size or OPTIONS.cell_size,
+            want_inter=True, want_d21=False,
+        )
+        return _apply_geom_post(
+            out, gridsize=gridsize, explodecollections=explodecollections,
+            where_post=where_post,
+        )
     inter = intersection(ds1, ds2, cols1, cols2, size=size)
     diff = difference(ds1, ds2, cols1, size=size)
     f2 = _prefixed_schema(
@@ -836,6 +1089,15 @@ def symmetric_difference(
     """difference(a,b) ⊎ difference(b,a), other-side columns null."""
     cols1 = list(cols1 or _attr_cols(ds1))
     cols2 = list(cols2 or _attr_cols(ds2))
+    if _fused_eligible(ds1, ds2):
+        out = _fused_overlay(
+            ds1, ds2, cols1, cols2, size or OPTIONS.cell_size,
+            want_inter=False, want_d21=True,
+        )
+        return _apply_geom_post(
+            out, gridsize=gridsize, explodecollections=explodecollections,
+            where_post=where_post,
+        )
     d12 = difference(ds1, ds2, cols1, size=size)
     d21 = difference(ds2, ds1, cols2, size=size)
 
@@ -872,9 +1134,19 @@ def union(
     where_post: str | None = None,
 ) -> ray.data.Dataset:
     """intersection ⊎ difference(a,b) ⊎ difference(b,a) — the reference's
-    5-step union composition (_geoops_sql.py:3136-3291)."""
+    5-step union composition (_geoops_sql.py:3136-3291), here ONE fused
+    cell cogroup for simple-geometry layers."""
     cols1 = list(cols1 or _attr_cols(ds1))
     cols2 = list(cols2 or _attr_cols(ds2))
+    if _fused_eligible(ds1, ds2):
+        out = _fused_overlay(
+            ds1, ds2, cols1, cols2, size or OPTIONS.cell_size,
+            want_inter=True, want_d21=True,
+        )
+        return _apply_geom_post(
+            out, gridsize=gridsize, explodecollections=explodecollections,
+            where_post=where_post,
+        )
     sym = symmetric_difference(ds1, ds2, cols1, cols2, size=size)
     inter = intersection(ds1, ds2, cols1, cols2, size=size)
     f1 = _prefixed_schema(

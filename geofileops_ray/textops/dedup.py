@@ -86,6 +86,23 @@ def _shingles(toks: list[str], k: int = 3) -> list[str]:
     return [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
 
 
+_U64 = 1 << 64
+
+
+def _perm_consts(num_hashes: int) -> tuple[list[int], list[int]]:
+    """Deterministic affine-permutation constants h_i = (a_i·h + b_i)
+    mod 2^64: a_i odd 32-bit, b_i < 2^63 — both derived from md5 so the
+    SQL mirror can embed the same literals, and a_i·h + b_i ≤ 2^96 fits
+    DuckDB's HUGEINT exactly."""
+    A, B = [], []
+    for i in range(num_hashes):
+        da = hashlib.md5(f"perm_a|{i}".encode()).digest()
+        db = hashlib.md5(f"perm_b|{i}".encode()).digest()
+        A.append(int.from_bytes(da[:4], "little") | 1)
+        B.append(int.from_bytes(db[:8], "little") >> 1)
+    return A, B
+
+
 def minhash_signatures(
     ds: ray.data.Dataset,
     num_hashes: int = 16,
@@ -95,31 +112,52 @@ def minhash_signatures(
 ) -> ray.data.Dataset:
     """Per-doc MinHash signature + LSH band keys.
 
-    signature[i] = min over 3-token shingles of md5(f"{i}|{shingle}")
-    (lexicographic min of hex digests — identical in DuckDB). Output:
-    (doc_id, band_id, band_key) with band_key = md5 of the band's
-    concatenated min-hashes; docs sharing any (band_id, band_key) are
-    LSH near-dup candidates.
+    Base hash = md5_number_lower(shingle) (lower 8 md5 bytes,
+    little-endian — DuckDB-identical), computed ONCE per distinct
+    shingle in the batch; the ``num_hashes`` permutations are affine
+    maps (a_i·h + b_i) mod 2^64 evaluated as one vectorized uint64
+    matrix op, and per-doc minima come from one ``minimum.reduceat``
+    over the doc-offset segments — no per-doc × per-hash Python md5
+    loop (that was ``num_hashes × shingles`` digests per document, the
+    dominant cost at corpus scale). Output: (doc_id, band_id, band_key)
+    with band_key = md5 of the band's '|'-joined decimal min-hashes;
+    docs sharing any (band_id, band_key) are LSH near-dup candidates.
     """
     nb = num_hashes // band_size
+    A_c, B_c = _perm_consts(num_hashes)
 
     def fn(batch: pa.Table) -> pa.Table:
         texts = batch.column(text_col).to_pylist()
         ids = batch.column("doc_id").to_numpy()
+        doc_sh = [_shingles(_norm_tokens(t), shingle_k) for t in texts]
+        lens = np.fromiter((len(s) for s in doc_sh), np.int64, len(doc_sh))
+        flat = [s for sh in doc_sh for s in sh]
+        base = np.empty(len(flat), np.uint64)
+        memo: dict[str, int] = {}
+        for j, s in enumerate(flat):
+            v = memo.get(s)
+            if v is None:
+                v = int.from_bytes(hashlib.md5(s.encode()).digest()[8:], "little")
+                memo[s] = v
+            base[j] = v
+        A = np.array(A_c, np.uint64)
+        B = np.array(B_c, np.uint64)
+        with np.errstate(over="ignore"):
+            vals = base[:, None] * A[None, :] + B[None, :]  # uint64 wrap
+        offs = np.concatenate([[0], np.cumsum(lens)])
+        nz = np.flatnonzero(lens > 0)
         out_id, out_band, out_key = [], [], []
-        for d, t in zip(ids, texts):
-            sh = _shingles(_norm_tokens(t), shingle_k)
-            if not sh:
-                continue
-            sig = [
-                min(hashlib.md5(f"{i}|{s}".encode()).hexdigest() for s in sh)
-                for i in range(num_hashes)
-            ]
-            for b in range(nb):
-                band = "".join(sig[b * band_size : (b + 1) * band_size])
-                out_id.append(int(d))
-                out_band.append(b)
-                out_key.append(hashlib.md5(band.encode()).hexdigest())
+        if len(nz) and len(flat):
+            sig = np.minimum.reduceat(vals, offs[nz], axis=0)
+            for row, d in zip(sig, ids[nz]):
+                for b in range(nb):
+                    band = "|".join(
+                        str(int(v))
+                        for v in row[b * band_size : (b + 1) * band_size]
+                    )
+                    out_id.append(int(d))
+                    out_band.append(b)
+                    out_key.append(hashlib.md5(band.encode()).hexdigest())
         return pa.table(
             {
                 "doc_id": pa.array(out_id, pa.int64()),
@@ -162,11 +200,13 @@ def minhash_dedup_pairs(
         for d, t in zip(ids, txt):
             uniq[int(d)] = t
         items = sorted(uniq)[:bucket_cap]
+        # shingle sets computed ONCE per doc, not per pair
+        sets = [set(_shingles(_norm_tokens(uniq[d]), shingle_k)) for d in items]
         a_out, b_out, j_out = [], [], []
         for x in range(len(items)):
-            sx = set(_shingles(_norm_tokens(uniq[items[x]]), shingle_k))
+            sx = sets[x]
             for y in range(x + 1, len(items)):
-                sy = set(_shingles(_norm_tokens(uniq[items[y]]), shingle_k))
+                sy = sets[y]
                 inter = len(sx & sy)
                 un = len(sx | sy)
                 j = inter / un if un else 0.0
@@ -221,15 +261,24 @@ def minhash_dedup_pairs(
 
 
 def _minhash_ctes(num_hashes: int, band_size: int, shingle_k: int) -> str:
-    """Shared CTE chain: tokens → shingles → md5 minhash sig → bands."""
+    """Shared CTE chain: tokens → shingles → md5_number_lower base hash →
+    affine permutations (same (a_i, b_i) literals as the engine, HUGEINT
+    arithmetic mod 2^64) → per-doc minima → band keys."""
     nb = num_hashes // band_size
+    A_c, B_c = _perm_consts(num_hashes)
     band_rows = []
     for b in range(nb):
-        cols = "||".join(f"s{i}" for i in range(b * band_size, (b + 1) * band_size))
-        band_rows.append(f"SELECT doc_id, {b} AS band_id, md5({cols}) AS band_key FROM sig")
+        cols = " || '|' || ".join(
+            f"CAST(s{i} AS VARCHAR)"
+            for i in range(b * band_size, (b + 1) * band_size)
+        )
+        band_rows.append(
+            f"SELECT doc_id, {b} AS band_id, md5({cols}) AS band_key FROM sig"
+        )
     bands_sql = " UNION ALL ".join(band_rows)
     sig_cols = ", ".join(
-        f"min(CASE WHEN k = {i} THEN h END) AS s{i}" for i in range(num_hashes)
+        f"min((CAST(h AS HUGEINT) * {A_c[i]} + {B_c[i]}) % {_U64}) AS s{i}"
+        for i in range(num_hashes)
     )
     return f"""toks AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') t FROM documents),
@@ -239,8 +288,7 @@ sh AS (
   FROM (SELECT doc_id, t, unnest(range(1, GREATEST(len(t) - {shingle_k - 1}, 1) + 1)) i
         FROM toks WHERE len(t) > 0)),
 hs AS (
-  SELECT doc_id, k, md5(CAST(k AS VARCHAR) || '|' || shingle) h
-  FROM sh, generate_series(0, {num_hashes - 1}) ks(k)),
+  SELECT doc_id, md5_number_lower(shingle) h FROM sh),
 sig AS (
   SELECT doc_id, {sig_cols} FROM hs GROUP BY doc_id),
 bands AS ({bands_sql})"""

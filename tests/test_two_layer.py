@@ -185,6 +185,46 @@ def test_union_is_composition(ray_session, oracle, join_path):
     assert all(r["geometry"] is not None for r in res)
 
 
+def test_fused_overlay_matches_composed(ray_session, join_path, monkeypatch):
+    """The fused single-cogroup engine behind union / identity /
+    symmetric_difference must agree geometrically (same rows, same
+    attrs, same areas) with the composed 3-pass definition on both
+    execution paths (broadcast and forced cell co-shuffle)."""
+    import geofileops_ray.stages.overlay_ops as oo
+    from geofileops_ray.stages.overlay_ops import (
+        identity,
+        symmetric_difference,
+    )
+
+    def canon(ds):
+        rows = ds.take_all()
+        ga = from_wkb([r["geometry"] for r in rows])
+        areas = np.round(area(ga), 9)
+        out = []
+        for r, a in zip(rows, areas):
+            key = {k: v for k, v in sorted(r.items()) if k != "geometry"}
+            out.append((tuple(key.items()), float(a)))
+        return sorted(out, key=repr)
+
+    for fn in (union, symmetric_difference, identity):
+        got = canon(
+            fn(parcels_dataset(SF), zones_dataset(SF),
+               cols1=["OIDN"], cols2=["naam"])
+        )
+        # manual save/restore: monkeypatch.undo() would also revert the
+        # join_path fixture's broadcast_bytes patch (same instance)
+        orig = oo._fused_eligible
+        oo._fused_eligible = lambda *a: False
+        try:
+            want = canon(
+                fn(parcels_dataset(SF), zones_dataset(SF),
+                   cols1=["OIDN"], cols2=["naam"])
+            )
+        finally:
+            oo._fused_eligible = orig
+        assert got == want, f"{fn.__name__} fused != composed ({join_path})"
+
+
 def test_join_nearest(ray_session, oracle):
     res = join_nearest(
         points_dataset(SF), zones_dataset(SF), nb_nearest=2,

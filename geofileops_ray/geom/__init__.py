@@ -39,5 +39,5 @@ from .predicates import (  # noqa: F401
     pair_distance,
     pair_intersects,
 )
-from .strtree import PackedRTree, bbox_join  # noqa: F401
+from .strtree import BoxGrid, PackedRTree, bbox_join, bbox_join_auto  # noqa: F401
 from .wkb import from_wkb, to_wkb, to_wkb_arrow, to_wkt  # noqa: F401

@@ -68,9 +68,21 @@ class GeometryArray:
     # cached bounds, lazily computed: float64[n, 4] (minx, miny, maxx, maxy);
     # empty/missing rows get (inf, inf, -inf, -inf)
     _bounds: np.ndarray | None = field(default=None, repr=False)
+    # cached BoxGrid over bounds() — built on first box_grid() call, so a
+    # broadcast side decoded once per worker pays the build once
+    _box_grid: object | None = field(default=None, repr=False)
 
     def __len__(self) -> int:
         return len(self.types)
+
+    def box_grid(self):
+        """Memoized uniform-grid bbox index over ``bounds()`` (strtree
+        .BoxGrid) — for repeated per-batch joins against this array."""
+        if self._box_grid is None:
+            from .strtree import BoxGrid
+
+            self._box_grid = BoxGrid(self.bounds())
+        return self._box_grid
 
     # ---------------------------------------------------------- constructors
 

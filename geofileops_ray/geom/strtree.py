@@ -12,6 +12,8 @@ filtering — fully vectorized candidate generation, O((m+k) log(m+k) + out).
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 
@@ -84,6 +86,176 @@ def bbox_join(boxes_a: np.ndarray, boxes_b: np.ndarray,
     if not out_a:
         return (np.empty(0, dtype=np.int64),) * 2
     return np.concatenate(out_a), np.concatenate(out_b)
+
+
+class BoxGrid:
+    """Static uniform-grid index over boxes for repeated bbox joins
+    against the SAME (large, e.g. broadcast) side.
+
+    ``bbox_join`` re-sorts its b side per call and prunes on x only — a
+    dense 500k-row broadcast side makes every 8k-row batch expand ~10^7
+    x-window candidates to keep ~10^4 real pairs. This grid bins the b
+    boxes once (cell edge ≥ median box size, ~4 boxes/cell), and each
+    query expands only the cells the query box covers, so per-batch cost
+    tracks the TRUE pair count. Pairs discovered through several cells
+    are deduped with the ref-cell rule (emit only from the cell holding
+    the overlap region's min corner) — no sort/unique pass."""
+
+    __slots__ = ("boxes", "cell", "ox", "oy", "nx", "ny", "keys", "items")
+
+    def __init__(self, boxes: np.ndarray, target_per_cell: float = 4.0):
+        self.boxes = boxes.astype(np.float64, copy=False)
+        # empty/missing geometries carry (inf, inf, -inf, -inf) bounds —
+        # exclude them from the grid (they can never match)
+        valid = np.flatnonzero(
+            np.isfinite(self.boxes).all(axis=1) if len(self.boxes) else
+            np.zeros(0, dtype=bool)
+        )
+        b = self.boxes[valid]
+        n = len(b)
+        if n == 0:
+            self.cell, self.ox, self.oy, self.nx, self.ny = 1.0, 0.0, 0.0, 1, 1
+            self.keys = np.empty(0, dtype=np.int64)
+            self.items = np.empty(0, dtype=np.int64)
+            return
+        ox, oy = float(b[:, 0].min()), float(b[:, 1].min())
+        x1, y1 = float(b[:, 2].max()), float(b[:, 3].max())
+        area = max((x1 - ox) * (y1 - oy), 1e-12)
+        cell = math.sqrt(area * target_per_cell / n)
+        # cell at least the median box edge keeps per-box replication O(1)
+        bw = float(np.median(b[:, 2] - b[:, 0]))
+        bh = float(np.median(b[:, 3] - b[:, 1]))
+        cell = max(cell, bw, bh, 1e-9)
+        self.cell, self.ox, self.oy = cell, ox, oy
+        cx0 = np.floor((b[:, 0] - ox) / cell).astype(np.int64)
+        cx1 = np.floor((b[:, 2] - ox) / cell).astype(np.int64)
+        cy0 = np.floor((b[:, 1] - oy) / cell).astype(np.int64)
+        cy1 = np.floor((b[:, 3] - oy) / cell).astype(np.int64)
+        self.nx = int(cx1.max()) + 1
+        self.ny = int(cy1.max()) + 1
+        counts = (cx1 - cx0 + 1) * (cy1 - cy0 + 1)
+        total = int(counts.sum())
+        rep = np.repeat(valid, counts)
+        csum = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(counts, out=csum[1:])
+        ordn = np.arange(total, dtype=np.int64) - np.repeat(csum[:-1], counts)
+        w = np.repeat(cx1 - cx0 + 1, counts)
+        cx = np.repeat(cx0, counts) + ordn % w
+        cy = np.repeat(cy0, counts) + ordn // w
+        key = cx * self.ny + cy
+        order = np.argsort(key, kind="stable")
+        self.items = rep[order]
+        self.keys = key[order]
+
+    def query(
+        self, qboxes: np.ndarray, expand: float = 0.0
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """All pairs (i, j) with qboxes[i] (grown by ``expand``) touching
+        self.boxes[j] — the same inclusive predicate as ``bbox_join``."""
+        m = len(qboxes)
+        if m == 0 or len(self.items) == 0:
+            return (np.empty(0, dtype=np.int64),) * 2
+        q = qboxes.astype(np.float64, copy=bool(expand))
+        if expand:
+            q[:, :2] -= expand
+            q[:, 2:] += expand
+        cell, ox, oy = self.cell, self.ox, self.oy
+        # clip BEFORE floor/astype so ±inf (empty rows) stays finite
+        qx0 = np.floor(np.clip((q[:, 0] - ox) / cell, 0, self.nx - 1)).astype(np.int64)
+        qx1 = np.floor(np.clip((q[:, 2] - ox) / cell, 0, self.nx - 1)).astype(np.int64)
+        qy0 = np.floor(np.clip((q[:, 1] - oy) / cell, 0, self.ny - 1)).astype(np.int64)
+        qy1 = np.floor(np.clip((q[:, 3] - oy) / cell, 0, self.ny - 1)).astype(np.int64)
+        # boxes entirely off-grid have empty cell ranges after this mask
+        off = (
+            (q[:, 2] < ox)
+            | (q[:, 3] < oy)
+            | (q[:, 0] > ox + self.nx * cell)
+            | (q[:, 1] > oy + self.ny * cell)
+        )
+        ncell = np.where(off, 0, (qx1 - qx0 + 1) * (qy1 - qy0 + 1))
+        total = int(ncell.sum())
+        if total == 0:
+            return (np.empty(0, dtype=np.int64),) * 2
+        rep_q = np.repeat(np.arange(m, dtype=np.int64), ncell)
+        csum = np.zeros(m + 1, dtype=np.int64)
+        np.cumsum(ncell, out=csum[1:])
+        ordn = np.arange(total, dtype=np.int64) - np.repeat(csum[:-1], ncell)
+        w = np.repeat(np.where(off, 1, qx1 - qx0 + 1), ncell)
+        cx = np.repeat(qx0, ncell) + ordn % w
+        cy = np.repeat(qy0, ncell) + ordn // w
+        key = cx * self.ny + cy
+        s = np.searchsorted(self.keys, key, side="left")
+        e = np.searchsorted(self.keys, key, side="right")
+        cnt = e - s
+        ctot = int(cnt.sum())
+        if ctot == 0:
+            return (np.empty(0, dtype=np.int64),) * 2
+        ccs = np.zeros(len(cnt) + 1, dtype=np.int64)
+        np.cumsum(cnt, out=ccs[1:])
+        # chunk the candidate expansion (same L2-resident rationale as
+        # bbox_join): dense cells — a deliberately skewed urban pile puts
+        # thousands of boxes in one cell — would otherwise materialize
+        # multi-10M-row temporaries for one query batch
+        CHUNK = 65_536
+        nseg = len(cnt)
+        out_i: list[np.ndarray] = []
+        out_j: list[np.ndarray] = []
+        seg = 0
+        while seg < nseg:
+            seg_end = int(np.searchsorted(ccs, ccs[seg] + CHUNK, side="left"))
+            seg_end = min(max(seg_end, seg + 1), nseg)
+            cc = cnt[seg:seg_end]
+            P = int(cc.sum())
+            if P:
+                ii = np.repeat(rep_q[seg:seg_end], cc)
+                qcx = np.repeat(cx[seg:seg_end], cc)
+                qcy = np.repeat(cy[seg:seg_end], cc)
+                jj_pos = np.repeat(s[seg:seg_end], cc) + (
+                    np.arange(P, dtype=np.int64)
+                    - np.repeat(ccs[seg:seg_end] - ccs[seg], cc)
+                )
+                jj = self.items[jj_pos]
+                bq = q[ii]
+                bb = self.boxes[jj]
+                hit = (
+                    (bq[:, 0] <= bb[:, 2])
+                    & (bq[:, 2] >= bb[:, 0])
+                    & (bq[:, 1] <= bb[:, 3])
+                    & (bq[:, 3] >= bb[:, 1])
+                )
+                # ref-cell dedup: a pair found via several shared cells
+                # is kept only in the cell of the overlap region's min
+                # corner. For an overlapping pair that corner always lies
+                # inside BOTH covered cell ranges (b boxes define the
+                # grid extent; the hit mask bounds the corner by both
+                # boxes), so exactly one emission survives — no
+                # sort/unique pass.
+                rx = np.floor(
+                    (np.maximum(bq[:, 0], bb[:, 0]) - ox) / cell
+                ).astype(np.int64)
+                ry = np.floor(
+                    (np.maximum(bq[:, 1], bb[:, 1]) - oy) / cell
+                ).astype(np.int64)
+                keep = hit & (rx == qcx) & (ry == qcy)
+                if keep.any():
+                    out_i.append(ii[keep])
+                    out_j.append(jj[keep])
+            seg = seg_end
+        if not out_i:
+            return (np.empty(0, dtype=np.int64),) * 2
+        return np.concatenate(out_i), np.concatenate(out_j)
+
+
+def bbox_join_auto(
+    qboxes: np.ndarray, garr, expand: float = 0.0, threshold: int = 20_000
+) -> tuple[np.ndarray, np.ndarray]:
+    """bbox join of query boxes against a GeometryArray's bounds, via the
+    array's memoized BoxGrid when it is large (the broadcast side cached
+    per worker — the grid builds once, every batch reuses it), else the
+    plain sort-sweep ``bbox_join`` (per-cell groups, used once)."""
+    if len(garr) >= threshold:
+        return garr.box_grid().query(qboxes, expand=expand)
+    return bbox_join(qboxes, garr.bounds(), expand=expand)
 
 
 class PackedRTree:

@@ -33,7 +33,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from ..config import OPTIONS
-from ..geom import GeometryArray, bbox_join, from_wkb, to_wkb, to_wkb_arrow
+from ..geom import GeometryArray, bbox_join, bbox_join_auto, from_wkb, to_wkb, to_wkb_arrow
 from ..geom.overlay import parts_to_geom, polygon_overlay, union_all_parts
 from .geometry_batch import decode_geometry
 from .spatial_join import _pair_table, _ref_cell, cell_cogroup
@@ -82,7 +82,7 @@ def _self_round(
     def group_fn(g1, ga1, g2, ga2, cell):
         ids1 = g1.column("l1_doc_id").to_numpy()
         ids2 = g2.column("l2_doc_id").to_numpy()
-        ia, ib = bbox_join(ga1.bounds(), ga2.bounds())
+        ia, ib = bbox_join_auto(ga1.bounds(), ga2)
         if len(ia):
             keep = ids1[ia] != ids2[ib]
             ia, ib = ia[keep], ib[keep]

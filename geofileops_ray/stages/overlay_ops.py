@@ -30,7 +30,7 @@ import pyarrow as pa
 import ray.data
 
 from ..config import OPTIONS
-from ..geom import GeometryArray, bbox_join, from_wkb, to_wkb, to_wkb_arrow
+from ..geom import GeometryArray, bbox_join, bbox_join_auto, from_wkb, to_wkb, to_wkb_arrow
 from ..geom.array import LINESTRING, MULTILINESTRING, MULTIPOINT, POINT, POLYGON
 from ..geom.overlay import (
     line_line_overlap,
@@ -320,7 +320,7 @@ def intersection(
     ds2 = sub2 if sub2 is not None else ds2
 
     def group_fn(g1, ga1, g2, ga2, cell):
-        ia, ib = bbox_join(ga1.bounds(), ga2.bounds())
+        ia, ib = bbox_join_auto(ga1.bounds(), ga2)
         if len(ia) and cell is not None:
             ref = _ref_cell(ga1.bounds()[ia], ga2.bounds()[ib], size)
             own = ref == cell
@@ -396,6 +396,25 @@ def _interior_pairs_mask(
         q = RelationQuery("intersects is True and touches is False")
         keep[k] = evaluate_pairs(q, ga1, ia[k], ga2, ib[k])
     return keep
+
+
+def _dedupe_rect_candidates(gaB, js: np.ndarray) -> np.ndarray:
+    """Drop duplicate rectangle candidates (equal bounds ⇔ equal geometry
+    for axis-aligned rects). difference/clip always run against
+    union(candidates), which is invariant under duplicates — and a
+    replicated dense pile (the urban hot cluster: hundreds of stacked
+    copies, single-digit distinct rects) otherwise multiplies every
+    per-row sweep's operand B for zero effect on the result."""
+    if len(js) < 2:
+        return js
+    from .relation import detect_rects
+
+    r = detect_rects(gaB)[js]
+    if not r.any():
+        return js
+    nb = gaB.bounds()[js[r]]
+    _, uidx = np.unique(nb, axis=0, return_index=True)
+    return np.concatenate([js[~r], js[r][np.sort(uidx)]])
 
 
 def _resolve_local_rows(
@@ -549,10 +568,13 @@ def _resolve_local_rows(
             # python per-ring ensure_closed/orient loop is ~10× slower
             # on rows with hundreds of candidates
             marr = np.asarray(members, dtype=np.int64)
-            cands = np.unique(
-                np.concatenate(
-                    [ib_s[starts[i] : stops[i]] for i in members]
-                )
+            cands = _dedupe_rect_candidates(
+                ga2,
+                np.unique(
+                    np.concatenate(
+                        [ib_s[starts[i] : stops[i]] for i in members]
+                    )
+                ),
             )
             segA = ga_union_segments(ga1, marr)
             segB = ga_union_segments(ga2, cands)
@@ -590,7 +612,7 @@ def _resolve_local_rows(
                 out_geoms.append(parts_to_geom(rparts))
     # ---- per-row fallback (original path)
     for i in fallback:
-        js = ib_s[starts[i] : stops[i]]
+        js = _dedupe_rect_candidates(ga2, ib_s[starts[i] : stops[i]])
         code, parts = _geom_of_pair_op(ga1, int(i), ga2, js, op)
         out_rows.append(int(i))
         out_geoms.append((code, parts))
@@ -707,7 +729,7 @@ def _per_row_overlay(
 
     def group_fn(g1, ga1, g2, ga2, cell):
         b1 = ga1.bounds()
-        ia, ib = bbox_join(b1, ga2.bounds())
+        ia, ib = bbox_join_auto(b1, ga2)
         if cell is not None and len(ia):
             ref = _ref_cell(b1[ia], ga2.bounds()[ib], size)
             own = ref == cell
@@ -750,9 +772,9 @@ def _per_row_overlay(
     if g2t is not None:
         # broadcast: every row resolves locally (zero pending rows) — no
         # materialization / filter / gather stages at all
-        out = broadcast_cogroup(ds1, g2t, group_fn, f1g, f2g).map_batches(
-            strip, batch_format="pyarrow"
-        )
+        out = broadcast_cogroup(
+            ds1, g2t, group_fn, f1g, f2g, rows_per_task=4096
+        ).map_batches(strip, batch_format="pyarrow")
         if sliver_tolerance:
             out = _filter_slivers(out, sliver_tolerance)
         return out
@@ -770,7 +792,9 @@ def _per_row_overlay(
     pending = paired.filter(expr="__done == False")
 
     def per_doc(group: pa.Table) -> pa.Table:
-        cands = [c for c in group.column("__cand").to_pylist() if c is not None]
+        cands = list(dict.fromkeys(
+            c for c in group.column("__cand").to_pylist() if c is not None
+        ))
         g1_wkb = group.column("__g1")[0].as_py()
         base = group.slice(0, 1).drop_columns(["__g1", "__cand", "__done", _GEOM])
         ga1 = from_wkb([g1_wkb])
@@ -918,7 +942,7 @@ def _fused_overlay(
 
     def group_fn(g1, ga1, g2, ga2, cell):
         b1, b2 = ga1.bounds(), ga2.bounds()
-        ia, ib = bbox_join(b1, b2)
+        ia, ib = bbox_join_auto(b1, ga2)
         if cell is not None and len(ia):
             ref = _ref_cell(b1[ia], b2[ib], size)
             own = ref == cell
@@ -970,9 +994,9 @@ def _fused_overlay(
         # broadcast: one no-shuffle pass computes intersection + d12
         # entirely locally (cell=None ⇒ no pending rows); d21 gets its
         # own swapped broadcast pass below
-        out = broadcast_cogroup(ds1, g2t, group_fn, f1g, f2g).map_batches(
-            strip, batch_format="pyarrow"
-        )
+        out = broadcast_cogroup(
+            ds1, g2t, group_fn, f1g, f2g, rows_per_task=4096
+        ).map_batches(strip, batch_format="pyarrow")
         if want_d21:
             d21 = _per_row_overlay(
                 ds2, ds1, "difference", keep_no_candidate_rows=True,
@@ -1003,7 +1027,9 @@ def _fused_overlay(
     pending = paired.filter(expr="__done == False")
 
     def per_doc(group: pa.Table) -> pa.Table:
-        cands = [c for c in group.column("__cand").to_pylist() if c is not None]
+        cands = list(dict.fromkeys(
+            c for c in group.column("__cand").to_pylist() if c is not None
+        ))
         g1_wkb = group.column("__g1")[0].as_py()
         base = group.slice(0, 1).select(order).drop_columns([_GEOM])
         if not cands:

@@ -31,7 +31,7 @@ import ray.data
 from ray.data.aggregate import Max, Sum
 
 from ..config import OPTIONS
-from ..geom import GeometryArray, bbox_join, from_wkb
+from ..geom import GeometryArray, bbox_join, bbox_join_auto, from_wkb
 from ..tiling.cells import CELL_OFFSET, CELL_SHIFT, _SALT_SHIFT, compute_salt_map, replicate_to_cells
 from .geometry_batch import decode_geometry
 from .relation import RelationQuery, evaluate_pairs, pair_distances
@@ -145,6 +145,7 @@ def broadcast_cogroup(
     group_fn: Callable,
     f1: list[pa.Field],
     f2: list[pa.Field],
+    rows_per_task: int | None = None,
 ) -> ray.data.Dataset:
     """Big × small join without any shuffle: the (collected, small,
     already l2_-prefixed) layer2 is ray.put ONCE and read zero-copy from
@@ -152,7 +153,13 @@ def broadcast_cogroup(
     batch with ``cell=None`` (each layer1 row appears exactly once and
     every layer2 row is visible, so no replica/ownership dedup applies).
     This is the scale path for the common big-layer × small-layer case —
-    it turns an all-to-all exchange into an embarrassingly parallel map."""
+    it turns an all-to-all exchange into an embarrassingly parallel map.
+
+    ``rows_per_task`` splits layer1 into small blocks first (no shuffle)
+    so one task never owns a whole dense region: with doc-id-ordered
+    input a deliberately skewed hot cluster (urban pile) lands in a few
+    blocks whose candidate counts are ~30× the median — fine-grained
+    tasks let the scheduler spread that straggler across the pool."""
     import ray as _ray
 
     ref = _ray.put(g2)
@@ -165,9 +172,13 @@ def broadcast_cogroup(
         )
         return group_fn(g1, ga1, g2t, ga2, None)
 
+    batch_size = OPTIONS.batch_size
+    if rows_per_task:
+        ds1 = ds1.repartition(target_num_rows_per_block=rows_per_task)
+        batch_size = min(batch_size, rows_per_task)
     return ds1.map_batches(
         fn, batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=OPTIONS.batch_size,
+        batch_size=batch_size,
     )
 
 
@@ -316,7 +327,7 @@ def join_by_location(
     cols2 = list(cols2 or _attr_cols(ds2))
 
     def group_fn(g1, ga1, g2, ga2, cell):
-        ia, ib = bbox_join(ga1.bounds(), ga2.bounds())
+        ia, ib = bbox_join_auto(ga1.bounds(), ga2)
         if len(ia) and cell is not None:
             ref = _ref_cell(ga1.bounds()[ia], ga2.bounds()[ib], size)
             own = ref == cell
@@ -484,7 +495,7 @@ def _match_flags(
             if cell is None
             else _owner_cell(b1, size) == cell
         )
-        ia, ib = bbox_join(ga1.bounds(), ga2.bounds(), expand=expand1)
+        ia, ib = bbox_join_auto(ga1.bounds(), ga2, expand=expand1)
         matched = np.zeros(n1, dtype=np.int64)
         ncand = np.zeros(n1, dtype=np.int64)
         area = np.zeros(n1, dtype=np.float64)
@@ -554,7 +565,7 @@ def _matched_pairs_stream(
             b1 = b1.copy()
             b1[:, :2] -= expand1
             b1[:, 2:] += expand1
-        ia, ib = bbox_join(ga1.bounds(), ga2.bounds(), expand=expand1)
+        ia, ib = bbox_join_auto(ga1.bounds(), ga2, expand=expand1)
         if len(ia) and cell is not None:
             ref = _ref_cell(b1[ia], ga2.bounds()[ib], size)
             own = ref == cell

@@ -53,6 +53,11 @@ class Options:
     # zero-copy in every task — NO shuffle at all) when its materialized
     # size is at most this many bytes; 0 disables the broadcast path
     broadcast_bytes: int = _env_int("GFR_BROADCAST_BYTES", 64 * 1024 * 1024)
+    # layer1 rows per task on the broadcast path (repartition before the
+    # map so one task never owns a whole dense region — with ordered
+    # input all rows touching the small side can land in one block and
+    # that straggler IS the op's wall time); 0 keeps input blocks
+    broadcast_rows_per_task: int = _env_int("GFR_BCAST_ROWS_PER_TASK", 4096)
     # number of shuffle partitions for groupby/join stages (0 = let Ray pick)
     shuffle_partitions: int = _env_int("GFR_SHUFFLE_PARTITIONS", 0)
     # sliver tolerance applied to overlay outputs (GFO_SLIVER_TOLERANCE

@@ -466,10 +466,14 @@ def _resolve_local_rows(
             stops = np.searchsorted(ia_s, np.arange(n1) + 1)
     ncand = stops[rows_all] - starts[rows_all]
     # ---- zero-candidate rows: pass through (difference) or drop (clip)
-    for i in rows_all[ncand == 0]:
-        if keep_no_candidate_rows:
-            done_idx.append(int(i))
-            done_wkb.append(geom_col[int(i)].as_py())
+    if keep_no_candidate_rows:
+        zc = rows_all[ncand == 0]
+        if len(zc):
+            done_idx.extend(int(i) for i in zc)
+            # one batched take instead of per-row chunked-column getitem
+            done_wkb.extend(
+                geom_col.take(pa.array(zc, pa.int64())).to_pylist()
+            )
     rows = rows_all[ncand > 0]
     if len(rows) == 0:
         return done_idx, done_wkb
@@ -638,7 +642,6 @@ def _difference_group_part(
     size: float,
     op: str,
     keep_no_candidate_rows: bool,
-    force_pending: bool = False,
 ) -> tuple[pa.Table, pa.Table]:
     """One difference/clip direction inside a cell group: resolve the
     single-cell A rows locally against the union of their candidates
@@ -648,16 +651,10 @@ def _difference_group_part(
     be ownership-deduped by the caller.
 
     Returns ``(done_t, pend_t)`` — done_t: A attr columns + ``geometry``;
-    pend_t: A attr columns + ``__g1`` + ``__cand``. ``force_pending``
-    routes every A row through the gather (used by the fused overlay's
-    B-side under broadcast mode, where each call sees only one batch of
-    candidates)."""
+    pend_t: A attr columns + ``__g1`` + ``__cand``."""
     bA = gaA.bounds()
     nA = len(gA)
-    if force_pending:
-        local = np.zeros(nA, dtype=bool)
-        owner = np.ones(nA, dtype=bool)
-    elif cell is None:
+    if cell is None:
         # broadcast mode: every row sees all candidates — resolve
         # everything locally, no straddler/owner machinery
         local = np.ones(nA, dtype=bool)
@@ -773,7 +770,7 @@ def _per_row_overlay(
         # broadcast: every row resolves locally (zero pending rows) — no
         # materialization / filter / gather stages at all
         out = broadcast_cogroup(
-            ds1, g2t, group_fn, f1g, f2g, rows_per_task=4096
+            ds1, g2t, group_fn, f1g, f2g, rows_per_task=OPTIONS.broadcast_rows_per_task or None
         ).map_batches(strip, batch_format="pyarrow")
         if sliver_tolerance:
             out = _filter_slivers(out, sliver_tolerance)
@@ -995,7 +992,7 @@ def _fused_overlay(
         # entirely locally (cell=None ⇒ no pending rows); d21 gets its
         # own swapped broadcast pass below
         out = broadcast_cogroup(
-            ds1, g2t, group_fn, f1g, f2g, rows_per_task=4096
+            ds1, g2t, group_fn, f1g, f2g, rows_per_task=OPTIONS.broadcast_rows_per_task or None
         ).map_batches(strip, batch_format="pyarrow")
         if want_d21:
             d21 = _per_row_overlay(

@@ -231,7 +231,10 @@ def cell_cogroup(
             None if broadcast else OPTIONS.broadcast_bytes,
         )
         if g2 is not None:
-            return broadcast_cogroup(ds1, g2, group_fn, f1, f2)
+            return broadcast_cogroup(
+                ds1, g2, group_fn, f1, f2,
+                rows_per_task=OPTIONS.broadcast_rows_per_task or None,
+            )
     salt_map = (
         compute_salt_map(ds1, size, expand=expand1) if salt else None
     )

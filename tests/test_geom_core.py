@@ -437,3 +437,50 @@ def test_from_wkb_arrow_zero_copy_paths():
     # all-degenerate batch (empty blobs) falls back safely
     empty = pa.array([b"", b""], pa.binary())
     assert len(from_wkb(empty)) == 2
+
+
+def test_box_grid_matches_sweep_join():
+    """BoxGrid.query must return exactly bbox_join's pair set (inclusive
+    touch predicate, no duplicates) on random dense/sparse box soups,
+    incl. empty-geometry sentinel rows and expand>0 (dwithin)."""
+    import numpy as np
+
+    from geofileops_ray.geom.strtree import BoxGrid, bbox_join
+
+    rng = np.random.default_rng(42)
+    for trial in range(25):
+        n, m = int(rng.integers(1, 400)), int(rng.integers(1, 400))
+
+        def boxes(k, scale):
+            c = rng.uniform(0, 100, (k, 2))
+            w = rng.uniform(0, scale, (k, 2))
+            return np.concatenate([c - w, c + w], axis=1)
+
+        B = boxes(n, float(rng.uniform(0.5, 20)))
+        Q = boxes(m, float(rng.uniform(0.5, 20)))
+        if n > 3:
+            B[rng.integers(0, n, 2)] = [np.inf, np.inf, -np.inf, -np.inf]
+        if m > 3:
+            Q[rng.integers(0, m, 2)] = [np.inf, np.inf, -np.inf, -np.inf]
+        expand = float(rng.choice([0.0, 0.0, 3.0]))
+        ia, ib = bbox_join(Q, B, expand=expand)
+        ga, gb = BoxGrid(B).query(Q, expand=expand)
+        want = set(zip(ia.tolist(), ib.tolist()))
+        got = set(zip(ga.tolist(), gb.tolist()))
+        assert len(got) == len(ga), f"trial {trial}: duplicate pairs"
+        assert got == want, f"trial {trial}: pair set mismatch"
+
+
+def test_box_grid_stacked_duplicates():
+    """A pile of identical boxes (the urban-cluster shape) must not blow
+    up the grid: every query still gets the exact pair set."""
+    import numpy as np
+
+    from geofileops_ray.geom.strtree import BoxGrid, bbox_join
+
+    B = np.tile(np.array([[10.0, 10.0, 18.0, 17.0]]), (5000, 1))
+    Q = np.array([[9.0, 9.0, 11.0, 11.0], [50.0, 50.0, 60.0, 60.0]])
+    ia, ib = bbox_join(Q, B)
+    ga, gb = BoxGrid(B).query(Q)
+    assert set(zip(ia.tolist(), ib.tolist())) == set(zip(ga.tolist(), gb.tolist()))
+    assert len(ga) == 5000

@@ -116,10 +116,10 @@ def run_benchmarks(num_cpus: int, only_flagship: bool = False, repeat: int = 0) 
     # honest cost. Set BENCH_BEST_OF=1 for single-shot timing.
     best_of = int(os.environ.get("BENCH_BEST_OF", "2"))
 
-    def timed(fn):
+    def timed(fn, n: int | None = None):
         best = float("inf")
         out = None
-        for _ in range(best_of):
+        for _ in range(n or best_of):
             t0 = time.perf_counter()
             out = fn()
             best = min(best, time.perf_counter() - t0)
@@ -185,6 +185,16 @@ def run_benchmarks(num_cpus: int, only_flagship: bool = False, repeat: int = 0) 
             lambda: union_overlay(p, tri, cols1=[], cols2=[]).count()
         )
         results["union_overlay"] = round(t, 3)
+        # flat self-union with cover counts on the 500k triangle layer —
+        # the reference's union_full_self row (515k self-overlay, attr
+        # COLUMNS: 73.9 s, benchmark_results.csv:96); best-of-1, the op
+        # is the heaviest single row
+        from geofileops_ray.stages.compound import union_full_self
+
+        _, t = timed(
+            lambda: union_full_self(tri, agg="count").count(), n=1
+        )
+        results["union_full_self"] = round(t, 3)
         # concave layer: interlocking staircase L-shapes (general
         # NON-convex kernels — neither rect nor convex-SAT fast paths)
         lsh = lshapes_dataset(SF_DIR, repeat).materialize()

@@ -301,6 +301,69 @@ def convex_rect_predicates(
     return out
 
 
+def convex_convex_interiors(
+    ga1: GeometryArray, ia: np.ndarray, ga2: GeometryArray, ib: np.ndarray
+) -> np.ndarray:
+    """bool per pair: the two convex single-ring polygons' INTERIORS
+    intersect ('intersects and not touches') — complete SAT over both
+    polygons' edge normals, vectorized with pair chunking so the
+    (pairs × edges × vertices) projection temporaries stay bounded.
+    Same 1e-12 distance tolerance as convex_rect_predicates / the
+    generic predicates. Callers guarantee convex_single_ring() rows."""
+    eps = 1e-12
+    m = len(ia)
+    if m == 0:
+        return np.zeros(0, dtype=bool)
+    out = np.zeros(m, dtype=bool)
+    b1 = ga1.bounds()[ia]
+    b2 = ga2.bounds()[ib]
+    bb_strict = (
+        (b1[:, 0] < b2[:, 2] - eps)
+        & (b1[:, 2] > b2[:, 0] + eps)
+        & (b1[:, 1] < b2[:, 3] - eps)
+        & (b1[:, 3] > b2[:, 1] + eps)
+    )
+    cand = np.flatnonzero(bb_strict)
+    if len(cand) == 0:
+        return out
+    P1, c1 = _gather_open_rings(ga1, ia[cand])
+    P2, c2 = _gather_open_rings(ga2, ib[cand])
+
+    def _sep_touch(PA, cA, PB, cB):
+        """True per pair: some edge normal of A separates (allowing
+        boundary contact within eps) A from B."""
+        n, V, _ = PA.shape
+        VB = PB.shape[1]
+        slot = np.arange(V)
+        validA = slot[None, :] < cA[:, None]
+        rows = np.arange(n)[:, None].repeat(V, axis=1)
+        nxt = np.where(slot[None, :] + 1 < cA[:, None], slot[None, :] + 1, 0)
+        ex = PA[rows, nxt, 0] - PA[:, :, 0]
+        ey = PA[rows, nxt, 1] - PA[:, :, 1]
+        nx_, ny_ = -ey, ex  # inward normal of a CCW edge
+        etol = eps * np.hypot(ex, ey)
+        ref = nx_ * PA[:, :, 0] + ny_ * PA[:, :, 1]
+        res = np.zeros(n, dtype=bool)
+        chunk = max(1, (1 << 22) // max(V * VB, 1))
+        validB = np.arange(VB)[None, :] < cB[:, None]
+        for s in range(0, n, chunk):
+            e = min(s + chunk, n)
+            proj = (
+                nx_[s:e, :, None] * PB[s:e, None, :, 0]
+                + ny_[s:e, :, None] * PB[s:e, None, :, 1]
+            )
+            proj = np.where(validB[s:e, None, :], proj, -np.inf)
+            bmax = proj.max(axis=2)
+            res[s:e] = ((bmax <= ref[s:e] + etol[s:e]) & validA[s:e]).any(
+                axis=1
+            )
+        return res
+
+    sep = _sep_touch(P1, c1, P2, c2) | _sep_touch(P2, c2, P1, c1)
+    out[cand] = ~sep
+    return out
+
+
 def padded_to_wkb(P: np.ndarray, cnt: np.ndarray) -> list[bytes | None]:
     """WKB POLYGON per padded ring via the vectorized slab encoder;
     None where cnt == 0. Consecutive duplicate vertices (a vertex exactly

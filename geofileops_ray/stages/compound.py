@@ -77,95 +77,153 @@ def _self_round(
     dedup_intersections). difference part = row − union(other rows);
     intersection = pairwise row∩row for id_a < id_b, deduplicated
     geometrically (reference delete_duplicate_geometries step,
-    _union_full.py:150-236)."""
+    _union_full.py:150-236).
+
+    Shape: ONE self co-group per round emitting a tagged stream —
+    ``__kind`` 0 = locally-resolved difference rows (single-cell rows,
+    or every row under broadcast), 1 = pending difference straddlers
+    (gathered per doc id afterwards), 2 = pairwise intersections
+    (batched kernels via ``_pairwise_overlay_geoms``, id1 < id2 so each
+    unordered pair is emitted exactly once). This replaces the round-1
+    shape that shuffled one Python group per input row."""
+    from .overlay_ops import (
+        _difference_group_part,
+        _pairwise_overlay_geoms,
+    )
+    from .spatial_join import (
+        _owner_cell,
+        _prefixed_projection,
+        _prefixed_schema,
+        _probe_collect,
+        broadcast_cogroup,
+        delete_duplicate_geometries,
+    )
+
+    names = ["doc_id", _GEOM, "__g1", "__cand", "__done", "__kind", "__pass"]
+
+    def _tag(t: pa.Table, kind: int, done: bool) -> pa.Table:
+        n = len(t)
+        cols = {c: t.column(c) for c in t.column_names}
+        if _GEOM not in cols:
+            cols[_GEOM] = pa.nulls(n, pa.binary())
+        if "__g1" not in cols:
+            cols["__g1"] = pa.nulls(n, pa.binary())
+        if "__cand" not in cols:
+            cols["__cand"] = pa.nulls(n, pa.binary())
+        cols["__done"] = pa.array(np.full(n, done, dtype=bool))
+        cols["__kind"] = pa.array(np.full(n, kind, dtype=np.int8))
+        if "__pass" not in cols:
+            cols["__pass"] = pa.array(np.zeros(n, dtype=bool))
+        return pa.table({c: cols[c] for c in names})
 
     def group_fn(g1, ga1, g2, ga2, cell):
         ids1 = g1.column("l1_doc_id").to_numpy()
         ids2 = g2.column("l2_doc_id").to_numpy()
-        ia, ib = bbox_join_auto(ga1.bounds(), ga2)
+        b1 = ga1.bounds()
+        ia, ib = bbox_join_auto(b1, ga2)
         if len(ia):
             keep = ids1[ia] != ids2[ib]
             ia, ib = ia[keep], ib[keep]
-            if cell is not None:
-                ref = _ref_cell(ga1.bounds()[ia], ga2.bounds()[ib], size)
+            if cell is not None and len(ia):
+                ref = _ref_cell(b1[ia], ga2.bounds()[ib], size)
                 own = ref == cell
                 ia, ib = ia[own], ib[own]
-        # pair rows (for both difference-gather and intersections)
-        out = _pair_table(g1, ia, g2, ib)
-        # singles: every l1 row once, from its owner cell, null l2 side
-        from .spatial_join import _owner_cell
-
-        own_rows = np.flatnonzero(
-            np.ones(len(g1), dtype=bool)
-            if cell is None
-            else _owner_cell(ga1.bounds(), size) == cell
+        parts: list[pa.Table] = []
+        # ---- pairwise intersections, id1 < id2 (once per unordered pair)
+        lt = ids1[ia] < ids2[ib] if len(ia) else np.zeros(0, dtype=bool)
+        pia, pib = ia[lt], ib[lt]
+        wkb = _pairwise_overlay_geoms(ga1, pia, ga2, pib)
+        keepw = (
+            np.array([w is not None for w in wkb], dtype=bool)
+            if len(pia) else np.zeros(0, dtype=bool)
         )
-        if len(own_rows):
-            left = g1.take(pa.array(own_rows))
-            cols = {c: left.column(c) for c in left.column_names}
-            for name in out.column_names:
-                if name not in cols:
-                    cols[name] = pa.nulls(
-                        len(own_rows), out.schema.field(name).type
-                    )
-            singles = pa.table({c: cols[c] for c in out.column_names})
-            out = pa.concat_tables([out, singles])
-        return out
+        kia, kib = pia[keepw], pib[keepw]
+        pair_ids = np.array(
+            [_pair_key(int(ids1[i]), int(ids2[j])) for i, j in zip(kia, kib)],
+            dtype=np.int64,
+        )
+        inter_t = pa.table(
+            {
+                "doc_id": pa.array(pair_ids, pa.int64()),
+                _GEOM: pa.array([w for w in wkb if w is not None], pa.binary()),
+            }
+        )
+        parts.append(_tag(inter_t, 2, done=True))
+        # ---- difference side: local rows resolved here, straddlers pend
+        done_t, pend_t = _difference_group_part(
+            g1, ga1, ga2, "l1_" + _GEOM, g2.column("l2_" + _GEOM),
+            ia, ib, cell, size, "difference", keep_no_candidate_rows=True,
+        )
+        parts.append(
+            _tag(done_t.rename_columns(["doc_id", _GEOM, "__pass"]), 0, True)
+        )
+        parts.append(
+            _tag(pend_t.rename_columns(["doc_id", "__g1", "__cand"]), 1, False)
+        )
+        return pa.concat_tables(parts)
 
-    pairs = cell_cogroup(
-        ds, ds, group_fn, ["doc_id"], ["doc_id"], size=size
-    ).materialize()
+    f1g = _prefixed_schema(ds.schema().base_schema, "l1_", ["doc_id", _GEOM])
+    f2g = _prefixed_schema(ds.schema().base_schema, "l2_", ["doc_id", _GEOM])
+    g2t = (
+        _probe_collect(
+            _prefixed_projection(ds, f2g), f2g, OPTIONS.broadcast_bytes
+        )
+        if OPTIONS.broadcast_bytes
+        else None
+    )
+    if g2t is not None:
+        tagged = broadcast_cogroup(
+            ds, g2t, group_fn, f1g, f2g,
+            rows_per_task=OPTIONS.broadcast_rows_per_task or None,
+        ).materialize()
+    else:
+        tagged = cell_cogroup(
+            ds, ds, group_fn, ["doc_id"], ["doc_id"], size=size,
+            broadcast=False,
+        ).materialize()
+
+    def strip(batch: pa.Table) -> pa.Table:
+        return batch.select(["doc_id", _GEOM])
+
+    def strip_pass(batch: pa.Table) -> pa.Table:
+        return batch.select(["doc_id", _GEOM, "__pass"])
+
+    diff_done = tagged.filter(expr="__kind == 0").map_batches(
+        strip_pass, batch_format="pyarrow"
+    )
 
     def per_doc_diff(group: pa.Table) -> pa.Table:
-        g1_wkb = group.column("l1_geometry")[0].as_py()
-        cands = [c for c in group.column("l2_geometry").to_pylist() if c is not None]
-        ga1 = from_wkb([g1_wkb])
-        base = pa.table(
-            {
-                "doc_id": group.column("l1_doc_id").slice(0, 1),
-            }
-        )
+        g1_wkb = group.column("__g1")[0].as_py()
+        cands = list(dict.fromkeys(
+            c for c in group.column("__cand").to_pylist() if c is not None
+        ))
+        base = pa.table({"doc_id": group.column("doc_id").slice(0, 1)})
         if not cands:
-            return base.append_column(_GEOM, pa.array([g1_wkb], pa.binary()))
+            return base.append_column(
+                _GEOM, pa.array([g1_wkb], pa.binary())
+            ).append_column("__pass", pa.array([True]))
+        ga1 = from_wkb([g1_wkb])
         cand = from_wkb(cands)
-        code, parts = _geom_of_pair_op(ga1, 0, cand, np.arange(len(cands)), "difference")
+        code, parts = _geom_of_pair_op(
+            ga1, 0, cand, np.arange(len(cands)), "difference"
+        )
         out_ga = GeometryArray.from_parts([(code, parts)])
         if out_ga.is_empty()[0]:
-            return base.slice(0, 0).append_column(_GEOM, pa.array([], pa.binary()))
-        return base.append_column(_GEOM, to_wkb_arrow(out_ga))
-
-    diff = pairs.groupby("l1_doc_id").map_groups(per_doc_diff, batch_format="pyarrow")
-
-    def inter_batch(batch: pa.Table) -> pa.Table:
-        ids1 = batch.column("l1_doc_id").to_numpy()
-        l2 = batch.column("l2_doc_id")
-        valid = np.flatnonzero(np.asarray(l2.is_valid()))
-        out_id, out_wkb = [], []
-        if len(valid):
-            ids2 = l2.to_numpy(zero_copy_only=False)
-            sel = valid[ids1[valid] < ids2[valid]]
-            if len(sel):
-                ga1 = from_wkb(batch.column("l1_geometry").take(pa.array(sel)))
-                ga2 = from_wkb(batch.column("l2_geometry").take(pa.array(sel)))
-                for k in range(len(sel)):
-                    code, parts = _geom_of_pair_op(
-                        ga1, k, ga2, np.array([k]), "intersection"
-                    )
-                    g = GeometryArray.from_parts([(code, parts)])
-                    if not g.is_empty()[0]:
-                        i = sel[k]
-                        out_id.append(_pair_key(int(ids1[i]), int(ids2[i])))
-                        out_wkb.append(to_wkb(g)[0])
-        return pa.table(
-            {
-                "doc_id": pa.array(out_id, pa.int64()),
-                _GEOM: pa.array(out_wkb, pa.binary()),
-            }
+            return base.slice(0, 0).append_column(
+                _GEOM, pa.array([], pa.binary())
+            ).append_column("__pass", pa.array([], pa.bool_()))
+        return base.append_column(_GEOM, to_wkb_arrow(out_ga)).append_column(
+            "__pass", pa.array([False])
         )
 
-    inters = pairs.map_batches(inter_batch, batch_format="pyarrow")
-    from .spatial_join import delete_duplicate_geometries
-
+    pend = tagged.filter(expr="__kind == 1")
+    resolved = pend.groupby("doc_id").map_groups(
+        per_doc_diff, batch_format="pyarrow"
+    )
+    diff = diff_done.union(resolved)
+    inters = tagged.filter(expr="__kind == 2").map_batches(
+        strip, batch_format="pyarrow"
+    )
     inters = delete_duplicate_geometries(inters)
     return diff, inters
 
@@ -199,10 +257,20 @@ def union_full_self(
             # 63-bit pair keys, so arithmetic tagging would overflow
             ids = batch.column("doc_id").to_numpy()
             pid = _splitmix64_np(ids ^ np.int64(_splitmix64(_r + 1) & _SM64_MASK))
+            # __pass ⇒ "covered only by itself" holds ONLY for round-0
+            # pieces (a later round's piece derives from an intersection,
+            # so ≥2 original rows cover it even when the piece itself
+            # passed that round's self-difference untouched)
+            p = (
+                batch.column("__pass")
+                if _r == 0
+                else pa.array(np.zeros(len(batch), dtype=bool))
+            )
             return pa.table(
                 {
                     "piece_id": pa.array(pid, pa.int64()),
                     _GEOM: batch.column(_GEOM),
+                    "__pass": p,
                 }
             )
 
@@ -220,16 +288,63 @@ def union_full_self(
     # _union_full.py:238-302); rect fast path handles the common case
     from .spatial_join import join_by_location
 
-    joined = join_by_location(
-        flat.map_batches(
-            lambda b: b.rename_columns(["doc_id", _GEOM]), batch_format="pyarrow"
-        ),
-        base,
-        "coveredby is True",
-        cols1=[],
-        cols2=agg_cols,
-        size=size,
-    )
+    from .spatial_join import join_by_location as _jbl
+
+    def _cover_join(pieces_ds):
+        return join_by_location(
+            pieces_ds.map_batches(
+                lambda b: b.select(["piece_id", _GEOM]).rename_columns(
+                    ["doc_id", _GEOM]
+                ),
+                batch_format="pyarrow",
+            ),
+            base,
+            "coveredby is True",
+            # explicit: the []-default would probe _attr_cols (schema
+            # unavailable on an empty layer); doc_id is carried anyway
+            cols1=["doc_id"],
+            cols2=agg_cols,
+            size=size,
+        )
+
+    if agg == "count" and not agg_cols:
+        # Untouched round-0 pieces (zero candidates after interior
+        # pruning — output bytes ARE the input bytes) are covered by
+        # exactly ONE input row: themselves. They skip the cover
+        # re-attach join; on mostly-disjoint layers that is nearly every
+        # piece (the reference joins all pieces, _union_full.py:238-302).
+        # Cut pieces take the native path: C++ groupby count + one hash
+        # join back to geometries — no per-piece Python group calls.
+        def pass_one(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "piece_id": batch.column("piece_id"),
+                    "nb_covering": pa.array(
+                        np.ones(len(batch), dtype=np.int64)
+                    ),
+                    _GEOM: batch.column(_GEOM),
+                }
+            )
+
+        passed = flat.filter(expr="__pass == True").map_batches(
+            pass_one, batch_format="pyarrow"
+        )
+        cut = flat.filter(expr="__pass == False").materialize()
+        if cut.count() == 0:
+            return passed
+        counts = _cover_join(cut).groupby("l1_doc_id").count().map_batches(
+            lambda b: b.rename_columns(["piece_id", "nb_covering"]),
+            batch_format="pyarrow",
+        )
+        geoms = cut.map_batches(
+            lambda b: b.select(["piece_id", _GEOM]), batch_format="pyarrow"
+        )
+        cut_out = counts.join(
+            geoms, join_type="inner", num_partitions=16, on=("piece_id",)
+        )
+        return cut_out.union(passed)
+
+    joined = _cover_join(flat)
 
     def per_piece(group: pa.Table) -> pa.Table:
         cols = {

@@ -395,6 +395,15 @@ def _interior_pairs_mask(
         k = np.flatnonzero(eligible)
         q = RelationQuery("intersects is True and touches is False")
         keep[k] = evaluate_pairs(q, ga1, ia[k], ga2, ib[k])
+    # convex × convex pairs (neither side a rect): batched two-sided SAT
+    # — e.g. triangle layers, where edge-touching neighbours are the
+    # MAJORITY of bbox candidates and would otherwise all be swept
+    cc = ~eligible & cvx1[ia] & cvx2[ib]
+    if cc.any():
+        from ..geom.convexclip import convex_convex_interiors
+
+        k = np.flatnonzero(cc)
+        keep[k] = convex_convex_interiors(ga1, ia[k], ga2, ib[k])
     return keep
 
 
@@ -428,8 +437,13 @@ def _resolve_local_rows(
     stops: np.ndarray,
     op: str,
     keep_no_candidate_rows: bool,
-) -> tuple[list[int], list[bytes]]:
+) -> tuple[list[int], list[bytes], list[bool]]:
     """Resolve the single-cell rows of a difference/clip group.
+
+    Third return: per done row, True iff the row PASSED THROUGH untouched
+    (zero candidates after interior pruning — its output bytes are the
+    input bytes). union_full_self uses this to skip the cover re-attach
+    join for untouched pieces (their cover count is exactly 1).
 
     The per-row sweep's cost is DOMINATED by fixed numpy overhead
     (~0.7 ms/row for a 5-point rect minus 2 triangles), so rows whose
@@ -448,9 +462,10 @@ def _resolve_local_rows(
 
     done_idx: list[int] = []
     done_wkb: list[bytes] = []
+    done_pass: list[bool] = []
     rows_all = np.flatnonzero(local)
     if len(rows_all) == 0:
-        return done_idx, done_wkb
+        return done_idx, done_wkb, done_pass
     if len(ia_s):
         # drop candidates whose interiors provably don't meet the row
         # (vectorized rect/convex-SAT test; non-eligible pairs stay).
@@ -474,9 +489,10 @@ def _resolve_local_rows(
             done_wkb.extend(
                 geom_col.take(pa.array(zc, pa.int64())).to_pylist()
             )
+            done_pass.extend([True] * len(zc))
     rows = rows_all[ncand > 0]
     if len(rows) == 0:
-        return done_idx, done_wkb
+        return done_idx, done_wkb, done_pass
     # ---- batchable = polygonal row with all-polygonal candidates
     poly1 = np.isin(ga1.types, (POLYGON, MULTIPOLYGON))
     poly2 = np.isin(ga2.types, (POLYGON, MULTIPOLYGON))
@@ -627,7 +643,8 @@ def _resolve_local_rows(
         for k in np.flatnonzero(nonempty):
             done_idx.append(out_rows[k])
             done_wkb.append(wkbs[k])
-    return done_idx, done_wkb
+            done_pass.append(False)
+    return done_idx, done_wkb, done_pass
 
 
 def _difference_group_part(
@@ -670,12 +687,15 @@ def _difference_group_part(
     ia_s, ib_s = ia[order], ib[order]
     starts = np.searchsorted(ia_s, np.arange(nA))
     stops = np.searchsorted(ia_s, np.arange(nA) + 1)
-    done_idx, done_wkb = _resolve_local_rows(
+    done_idx, done_wkb, done_pass = _resolve_local_rows(
         gaA, gaB, gA.column(geomA_name), local, ia_s, ib_s, starts, stops,
         op, keep_no_candidate_rows,
     )
     done_t = attrs.take(pa.array(done_idx, pa.int64()))
     done_t = done_t.append_column(_GEOM, pa.array(done_wkb, pa.binary()))
+    done_t = done_t.append_column(
+        "__pass", pa.array(done_pass, pa.bool_())
+    )
     keep_pair = ~local[ia_s] if len(ia_s) else np.zeros(0, bool)
     pia = ia_s[keep_pair]
     pib = ib_s[keep_pair]
@@ -736,7 +756,7 @@ def _per_row_overlay(
             ia, ib, cell, size, op, keep_no_candidate_rows,
         )
         n_d = len(done_t)
-        done_part = done_t.drop_columns([_GEOM])
+        done_part = done_t.drop_columns([_GEOM, "__pass"])
         done_part = done_part.append_column("__g1", pa.nulls(n_d, pa.binary()))
         done_part = done_part.append_column("__cand", pa.nulls(n_d, pa.binary()))
         done_part = done_part.append_column(_GEOM, done_t.column(_GEOM))

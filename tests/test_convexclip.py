@@ -153,3 +153,46 @@ def test_sat_predicates_tolerate_sweep_noise():
     for p in ("coveredby", "intersects", "within"):
         assert bool(got[p][0]) is bool(PREDICATES[p](ga, 0, gr, 0)), p
     assert bool(got["coveredby"][0]) is True
+
+
+def test_convex_convex_interiors_matches_generic():
+    """The two-sided convex SAT interior test (candidate pruning for
+    difference/clip/union_full_self) must agree exactly with the generic
+    pair predicates ('intersects and not touches') on random lattice
+    triangles — including edge-touching tilings, the case the prune
+    exists for."""
+    import numpy as np
+
+    from geofileops_ray.geom import GeometryArray
+    from geofileops_ray.geom.convexclip import (
+        convex_convex_interiors,
+        convex_single_ring,
+    )
+    from geofileops_ray.stages.relation import RelationQuery, evaluate_pairs
+
+    rng = np.random.default_rng(3)
+
+    def make_tri(n):
+        geoms = []
+        while len(geoms) < n:
+            pts = rng.integers(0, 12, (3, 2)).astype(float)
+            a = (pts[1, 0] - pts[0, 0]) * (pts[2, 1] - pts[0, 1]) - (
+                pts[2, 0] - pts[0, 0]
+            ) * (pts[1, 1] - pts[0, 1])
+            if abs(a) > 0.5:
+                if a < 0:
+                    pts = pts[::-1]
+                ring = np.concatenate([pts, pts[:1]], axis=0)
+                geoms.append((3, [[ring]]))
+        return GeometryArray.from_parts(geoms)
+
+    ga1, ga2 = make_tri(150), make_tri(150)
+    assert convex_single_ring(ga1).all() and convex_single_ring(ga2).all()
+    ia = rng.integers(0, 150, 800).astype(np.int64)
+    ib = rng.integers(0, 150, 800).astype(np.int64)
+    got = convex_convex_interiors(ga1, ia, ga2, ib)
+    want = evaluate_pairs(
+        RelationQuery("intersects is True and touches is False"),
+        ga1, ia, ga2, ib,
+    )
+    assert (got == want).all()

@@ -174,8 +174,21 @@ def broadcast_cogroup(
 
     batch_size = OPTIONS.batch_size
     if rows_per_task:
-        ds1 = ds1.repartition(target_num_rows_per_block=rows_per_task)
-        batch_size = min(batch_size, rows_per_task)
+        # the split prevents one task owning a whole dense region — a
+        # WALL-time straggler only when the pool would otherwise idle.
+        # With few CPUs the natural block count already saturates the
+        # pool and the extra repartition pass dominates (2-cpu flagship:
+        # 72 s → 195 s with unconditional splitting), so gate on pool
+        # size.
+        try:
+            import ray as _ray2
+
+            ncpu = int(_ray2.cluster_resources().get("CPU", 0))
+        except Exception:  # pragma: no cover - resources probe best-effort
+            ncpu = 0
+        if ncpu >= 16:
+            ds1 = ds1.repartition(target_num_rows_per_block=rows_per_task)
+            batch_size = min(batch_size, rows_per_task)
     return ds1.map_batches(
         fn, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=batch_size,

@@ -184,12 +184,23 @@ def _pairwise_overlay_geoms(
             for pos, kk_i in enumerate(k):
                 out[kk_i] = blobs[pos]
             fast = fast | sel
-    for k in np.flatnonzero(~fast):
-        i, j = int(ia[k]), int(ib[k])
-        code, parts = _geom_of_pair_op(ga1, i, ga2, np.array([j]), "intersection")
-        g = GeometryArray.from_parts([(code, parts)])
-        if not g.is_empty()[0]:
-            out[k] = to_wkb(g)[0]
+    # general fallback pairs: sweep per pair, but assemble + WKB-encode
+    # the whole batch ONCE (per-pair from_parts/to_wkb was ~15% of the
+    # fallback path's time)
+    slow = np.flatnonzero(~fast)
+    if len(slow):
+        geoms = []
+        for k in slow:
+            i, j = int(ia[k]), int(ib[k])
+            geoms.append(
+                _geom_of_pair_op(ga1, i, ga2, np.array([j]), "intersection")
+            )
+        g = GeometryArray.from_parts(geoms)
+        nonempty = ~g.is_empty()
+        if nonempty.any():
+            wkbs = to_wkb(g)
+            for pos in np.flatnonzero(nonempty):
+                out[slow[pos]] = wkbs[pos]
     return out
 
 

@@ -184,6 +184,34 @@ def _pairwise_overlay_geoms(
             for pos, kk_i in enumerate(k):
                 out[kk_i] = blobs[pos]
             fast = fast | sel
+    # ANY-shape subject fully inside a rect partner: the intersection IS
+    # the subject — one batched byte copy, no sweep (the dominant case
+    # for small features × large tile/zone rectangles; for the lshape ×
+    # zone bench ~90% of pairs take this path)
+    if not fast.all():
+        b1a, b2a = ga1.bounds(), ga2.bounds()
+        for sel_rect, gsub, isub, grect, irect in (
+            (r2, ga1, ia, ga2, ib),
+            (r1, ga2, ib, ga1, ia),
+        ):
+            bs = gsub.bounds()[isub]
+            br = grect.bounds()[irect]
+            cov = (
+                ~fast
+                & sel_rect[irect]
+                & (grect.types[irect] == POLYGON)
+                & (bs[:, 0] >= br[:, 0])
+                & (bs[:, 1] >= br[:, 1])
+                & (bs[:, 2] <= br[:, 2])
+                & (bs[:, 3] <= br[:, 3])
+                & ~gsub.is_empty()[isub]
+            )
+            if cov.any():
+                k = np.flatnonzero(cov)
+                blobs = to_wkb(gsub.take(isub[k]))
+                for pos, kk_i in enumerate(k):
+                    out[kk_i] = blobs[pos]
+                fast = fast | cov
     # general fallback pairs: sweep per pair, but assemble + WKB-encode
     # the whole batch ONCE (per-pair from_parts/to_wkb was ~15% of the
     # fallback path's time)

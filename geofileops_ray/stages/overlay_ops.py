@@ -518,6 +518,43 @@ def _resolve_local_rows(
             n1 = len(local)
             starts = np.searchsorted(ia_s, np.arange(n1))
             stops = np.searchsorted(ia_s, np.arange(n1) + 1)
+    if len(ia_s):
+        # rows whose bbox sits INSIDE a solid rect candidate need no
+        # sweep either: difference → fully erased (no output row),
+        # clip → the row itself (pass-through bytes)
+        from .relation import detect_rects
+
+        r2m = detect_rects(ga2)
+        bA, bB = ga1.bounds(), ga2.bounds()
+        cov = (
+            r2m[ib_s]
+            & (ga2.types[ib_s] == POLYGON)
+            & (bA[ia_s, 0] >= bB[ib_s, 0])
+            & (bA[ia_s, 1] >= bB[ib_s, 1])
+            & (bA[ia_s, 2] <= bB[ib_s, 2])
+            & (bA[ia_s, 3] <= bB[ib_s, 3])
+        )
+        if cov.any():
+            cov_rows = np.zeros(len(local), dtype=bool)
+            cov_rows[ia_s[cov]] = True
+            cov_rows &= local
+            if cov_rows.any():
+                rows_c = np.flatnonzero(cov_rows)
+                if op == "intersection":
+                    done_idx.extend(int(i) for i in rows_c)
+                    done_wkb.extend(
+                        geom_col.take(pa.array(rows_c, pa.int64())).to_pylist()
+                    )
+                    done_pass.extend([False] * len(rows_c))
+                keep_p = ~cov_rows[ia_s]
+                ia_s, ib_s = ia_s[keep_p], ib_s[keep_p]
+                n1 = len(local)
+                starts = np.searchsorted(ia_s, np.arange(n1))
+                stops = np.searchsorted(ia_s, np.arange(n1) + 1)
+                local = local & ~cov_rows
+                rows_all = np.flatnonzero(local)
+                if len(rows_all) == 0:
+                    return done_idx, done_wkb, done_pass
     ncand = stops[rows_all] - starts[rows_all]
     # ---- zero-candidate rows: pass through (difference) or drop (clip)
     if keep_no_candidate_rows:

@@ -58,6 +58,14 @@ class Options:
     # input all rows touching the small side can land in one block and
     # that straggler IS the op's wall time); 0 keeps input blocks
     broadcast_rows_per_task: int = _env_int("GFR_BCAST_ROWS_PER_TASK", 4096)
+    # minimum pool size (CPUs) before the broadcast path repartitions
+    # layer1 into rows_per_task blocks. With few CPUs the natural block
+    # count already saturates the pool and the extra repartition pass
+    # dominates (2-cpu flagship: 72 s → 195 s measured with
+    # unconditional splitting); with a big pool the split prevents one
+    # dense block from being the op's wall time. Tunable because the
+    # crossover is host-dependent.
+    broadcast_split_min_cpus: int = _env_int("GFR_BCAST_SPLIT_MIN_CPUS", 16)
     # number of shuffle partitions for groupby/join stages (0 = let Ray pick)
     shuffle_partitions: int = _env_int("GFR_SHUFFLE_PARTITIONS", 0)
     # sliver tolerance applied to overlay outputs (GFO_SLIVER_TOLERANCE

@@ -231,14 +231,20 @@ def convex_rect_predicates(
     # the tolerance by |edge| so it stays a *distance* eps
     nx_ = -ey
     ny_ = ex
-    etol = eps * np.hypot(ex, ey)
+    elen = np.hypot(ex, ey)
+    etol = eps * elen
     ref = nx_ * P[:, :, 0] + ny_ * P[:, :, 1]
     x0, y0, x1, y1 = rects[:, 0], rects[:, 1], rects[:, 2], rects[:, 3]
     rmax = nx_ * np.where(nx_ > 0, x1[:, None], x0[:, None]) + ny_ * np.where(
         ny_ > 0, y1[:, None], y0[:, None]
     )
-    sep_strict = ((rmax < ref - etol) & valid).any(axis=1)
-    sep_touch = ((rmax <= ref + etol) & valid).any(axis=1)
+    # zero-length edges (duplicate consecutive vertices pass
+    # convex_single_ring since their cross products are 0) have a (0,0)
+    # normal with ref=etol=0, so rmax<=ref+etol holds vacuously — they
+    # must not vote in the separation tests
+    edge_ok = valid & (elen > 0)
+    sep_strict = ((rmax < ref - etol) & edge_ok).any(axis=1)
+    sep_touch = ((rmax <= ref + etol) & edge_ok).any(axis=1)
     pinf = np.where(valid, P[:, :, 0], np.inf)
     pminx = pinf.min(axis=1)
     pmaxx = np.where(valid, P[:, :, 0], -np.inf).max(axis=1)
@@ -341,7 +347,12 @@ def convex_convex_interiors(
         ex = PA[rows, nxt, 0] - PA[:, :, 0]
         ey = PA[rows, nxt, 1] - PA[:, :, 1]
         nx_, ny_ = -ey, ex  # inward normal of a CCW edge
-        etol = eps * np.hypot(ex, ey)
+        elen = np.hypot(ex, ey)
+        # a zero-length edge (duplicate consecutive vertex) has a (0,0)
+        # normal with ref=etol=0 — bmax<=ref always holds, falsely
+        # declaring the pair separated; mask it out of the vote
+        validA = validA & (elen > 0)
+        etol = eps * elen
         ref = nx_ * PA[:, :, 0] + ny_ * PA[:, :, 1]
         res = np.zeros(n, dtype=bool)
         chunk = max(1, (1 << 22) // max(V * VB, 1))

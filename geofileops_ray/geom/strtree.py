@@ -101,7 +101,15 @@ class BoxGrid:
     are deduped with the ref-cell rule (emit only from the cell holding
     the overlap region's min corner) — no sort/unique pass."""
 
-    __slots__ = ("boxes", "cell", "ox", "oy", "nx", "ny", "keys", "items")
+    __slots__ = (
+        "boxes", "cell", "ox", "oy", "nx", "ny", "keys", "items", "big",
+    )
+
+    # boxes covering more than this many cells (cell size is keyed to
+    # the MEDIAN box edge, so a few extent-spanning boxes in an
+    # otherwise small-box layer would each replicate O(n/target) grid
+    # entries) skip insertion and are checked linearly per query
+    BIG_CELL_CAP = 64
 
     def __init__(self, boxes: np.ndarray, target_per_cell: float = 4.0):
         self.boxes = boxes.astype(np.float64, copy=False)
@@ -117,6 +125,7 @@ class BoxGrid:
             self.cell, self.ox, self.oy, self.nx, self.ny = 1.0, 0.0, 0.0, 1, 1
             self.keys = np.empty(0, dtype=np.int64)
             self.items = np.empty(0, dtype=np.int64)
+            self.big = np.empty(0, dtype=np.int64)
             return
         ox, oy = float(b[:, 0].min()), float(b[:, 1].min())
         x1, y1 = float(b[:, 2].max()), float(b[:, 3].max())
@@ -134,6 +143,17 @@ class BoxGrid:
         self.nx = int(cx1.max()) + 1
         self.ny = int(cy1.max()) + 1
         counts = (cx1 - cx0 + 1) * (cy1 - cy0 + 1)
+        big = counts > self.BIG_CELL_CAP
+        self.big = valid[big]
+        if big.any():
+            keep = ~big
+            valid, counts = valid[keep], counts[keep]
+            cx0, cx1, cy0, cy1 = cx0[keep], cx1[keep], cy0[keep], cy1[keep]
+            n = len(valid)
+            if n == 0:
+                self.keys = np.empty(0, dtype=np.int64)
+                self.items = np.empty(0, dtype=np.int64)
+                return
         total = int(counts.sum())
         rep = np.repeat(valid, counts)
         csum = np.zeros(n + 1, dtype=np.int64)
@@ -153,12 +173,35 @@ class BoxGrid:
         """All pairs (i, j) with qboxes[i] (grown by ``expand``) touching
         self.boxes[j] — the same inclusive predicate as ``bbox_join``."""
         m = len(qboxes)
-        if m == 0 or len(self.items) == 0:
+        if m == 0 or (len(self.items) == 0 and len(self.big) == 0):
             return (np.empty(0, dtype=np.int64),) * 2
         q = qboxes.astype(np.float64, copy=bool(expand))
         if expand:
             q[:, :2] -= expand
             q[:, 2:] += expand
+        out_i: list[np.ndarray] = []
+        out_j: list[np.ndarray] = []
+        # extent-spanning boxes bypassed the grid: brute-check them,
+        # chunked over q rows so the (chunk × nbig) temporary is bounded
+        if len(self.big):
+            bb = self.boxes[self.big]
+            step = max(1, (1 << 22) // len(self.big))
+            for s0 in range(0, m, step):
+                qc = q[s0 : s0 + step]
+                hit = (
+                    (qc[:, None, 0] <= bb[None, :, 2])
+                    & (qc[:, None, 2] >= bb[None, :, 0])
+                    & (qc[:, None, 1] <= bb[None, :, 3])
+                    & (qc[:, None, 3] >= bb[None, :, 1])
+                )
+                qi, bj = np.nonzero(hit)
+                if len(qi):
+                    out_i.append(qi + s0)
+                    out_j.append(self.big[bj])
+        if len(self.items) == 0:
+            if not out_i:
+                return (np.empty(0, dtype=np.int64),) * 2
+            return np.concatenate(out_i), np.concatenate(out_j)
         cell, ox, oy = self.cell, self.ox, self.oy
         # clip BEFORE floor/astype so ±inf (empty rows) stays finite
         qx0 = np.floor(np.clip((q[:, 0] - ox) / cell, 0, self.nx - 1)).astype(np.int64)
@@ -175,7 +218,9 @@ class BoxGrid:
         ncell = np.where(off, 0, (qx1 - qx0 + 1) * (qy1 - qy0 + 1))
         total = int(ncell.sum())
         if total == 0:
-            return (np.empty(0, dtype=np.int64),) * 2
+            if not out_i:
+                return (np.empty(0, dtype=np.int64),) * 2
+            return np.concatenate(out_i), np.concatenate(out_j)
         rep_q = np.repeat(np.arange(m, dtype=np.int64), ncell)
         csum = np.zeros(m + 1, dtype=np.int64)
         np.cumsum(ncell, out=csum[1:])
@@ -189,7 +234,9 @@ class BoxGrid:
         cnt = e - s
         ctot = int(cnt.sum())
         if ctot == 0:
-            return (np.empty(0, dtype=np.int64),) * 2
+            if not out_i:
+                return (np.empty(0, dtype=np.int64),) * 2
+            return np.concatenate(out_i), np.concatenate(out_j)
         ccs = np.zeros(len(cnt) + 1, dtype=np.int64)
         np.cumsum(cnt, out=ccs[1:])
         # chunk the candidate expansion (same L2-resident rationale as
@@ -198,8 +245,6 @@ class BoxGrid:
         # multi-10M-row temporaries for one query batch
         CHUNK = 65_536
         nseg = len(cnt)
-        out_i: list[np.ndarray] = []
-        out_j: list[np.ndarray] = []
         seg = 0
         while seg < nseg:
             seg_end = int(np.searchsorted(ccs, ccs[seg] + CHUNK, side="left"))

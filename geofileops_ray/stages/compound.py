@@ -288,8 +288,6 @@ def union_full_self(
     # _union_full.py:238-302); rect fast path handles the common case
     from .spatial_join import join_by_location
 
-    from .spatial_join import join_by_location as _jbl
-
     def _cover_join(pieces_ds):
         return join_by_location(
             pieces_ds.map_batches(
@@ -330,17 +328,37 @@ def union_full_self(
             pass_one, batch_format="pyarrow"
         )
         cut = flat.filter(expr="__pass == False").materialize()
-        if cut.count() == 0:
+        n_cut = cut.count()
+        if n_cut == 0:
             return passed
+
+        def _name_counts(b: pa.Table) -> pa.Table:
+            # rename by NAME (Ray's count column is 'count()'; a
+            # positional rename breaks if the groupby output order or
+            # naming changes)
+            cnt_col = [c for c in b.column_names if c != "l1_doc_id"]
+            assert cnt_col == ["count()"], cnt_col
+            return pa.table(
+                {
+                    "piece_id": b.column("l1_doc_id"),
+                    "nb_covering": b.column("count()"),
+                }
+            )
+
         counts = _cover_join(cut).groupby("l1_doc_id").count().map_batches(
-            lambda b: b.rename_columns(["piece_id", "nb_covering"]),
-            batch_format="pyarrow",
+            _name_counts, batch_format="pyarrow"
         )
         geoms = cut.map_batches(
             lambda b: b.select(["piece_id", _GEOM]), batch_format="pyarrow"
         )
+        try:
+            ncpu = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:  # pragma: no cover - resources probe best-effort
+            ncpu = 8
+        # scale hash-join partitions with both pool size and piece count
+        nparts = max(2, min(max(ncpu, 16), n_cut // 10_000 + ncpu))
         cut_out = counts.join(
-            geoms, join_type="inner", num_partitions=16, on=("piece_id",)
+            geoms, join_type="inner", num_partitions=nparts, on=("piece_id",)
         )
         return cut_out.union(passed)
 

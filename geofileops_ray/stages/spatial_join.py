@@ -179,14 +179,15 @@ def broadcast_cogroup(
         # With few CPUs the natural block count already saturates the
         # pool and the extra repartition pass dominates (2-cpu flagship:
         # 72 s → 195 s with unconditional splitting), so gate on pool
-        # size.
+        # size (OPTIONS.broadcast_split_min_cpus / env
+        # GFR_BCAST_SPLIT_MIN_CPUS — the crossover is host-dependent).
         try:
             import ray as _ray2
 
             ncpu = int(_ray2.cluster_resources().get("CPU", 0))
         except Exception:  # pragma: no cover - resources probe best-effort
             ncpu = 0
-        if ncpu >= 16:
+        if ncpu >= OPTIONS.broadcast_split_min_cpus:
             ds1 = ds1.repartition(target_num_rows_per_block=rows_per_task)
             batch_size = min(batch_size, rows_per_task)
     return ds1.map_batches(

@@ -196,3 +196,42 @@ def test_convex_convex_interiors_matches_generic():
         ga1, ia, ga2, ib,
     )
     assert (got == want).all()
+
+
+def test_degenerate_edge_not_separating():
+    """A duplicate consecutive vertex (accepted by convex_single_ring —
+    its cross products are 0) yields a zero-length edge with a (0,0)
+    normal; that edge must not vote in the SAT separation tests, or
+    overlapping pairs are falsely declared separated and difference/clip
+    and the fused overlays silently leave rows uncut (ADVICE r2, high)."""
+    from geofileops_ray.geom.convexclip import (
+        convex_convex_interiors,
+        convex_rect_predicates,
+        convex_single_ring,
+    )
+
+    # unit squares overlapping 2x2 on [2,4]x[2,4]; A carries a duplicate
+    # consecutive vertex
+    dup_sq = np.array(
+        [[0, 0], [4, 0], [4, 0], [4, 4], [0, 4], [0, 0]], dtype=float
+    )
+    sq = np.array([[2, 2], [6, 2], [6, 6], [2, 6], [2, 2]], dtype=float)
+    ga1 = GeometryArray.from_parts([(3, [[dup_sq]])])
+    ga2 = GeometryArray.from_parts([(3, [[sq]])])
+    assert convex_single_ring(ga1).all()
+    got = convex_convex_interiors(
+        ga1, np.array([0]), ga2, np.array([0])
+    )
+    assert bool(got[0]) is True
+    got_r = convex_convex_interiors(
+        ga2, np.array([0]), ga1, np.array([0])
+    )
+    assert bool(got_r[0]) is True
+    # same for the convex x rect SAT predicates
+    preds = convex_rect_predicates(
+        ga1, np.array([0]), np.array([[2.0, 2.0, 6.0, 6.0]]),
+        {"intersects", "touches", "overlaps"},
+    )
+    assert bool(preds["intersects"][0]) is True
+    assert bool(preds["touches"][0]) is False
+    assert bool(preds["overlaps"][0]) is True

@@ -484,3 +484,46 @@ def test_box_grid_stacked_duplicates():
     ga, gb = BoxGrid(B).query(Q)
     assert set(zip(ia.tolist(), ib.tolist())) == set(zip(ga.tolist(), gb.tolist()))
     assert len(ga) == 5000
+
+
+def test_box_grid_extent_spanning_boxes():
+    """A few extent-spanning boxes in an otherwise small-box layer must
+    not replicate into O(n) grid cells (ADVICE r2): they take the linear
+    big-box path. Pair sets stay exact, and the grid's insertion count
+    stays bounded."""
+    import numpy as np
+
+    from geofileops_ray.geom.strtree import BoxGrid, bbox_join
+
+    rng = np.random.default_rng(7)
+    n = 3000
+    c = rng.uniform(0, 1000, (n, 2))
+    w = rng.uniform(0.1, 2.0, (n, 2))
+    B = np.concatenate([c - w, c + w], axis=1)
+    # three giant boxes spanning (almost) the whole extent
+    B[0] = [0.0, 0.0, 990.0, 995.0]
+    B[1] = [-5.0, 100.0, 1000.0, 120.0]  # full-width band
+    B[2] = [200.0, -5.0, 230.0, 1005.0]  # full-height band
+    g = BoxGrid(B)
+    # the extent-covering box must take the linear path; the thin bands
+    # may stay in the grid if the cell size keeps their replication small
+    assert 0 in g.big.tolist()
+    # replication stays bounded: no grid box inserts > BIG_CELL_CAP cells
+    assert len(g.items) <= (n - len(g.big)) * BoxGrid.BIG_CELL_CAP
+    cq = rng.uniform(0, 1000, (200, 2))
+    wq = rng.uniform(0.1, 5.0, (200, 2))
+    Q = np.concatenate([cq - wq, cq + wq], axis=1)
+    for expand in (0.0, 3.0):
+        ia, ib = bbox_join(Q, B, expand=expand)
+        ga, gb = g.query(Q, expand=expand)
+        got = set(zip(ga.tolist(), gb.tolist()))
+        assert len(got) == len(ga)
+        assert got == set(zip(ia.tolist(), ib.tolist()))
+    # all-big degenerate layer still answers exactly
+    Ball = np.tile(np.array([[0.0, 0.0, 990.0, 995.0]]), (5, 1))
+    Ball[2] = [100.0, 100.0, 101.0, 101.0]
+    # force bigness: tiny median edge would normally make these span all
+    g2 = BoxGrid(np.concatenate([Ball, B[3:50]], axis=0))
+    ia, ib = bbox_join(Q, np.concatenate([Ball, B[3:50]], axis=0))
+    ga, gb = g2.query(Q)
+    assert set(zip(ga.tolist(), gb.tolist())) == set(zip(ia.tolist(), ib.tolist()))

@@ -156,6 +156,17 @@ def _union_group_polygons(
     if len(idx) == 1:
         return [p for p in ga._parts_of(int(idx[0]))]
     boxes = ga.bounds()[idx]
+    # deterministic reduce order: a Ray group's row order varies run to
+    # run (block arrival), and sweep-event tie-breaks on lattice inputs
+    # follow input index — sort rows by content (bounds, size) so the
+    # union output is bit-identical across runs/partitionings
+    geo0, po0, ro0 = ga.geom_offsets, ga.part_offsets, ga.ring_offsets
+    npts0 = ro0[po0[geo0[idx + 1]]] - ro0[po0[geo0[idx]]]
+    order0 = np.lexsort(
+        (npts0, boxes[:, 3], boxes[:, 2], boxes[:, 1], boxes[:, 0])
+    )
+    idx = idx[order0]
+    boxes = boxes[order0]
     ia, ib = bbox_join(boxes, boxes)
     parent = np.arange(len(idx))
 

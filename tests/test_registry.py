@@ -85,3 +85,45 @@ def test_all_queries_against_oracles(ray_session, oracle, registry):
             if res.num_rows < 0:  # pragma: no cover
                 failures.append(f"{name}: negative rows?")
     assert not failures, "\n".join(failures)
+
+
+def test_driver_window_covers_families_with_oracles():
+    """The per-round driver checks only the FIRST 50 queries() entries.
+    Lock the curated window: every slot has an exact oracle (zero
+    rows-only checks inside the window) and every operator family keeps
+    a representative (VERDICT r2 item #1)."""
+    from geofileops_ray.pipelines.queries import ORACLES, QUERIES
+
+    window = list(QUERIES)[:50]
+    missing = [k for k in window if k not in ORACLES]
+    assert missing == [], f"driver-window rows without oracle: {missing}"
+    required = {
+        # two-layer joins
+        "sjoin_intersects", "sjoin_relate_mask_tri", "join_attributes",
+        "join_nearest_k2", "export_by_location_semi",
+        "export_by_location_anti_tri", "export_by_distance",
+        # overlays
+        "intersection_pairs", "intersection_tri", "intersection_lines",
+        "intersection_gridsize", "intersection_complexpoly", "clip_areas",
+        "difference_areas", "symmetric_difference_areas",
+        "union_overlay_areas", "union_overlay_lshape", "identity_areas",
+        "select_two_layers", "union_full_self_invariants",
+        "delete_duplicate_geometries", "concat_layers",
+        # dissolve
+        "dissolve_gewasgroep", "dissolve_median_json", "dissolve_lines",
+        "dissolve_within_distance_bars",
+        # single-layer
+        "buffer_area", "simplify_counts", "simplify_lang_counts",
+        "makevalid_bowties", "isvalid_bowties", "apply_scale2",
+        "update_column_area", "warp_affine", "reproject_3857",
+        # tiling
+        "tile_assignments_16", "zonal_rasterize_16", "vector_tile_cut_16",
+        "polygonize_mask_16",
+        # spans / media
+        "spans_reassemble", "media_ref_fanout",
+        # text / dedup / similarity / events
+        "language_id", "exact_dedup", "minhash_bands", "simhash32",
+        "ngram_jaccard", "embedding_topk10", "sessionize_30m",
+        "asof_click_view", "value_percentiles_per_type",
+    }
+    assert required <= set(window), sorted(required - set(window))

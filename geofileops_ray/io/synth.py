@@ -851,6 +851,101 @@ def lines2_dataset(sf_dir: str, repeat: int = 1) -> ray.data.Dataset:
     )
 
 
+# ----------------- mixed cover (layer 9c, heterogeneous line+polygon layer2)
+
+
+def _seg_wkb(x0, y0, x1, y1) -> pa.Array:
+    """Vectorized WKB LINESTRING (2 points) per row — 41 bytes/row."""
+    n = len(x0)
+    coords = np.empty((n, 4), dtype="<f8")
+    coords[:, 0], coords[:, 1] = x0, y0
+    coords[:, 2], coords[:, 3] = x1, y1
+    out = np.empty((n, 41), dtype=np.uint8)
+    out[:, :9] = np.frombuffer(
+        b"\x01\x02\x00\x00\x00\x02\x00\x00\x00", dtype=np.uint8
+    )
+    out[:, 9:] = coords.view(np.uint8).reshape(n, 32)
+    offsets = pa.array(np.arange(n + 1, dtype=np.int32) * 41)
+    return pa.Array.from_buffers(
+        pa.binary(), n, [None, offsets.buffers()[1], pa.py_buffer(out.tobytes())]
+    )
+
+
+def synth_mixedsubj_batch(batch: pa.Table) -> pa.Table:
+    """documents batch → horizontal 8-unit subject segments, one per doc
+    at (px, py+0.5)→(px+8, py+0.5) on the 10-unit doc grid — the layer1
+    side of the heterogeneous-overlay fixture."""
+    doc_id = batch.column("doc_id").to_numpy()
+    px = ((doc_id % GRID_W) * 10).astype(np.float64)
+    py = ((doc_id // GRID_W) * 10).astype(np.float64)
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_id, pa.int64()),
+            "geometry": _seg_wkb(px, py + 0.5, px + 8, py + 0.5),
+        }
+    )
+
+
+def synth_mixedcover_batch(batch: pa.Table) -> pa.Table:
+    """documents batch → a HETEROGENEOUS layer2: per doc one collinear
+    hbar LINESTRING (y=py+0.5, x∈[px+a, px+a+wl]) AND one rect POLYGON
+    (x∈[px+c, px+c+2], y∈[py, py+1]) — both are bbox candidates of the
+    same subject segment, so every overlay group sees MIXED line+polygon
+    candidates (the reference handles any mix via lower-primitive
+    extraction, _geoops_sql.py:1880-1891). Intervals sometimes overlap
+    (a+wl > c) so the union-merge path is exercised; closed-form 1-D
+    interval math in MIXEDCOVER_CTE."""
+    doc_id = batch.column("doc_id").to_numpy()
+    h = _hash(doc_id)
+    px = ((doc_id % GRID_W) * 10).astype(np.float64)
+    py = ((doc_id // GRID_W) * 10).astype(np.float64)
+    a = (h % 3).astype(np.float64)
+    wl = (2 + (h // 3) % 2).astype(np.float64)
+    c = (3 + (h // 6) % 3).astype(np.float64)
+    bars = pa.table(
+        {
+            "doc_id": pa.array(doc_id * 2, pa.int64()),
+            "geometry": _seg_wkb(px + a, py + 0.5, px + a + wl, py + 0.5),
+            "ckind": pa.array(["hbar"] * len(doc_id), pa.string()),
+        }
+    )
+    rects = pa.table(
+        {
+            "doc_id": pa.array(doc_id * 2 + 1, pa.int64()),
+            "geometry": rect_wkb(px + c, py, px + c + 2, py + 1),
+            "ckind": pa.array(["rect"] * len(doc_id), pa.string()),
+        }
+    )
+    return pa.concat_tables([bars, rects])
+
+
+# SQL mirror — per doc the subject segment [0,8] (local x) is covered by
+# the union of [a, a+wl] (hbar) and [c, c+2] (rect); both lie inside
+# [0,8], so covered length = wl + 2 − overlap and the difference/clip
+# lengths are closed-form.
+MIXEDCOVER_CTE = """
+mixedcover AS (
+  SELECT doc_id,
+         CAST(h % 3 AS DOUBLE) AS a,
+         CAST(2 + (h // 3) % 2 AS DOUBLE) AS wl,
+         CAST(3 + (h // 6) % 3 AS DOUBLE) AS c
+  FROM (SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS h FROM documents)
+)
+"""
+
+
+def mixedsubj_dataset(sf_dir: str, repeat: int = 1) -> ray.data.Dataset:
+    return expand_documents(read_documents(sf_dir), repeat).map_batches(
+        synth_mixedsubj_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def mixedcover_dataset(sf_dir: str, repeat: int = 1) -> ray.data.Dataset:
+    return expand_documents(read_documents(sf_dir), repeat).map_batches(
+        synth_mixedcover_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 # ------------------------------ docspans (layer 9, variable interleaved spans)
 
 

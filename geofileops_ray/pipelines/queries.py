@@ -1836,6 +1836,50 @@ LEFT JOIN lines2 b2 ON b2.doc_id = a.doc_id - 1 AND b2.is_hbar AND b2.hy = a.py
 ORDER BY 1"""
 
 
+# heterogeneous layer2 (MIXED line+polygon candidates in ONE overlay
+# group — reference lower-primitive extraction, _geoops_sql.py:1880-1891;
+# engine: sequential (A−lines)−polys for difference, A−(A−U) for clip)
+
+
+def _mixed_cte() -> str:
+    from ..io.synth import MIXEDCOVER_CTE
+
+    return f"WITH {MIXEDCOVER_CTE.strip()}"
+
+
+_MIXED_COV = "(wl + 2 - GREATEST(0, LEAST(a + wl, c + 2) - GREATEST(a, c)))"
+
+
+def q_difference_mixed(sf):
+    from ..io.synth import mixedcover_dataset, mixedsubj_dataset
+    from ..stages.overlay_ops import difference
+
+    ds = difference(mixedsubj_dataset(sf), mixedcover_dataset(sf), cols1=[])
+    ds = _with_geom_length(ds, "len_diff")
+    return _select(ds, ["l1_doc_id", "len_diff"])
+
+
+def O_DIFFERENCE_MIXED() -> str:
+    return f"""{_mixed_cte()}
+SELECT doc_id AS l1_doc_id, ROUND(8 - {_MIXED_COV}, 4) AS len_diff
+FROM mixedcover ORDER BY 1"""
+
+
+def q_clip_mixed(sf):
+    from ..io.synth import mixedcover_dataset, mixedsubj_dataset
+    from ..stages.overlay_ops import clip
+
+    ds = clip(mixedsubj_dataset(sf), mixedcover_dataset(sf), cols1=[])
+    ds = _with_geom_length(ds, "len_clip")
+    return _select(ds, ["l1_doc_id", "len_clip"])
+
+
+def O_CLIP_MIXED() -> str:
+    return f"""{_mixed_cte()}
+SELECT doc_id AS l1_doc_id, ROUND({_MIXED_COV}, 4) AS len_clip
+FROM mixedcover ORDER BY 1"""
+
+
 def q_dissolve_lines(sf):
     from ..io.synth import lines_dataset
 
@@ -2277,9 +2321,10 @@ QUERIES = {
     "intersection_complexpoly": q_intersection_complex,
     "clip_areas": q_clip,
     "difference_areas": q_difference,
+    "difference_mixed": q_difference_mixed,
+    "clip_mixed": q_clip_mixed,
     "symmetric_difference_areas": q_symmetric_difference,
     "union_overlay_areas": q_union_overlay,
-    "union_overlay_lshape": q_union_lshape,
     "identity_areas": q_identity,
     "select_two_layers": q_select_two_layers,
     "union_full_self_invariants": q_union_full_self_invariants,
@@ -2293,7 +2338,6 @@ QUERIES = {
     # single-layer geometry
     "buffer_area": q_buffer,
     "simplify_counts": q_simplify,
-    "simplify_lang_counts": _zigzag_simplify_query("lang"),
     "makevalid_bowties": q_makevalid,
     "isvalid_bowties": q_isvalid,
     "apply_scale2": q_apply_scale,
@@ -2347,6 +2391,8 @@ QUERIES = {
     "dissolve_tri": q_dissolve_tri,
     "buffer_tri": q_buffer_tri,
     "convexhull_tri": q_convexhull_tri,
+    "union_overlay_lshape": q_union_lshape,
+    "simplify_lang_counts": _zigzag_simplify_query("lang"),
     "sjoin_intersects_lshape": q_sjoin_lshape,
     "point_in_polygon_lshape": q_pip_lshape,
     "export_by_location_disjoint_lshape": q_export_disjoint_lshape,
@@ -2453,6 +2499,8 @@ ORACLES = {
     "intersection_line_line": O_INTERSECTION_LINE_LINE(),
     "difference_line_line": O_DIFFERENCE_LINE_LINE(),
     "difference_lines": O_DIFFERENCE_LINES(),
+    "difference_mixed": O_DIFFERENCE_MIXED(),
+    "clip_mixed": O_CLIP_MIXED(),
     "dissolve_lines": O_DISSOLVE_LINES(),
     "token_count": ta.TOKEN_COUNT_SQL,
     "quality_score": ta.QUALITY_SQL,

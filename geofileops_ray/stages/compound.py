@@ -51,12 +51,27 @@ def _splitmix64(x: int) -> int:
     return x ^ (x >> 31)
 
 
-def _pair_key(id1: int, id2: int) -> int:
-    """Collision-free-in-practice 63-bit key for an (id1 < id2) piece
-    pair: splitmix64 mix of both ids (the old arithmetic key
-    ids1*1000003 + ids2 % 1000003 collided whenever ids2 ≥ 1000003 —
-    routine from round 2 on, when piece ids are already products)."""
-    return (_splitmix64(id1 ^ _splitmix64(id2))) & _SM64_MASK
+def _ids_to_blob_array(ids: np.ndarray) -> pa.Array:
+    """int64 ids → variable-binary column of 8-byte big-endian blobs
+    (vectorized: one buffer build, no per-row Python). Big-endian so
+    byte-lexicographic blob order == numeric id order."""
+    n = len(ids)
+    buf = np.ascontiguousarray(ids.astype(np.int64)).view(np.uint64).astype(">u8").tobytes()
+    fsb = pa.Array.from_buffers(pa.binary(8), n, [None, pa.py_buffer(buf)])
+    return fsb.cast(pa.binary())
+
+
+def _blob_union(b1: bytes, b2: bytes) -> bytes:
+    """Union of two covering-set blobs (each a sorted sequence of 8-byte
+    big-endian ids) → the merged sorted-set blob. EXACT piece identity
+    for union_full_self rounds: a round-r intersection piece of parents
+    with covering sets S1, S2 is geometrically S1∪S2's common region, so
+    set equality ⇔ geometric identity — no hash, no collisions at any
+    scale (replaces the 63-bit splitmix pair key, whose birthday bound
+    meant ~n²/2^64 silent piece merges at the 10^12-pair design point)."""
+    a = np.frombuffer(b1, dtype=">u8")
+    b = np.frombuffer(b2, dtype=">u8")
+    return np.union1d(a, b).astype(">u8").tobytes()
 
 
 def _splitmix64_np(x: np.ndarray) -> np.ndarray:
@@ -117,12 +132,17 @@ def _self_round(
         return pa.table({c: cols[c] for c in names})
 
     def group_fn(g1, ga1, g2, ga2, cell):
-        ids1 = g1.column("l1_doc_id").to_numpy()
-        ids2 = g2.column("l2_doc_id").to_numpy()
+        # doc_id is the covering-set BLOB (sorted 8-byte big-endian ids);
+        # rank-code blobs to ints once per group so the != / < filters
+        # over O(candidate pairs) stay vectorized integer compares
+        ids1 = np.asarray(g1.column("l1_doc_id").to_pylist(), dtype=object)
+        ids2 = np.asarray(g2.column("l2_doc_id").to_pylist(), dtype=object)
+        _, inv = np.unique(np.concatenate([ids1, ids2]), return_inverse=True)
+        c1, c2 = inv[: len(ids1)], inv[len(ids1):]
         b1 = ga1.bounds()
         ia, ib = bbox_join_auto(b1, ga2)
         if len(ia):
-            keep = ids1[ia] != ids2[ib]
+            keep = c1[ia] != c2[ib]
             ia, ib = ia[keep], ib[keep]
             if cell is not None and len(ia):
                 ref = _ref_cell(b1[ia], ga2.bounds()[ib], size)
@@ -130,7 +150,7 @@ def _self_round(
                 ia, ib = ia[own], ib[own]
         parts: list[pa.Table] = []
         # ---- pairwise intersections, id1 < id2 (once per unordered pair)
-        lt = ids1[ia] < ids2[ib] if len(ia) else np.zeros(0, dtype=bool)
+        lt = c1[ia] < c2[ib] if len(ia) else np.zeros(0, dtype=bool)
         pia, pib = ia[lt], ib[lt]
         wkb = _pairwise_overlay_geoms(ga1, pia, ga2, pib)
         keepw = (
@@ -138,13 +158,12 @@ def _self_round(
             if len(pia) else np.zeros(0, dtype=bool)
         )
         kia, kib = pia[keepw], pib[keepw]
-        pair_ids = np.array(
-            [_pair_key(int(ids1[i]), int(ids2[j])) for i, j in zip(kia, kib)],
-            dtype=np.int64,
-        )
         inter_t = pa.table(
             {
-                "doc_id": pa.array(pair_ids, pa.int64()),
+                "doc_id": pa.array(
+                    [_blob_union(ids1[i], ids2[j]) for i, j in zip(kia, kib)],
+                    pa.binary(),
+                ),
                 _GEOM: pa.array([w for w in wkb if w is not None], pa.binary()),
             }
         )
@@ -245,18 +264,28 @@ def union_full_self(
         lambda b: b.select(list(dict.fromkeys(["doc_id", *agg_cols, _GEOM]))),
         batch_format="pyarrow",
     )
-    current = base.map_batches(
-        lambda b: b.select(["doc_id", _GEOM]), batch_format="pyarrow"
-    )
+    def _encode_round0(b: pa.Table) -> pa.Table:
+        # identity through the rounds is the covering-set blob (sorted
+        # 8-byte big-endian original ids) — exact at any scale
+        ids = b.column("doc_id").to_numpy()
+        return pa.table(
+            {"doc_id": _ids_to_blob_array(ids), _GEOM: b.column(_GEOM)}
+        )
+
+    current = base.map_batches(_encode_round0, batch_format="pyarrow")
     pieces: list[ray.data.Dataset] = []
     for rnd in range(max_rounds):
         diff, inters = _self_round(current, size)
 
         def tag(batch: pa.Table, _r: int = rnd) -> pa.Table:
-            # piece id = mix(doc_id, round): round-r ids may already be
-            # 63-bit pair keys, so arithmetic tagging would overflow
-            ids = batch.column("doc_id").to_numpy()
-            pid = _splitmix64_np(ids ^ np.int64(_splitmix64(_r + 1) & _SM64_MASK))
+            # piece id = round byte + covering-set blob (exact: set
+            # equality ⇔ geometric identity within a round, and the
+            # round prefix separates rounds)
+            ids = batch.column("doc_id").combine_chunks()
+            pid = pa.array(
+                [bytes([_r]) + (v or b"") for v in ids.to_pylist()],
+                pa.binary(),
+            )
             # __pass ⇒ "covered only by itself" holds ONLY for round-0
             # pieces (a later round's piece derives from an intersection,
             # so ≥2 original rows cover it even when the piece itself
@@ -268,7 +297,7 @@ def union_full_self(
             )
             return pa.table(
                 {
-                    "piece_id": pa.array(pid, pa.int64()),
+                    "piece_id": pid,
                     _GEOM: batch.column(_GEOM),
                     "__pass": p,
                 }

@@ -81,15 +81,49 @@ def _geom_of_pair_op(ga1: GeometryArray, i: int, cand: GeometryArray,
         # COLLINEAR overlap portions (point crossings drop out of
         # ST_CollectionExtract(..., 2)); line×polygon clips against the
         # candidate polygon union.
-        cand_types = cand.types[js]
-        if np.isin(cand_types, (LINESTRING, MULTILINESTRING)).all():
+        cand_line = np.isin(cand.types[js], (LINESTRING, MULTILINESTRING))
+        if cand_line.all():
             pieces = line_line_overlap(ga1._parts_of(i), cand, js, op)
-        elif np.isin(cand_types, (LINESTRING, MULTILINESTRING)).any():
-            raise NotImplementedError(
-                "mixed line/polygon layer2 candidates in one overlay"
-            )
-        else:
+        elif not cand_line.any():
             pieces = line_polygon_overlay(ga1._parts_of(i), cand, js, op)
+        else:
+            # MIXED line+polygon candidates (heterogeneous layer2, the
+            # reference's lower-primitive extraction handles any mix,
+            # _geoops_sql.py:1880-1891). difference vs a union is
+            # sequential: (A − lines) − polygons. clip (intersection vs
+            # the union) via double difference: A ∩ U = A − (A − U) —
+            # exact, and overlapping line/polygon coverage merges
+            # instead of duplicating.
+            js_l, js_p = js[cand_line], js[~cand_line]
+
+            def _seq_diff(parts):
+                p1 = line_line_overlap(parts, cand, js_l, "difference")
+                if not p1:
+                    return []
+                return line_polygon_overlay(
+                    [[p] for p in p1], cand, js_p, "difference"
+                )
+
+            if op == "difference":
+                pieces = _seq_diff(ga1._parts_of(i))
+            else:
+                rem = _seq_diff(ga1._parts_of(i))
+                if not rem:
+                    pieces = [
+                        r for part in ga1._parts_of(i) for r in part
+                    ]
+                else:
+                    from ..geom.array import GeometryArray as _GA
+
+                    rem_ga = _GA.from_parts(
+                        [(LINESTRING, [[p]]) for p in rem]
+                    )
+                    pieces = line_line_overlap(
+                        ga1._parts_of(i),
+                        rem_ga,
+                        np.arange(len(rem)),
+                        "difference",
+                    )
         if not pieces:
             return LINESTRING, []
         if len(pieces) == 1:
@@ -104,9 +138,15 @@ def _geom_of_pair_op(ga1: GeometryArray, i: int, cand: GeometryArray,
     # so overlapping candidates are handled in the SAME sweep that
     # computes the overlay — one sweep per row instead of two (the
     # pre-union pass measured as half the difference/clip wall time)
+    # POLYGON subject: only polygon candidates matter — line/point
+    # candidates have zero area, and the output primitive follows
+    # layer1 (reference force_output_geometrytype, clip/erase keep the
+    # input layer's type). Filtering by part type also keeps a ≥4-point
+    # LINE candidate from being swept as if it were a ring.
     cand_parts = [
         p
         for j in js
+        if cand.part_types(int(j)) == POLYGON
         for p in cand._parts_of(int(j))
         if len(p) and len(p[0]) >= 4
     ]

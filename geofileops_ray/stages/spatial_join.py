@@ -823,8 +823,16 @@ def delete_duplicate_geometries(
 ) -> ray.data.Dataset:
     """Drop rows whose geometry ST_Equals an earlier-priority row
     (geoops.delete_duplicate_geometries, _geoops_sql.py:164-249). Dedup
-    key = normalized-WKB hash → hash-partition groupby → keep the
-    FIRST_VALUE by priority (reference :198-225)."""
+    key = canonical-form sha1 (FULL 160-bit digest — no truncation, so
+    key equality is exact at any scale) → hash-partition groupby → keep
+    the FIRST_VALUE by priority (reference :198-225).
+
+    The dominant shapes — single-part, single-ring polygons and lines
+    (every union_full_self intersection piece) — are canonicalized
+    VECTORIZED over the packed coordinate slab: closing-vertex strip,
+    shoelace orientation, lex-min rotation and the reversal gather are
+    all whole-batch numpy; the per-row Python cost is one sha1 over a
+    slab slice. Multi-part / holed rows take the structural fallback."""
     import hashlib
 
     def _canon_ring(ring: np.ndarray) -> bytes:
@@ -834,27 +842,98 @@ def delete_duplicate_geometries(
         (ST_Equals-faithful, unlike a bare vertex multiset)."""
         from ..geom.overlay import ensure_ccw, ensure_closed
 
-        r = ensure_ccw(ensure_closed(np.round(ring, 9)))[:-1]
+        r = ensure_ccw(ensure_closed(np.round(ring, 9) + 0.0))[:-1]
         if len(r) == 0:
             return b""
-        k = int(np.lexsort((r[:, 1], r[:, 0]))[0])
-        return np.roll(r, -k, axis=0).tobytes()
+        ks = np.lexsort((r[:, 1], r[:, 0]))
+        k = int(ks[0])
+        ties = np.flatnonzero((r == r[k]).all(axis=1))
+        if len(ties) == 1:
+            return np.roll(r, -k, axis=0).tobytes()
+        # duplicated lex-min vertex: smallest rotation among the tied
+        # starts — invariant to the ring's stored start and orientation
+        return min(np.roll(r, -int(t), axis=0).tobytes() for t in ties)
 
     def keyed(batch: pa.Table) -> pa.Table:
         ga = decode_geometry(batch)
         n = len(ga)
         keys: list[str | None] = [None] * n
         lo, hi = ga.geom_coord_ranges()
-        # vectorized fast path: pure point rows key on their coordinate
-        from ..geom.array import POINT, POLYGON
+        from ..geom.array import (
+            LINESTRING,
+            MULTILINESTRING,
+            MULTIPOLYGON,
+            POINT,
+            POLYGON,
+        )
 
+        # vectorized fast path 1: pure point rows key on their coordinate
         is_pt = (ga.types == POINT) & (hi - lo == 1)
         if is_pt.any():
-            pts = np.round(ga.coords[lo[is_pt.nonzero()[0]]], 9)
+            pts = np.round(ga.coords[lo[is_pt.nonzero()[0]]], 9) + 0.0
             for j, i in enumerate(np.flatnonzero(is_pt)):
                 keys[i] = f"P{pts[j, 0]}_{pts[j, 1]}"
-        for i in np.flatnonzero(~is_pt):
-            # structure-preserving key: per part, canonical rings (outer
+
+        # vectorized fast path 2: single-part single-ring polygons/lines
+        geo, po = ga.geom_offsets, ga.part_offsets
+        nparts = geo[1:] - geo[:-1]
+        nrings = po[geo[1:]] - po[geo[:-1]]
+        prim_poly = np.isin(ga.types, (POLYGON, MULTIPOLYGON))
+        prim_line = np.isin(ga.types, (LINESTRING, MULTILINESTRING))
+        vec = (nparts == 1) & (nrings == 1) & (prim_poly | prim_line)
+        vec &= hi - lo > 0
+        vidx = np.flatnonzero(vec)
+        if len(vidx):
+            R = np.round(ga.coords, 9) + 0.0  # +0.0 normalizes -0.0
+            x, y = np.ascontiguousarray(R[:, 0]), np.ascontiguousarray(R[:, 1])
+            s = lo[vidx].astype(np.int64)
+            e = hi[vidx].astype(np.int64)
+            pol = prim_poly[vidx]
+            closed = pol & (e - s > 1) & (x[e - 1] == x[s]) & (y[e - 1] == y[s])
+            e = e - closed
+            L = e - s
+            # shoelace orientation over [s,e) with wraparound (cumsum of
+            # global consecutive-pair cross terms — no reduceat edges)
+            cr = x[:-1] * y[1:] - x[1:] * y[:-1]
+            cs = np.concatenate([[0.0], np.cumsum(cr)])
+            ccw = (cs[e - 1] - cs[s] + x[e - 1] * y[s] - x[s] * y[e - 1]) >= 0
+            ccw |= ~pol  # lines keep their direction (reference parity)
+            # ragged positions: w = within-ring offset, gpos = global idx
+            startw = np.concatenate([[0], np.cumsum(L)[:-1]]).astype(np.int64)
+            w = np.arange(int(L.sum()), dtype=np.int64) - np.repeat(startw, L)
+            gpos = np.repeat(s, L) + w
+            # lex-min (x, then y) vertex per ring via two reduceat passes
+            xg, yg = x[gpos], y[gpos]
+            minx = np.minimum.reduceat(xg, startw)
+            is_minx = xg == np.repeat(minx, L)
+            miny = np.minimum.reduceat(np.where(is_minx, yg, np.inf), startw)
+            is_min = is_minx & (yg == np.repeat(miny, L))
+            # a DUPLICATED lex-min vertex makes the rotation start
+            # ambiguous (start-dependent) — route those rare rings to the
+            # structural fallback, whose min-rotation tie-break is
+            # start/orientation-invariant
+            Lr = np.repeat(L, L)
+            multi = pol & (np.add.reduceat(is_min.astype(np.int64), startw) > 1)
+            # unique lex-min: its stored index IS the pivot (invariant)
+            pivot = np.minimum.reduceat(np.where(is_min, w, Lr), startw)
+            pivot = np.where(pol, pivot, 0)
+            dirn = np.where(ccw, 1, -1)
+            canon_w = (np.repeat(pivot, L) + np.repeat(dirn, L) * w) % np.repeat(L, L)
+            slab = np.ascontiguousarray(R[np.repeat(s, L) + canon_w]).tobytes()
+            mv = memoryview(slab)
+            offs = startw * 16
+            tb = np.where(pol, POLYGON, LINESTRING).astype(np.uint8)
+            if multi.any():
+                vec[vidx[multi]] = False  # → structural fallback below
+            for j, i in enumerate(vidx):
+                if multi[j]:
+                    continue
+                h = hashlib.sha1(mv[offs[j] : offs[j] + int(L[j]) * 16])
+                h.update(tb[j : j + 1].tobytes())
+                keys[i] = h.hexdigest()
+
+        for i in np.flatnonzero(~is_pt & ~vec):
+            # structural fallback: per part, canonical rings (outer
             # first, holes sorted); parts sorted — invariant to part/ring
             # order and ring start/orientation, sensitive to connectivity
             parts = ga._parts_of(int(i))
@@ -866,26 +945,57 @@ def delete_duplicate_geometries(
                         _canon_ring(r) for r in part[1:]
                     )
                 else:
-                    rings = [np.round(r, 9).tobytes() for r in part]
+                    rings = [(np.round(r, 9) + 0.0).tobytes() for r in part]
                 part_blobs.append(b"\x01".join(rings))
             blob = b"\x02".join(sorted(part_blobs)) + bytes([pt % 256])
-            keys[i] = hashlib.sha1(blob).hexdigest()[:16]
+            keys[i] = hashlib.sha1(blob).hexdigest()
         return batch.append_column("__geomkey", pa.array(keys, pa.string()))
 
     keyed_ds = ds.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
 
-    def pick_first(group: pa.Table):
-        if priority_column is not None:
-            order = pc.sort_indices(
-                group,
-                sort_keys=[
-                    (priority_column, "ascending" if priority_ascending else "descending")
-                ],
-            )
-            first = int(order[0].as_py())
-        else:
-            ids = group.column("doc_id").to_numpy()
-            first = int(np.argmin(ids))
-        return group.take(pa.array([first])).drop_columns(["__geomkey"])
+    # A per-key map_groups (and even Ray's groupby().count()) costs one
+    # Python call PER KEY — the dominant cost on a mostly-unique layer.
+    # Instead: hash-partition keys into a FIXED number of salt buckets
+    # (__part = hash(key) % nparts — same key, same bucket), group by the
+    # bucket (nparts Python calls total), and pick the first-per-key
+    # VECTORIZED inside each bucket: one arrow sort + run-boundary mask.
+    sort_keys = [("__geomkey", "ascending")]
+    if priority_column is not None:
+        sort_keys.append(
+            (priority_column, "ascending" if priority_ascending else "descending")
+        )
 
-    return keyed_ds.groupby("__geomkey").map_groups(pick_first, batch_format="pyarrow")
+    def first_per_key(block: pa.Table) -> pa.Table:
+        drop = ["__geomkey", "__part"]
+        if len(block) == 0:
+            return block.drop_columns(drop)
+        sk = list(sort_keys)
+        if "doc_id" in block.column_names:
+            sk.append(("doc_id", "ascending"))  # deterministic tie-break
+        srt = block.take(pc.sort_indices(block, sort_keys=sk))
+        k = srt.column("__geomkey").to_numpy(zero_copy_only=False)
+        firsts = np.ones(len(k), dtype=bool)
+        firsts[1:] = k[1:] != k[:-1]
+        return srt.filter(pa.array(firsts)).drop_columns(drop)
+
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:  # pragma: no cover - resources probe best-effort
+        ncpu = 8
+    nparts = max(4, ncpu * 2)
+
+    def bucketed(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        h = pd.util.hash_array(
+            np.asarray(batch.column("__geomkey").to_pylist(), dtype=object)
+        )
+        return batch.append_column(
+            "__part", pa.array((h % nparts).astype(np.int64), pa.int64())
+        )
+
+    return (
+        keyed_ds.map_batches(bucketed, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(first_per_key, batch_format="pyarrow")
+    )

@@ -102,18 +102,19 @@ def test_driver_window_covers_families_with_oracles():
         "sjoin_intersects", "sjoin_relate_mask_tri", "join_attributes",
         "join_nearest_k2", "export_by_location_semi",
         "export_by_location_anti_tri", "export_by_distance",
-        # overlays
+        # overlays (incl. the heterogeneous line+polygon candidate mix)
         "intersection_pairs", "intersection_tri", "intersection_lines",
         "intersection_gridsize", "intersection_complexpoly", "clip_areas",
-        "difference_areas", "symmetric_difference_areas",
-        "union_overlay_areas", "union_overlay_lshape", "identity_areas",
+        "difference_areas", "difference_mixed", "clip_mixed",
+        "symmetric_difference_areas",
+        "union_overlay_areas", "identity_areas",
         "select_two_layers", "union_full_self_invariants",
         "delete_duplicate_geometries", "concat_layers",
         # dissolve
         "dissolve_gewasgroep", "dissolve_median_json", "dissolve_lines",
         "dissolve_within_distance_bars",
         # single-layer
-        "buffer_area", "simplify_counts", "simplify_lang_counts",
+        "buffer_area", "simplify_counts",
         "makevalid_bowties", "isvalid_bowties", "apply_scale2",
         "update_column_area", "warp_affine", "reproject_3857",
         # tiling

@@ -341,6 +341,41 @@ def test_touches_point_point_false(ray_session):
     assert not ok[0]
 
 
+def test_delete_duplicates_rotated_reversed(ray_session):
+    """A ring and its rotated/reversed re-encoding are ST_Equals →
+    collapse; covers the vectorized slab canonicalization AND the
+    duplicated-lex-min tie-break (min-rotation fallback)."""
+    rng = np.random.default_rng(7)
+    rows = []
+    did = 0
+    for _ in range(60):
+        k = int(rng.integers(3, 6))
+        pts = rng.integers(0, 12, size=(k, 2)).astype(float)
+        pts[:, 0] += did * 20.0  # distinct x-range per pair → no
+        # accidental cross-pair duplicates
+        c = pts.mean(axis=0)
+        ring = pts[np.argsort(np.arctan2(pts[:, 1] - c[1], pts[:, 0] - c[0]))]
+        ring = np.concatenate([ring, ring[:1]])
+        rows.append((did, (3, [[ring]])))
+        r = ring[:-1][::-1]
+        r2 = np.roll(r, -int(rng.integers(0, len(r))), axis=0)
+        rows.append((did + 1, (3, [[np.concatenate([r2, r2[:1]])]])))
+        did += 2
+    # explicit duplicated-lex-min case: vertex (0,0) appears twice
+    dup = np.array(
+        [[0, 0], [5, 0], [5, 5], [0, 0], [0, 5], [0, 0]], dtype=np.float64
+    )
+    rows.append((did, (3, [[dup]])))
+    rv = dup[:-1][::-1]
+    rv = np.roll(rv, -2, axis=0)
+    rows.append((did + 1, (3, [[np.concatenate([rv, rv[:1]])]])))
+    ds = _geom_ds(rows)
+    res = delete_duplicate_geometries(ds).take_all()
+    # every odd doc is a re-encoding of the preceding even doc → exactly
+    # the even docs survive (doc_id min is kept per group)
+    assert sorted(r["doc_id"] for r in res) == list(range(0, did + 2, 2))
+
+
 def test_delete_duplicates_structural_key(ray_session):
     """Same vertex set, different connectivity → NOT duplicates."""
     sq = _rect(0, 0, 10, 10)
@@ -370,15 +405,38 @@ def test_join_nearest_best_effort_last_round(ray_session):
     assert sorted(r["pos"] for r in res) == [1, 2, 3]
 
 
-def test_pair_key_no_collision():
-    from geofileops_ray.stages.compound import _pair_key
+def test_pair_identity_exact_blobs():
+    """union_full_self piece identity is the covering-set blob — EXACT
+    set semantics, no hash (the old 63-bit splitmix pair key silently
+    merged distinct pairs at ~n²/2^64 probability; any id pairs that
+    collide under ANY fixed hash stay distinct here by construction)."""
+    import numpy as np
 
+    from geofileops_ray.stages.compound import _blob_union, _ids_to_blob_array
+
+    def blob(*ids):
+        return b"".join(
+            _ids_to_blob_array(np.array([i], dtype=np.int64))[0].as_py()
+            for i in ids
+        )
+
+    # adversarial: ids crafted so ANY 63-bit key has colliding pairs in
+    # a large enough set — exact blobs distinguish every pair
     ids = [(1, 1000003), (1, 2000006), (2, 3), (1000003, 2000007),
-           (123456789012, 987654321098)]
-    keys = {_pair_key(a, b) for a, b in ids}
+           (123456789012, 987654321098), (0, 2**62), (2**62, 2**63 - 1)]
+    keys = {_blob_union(blob(a), blob(b)) for a, b in ids}
     assert len(keys) == len(ids)
-    # the OLD arithmetic key collided on these two:
-    assert (1 * 1000003 + 1000003 % 1000003) == (1 * 1000003 + 2000006 % 1000003)
+    # set semantics: union is sorted + deduped, order-insensitive
+    assert _blob_union(blob(5), blob(2)) == blob(2, 5)
+    assert _blob_union(blob(2, 5), blob(5)) == blob(2, 5)
+    assert _blob_union(blob(1, 3), blob(2, 3)) == blob(1, 2, 3)
+    # pairs-of-pairs with the same union set get ONE identity (they are
+    # geometrically identical: (a∩b)∩(a∩c) == a∩b∩c for every pairing)
+    assert (
+        _blob_union(blob(1, 2), blob(1, 3))
+        == _blob_union(blob(1, 2), blob(2, 3))
+        == _blob_union(blob(1, 3), blob(2, 3))
+    )
 
 
 def test_knn_block_matches_brute_force():

@@ -86,6 +86,11 @@ from .stages.catalog import (  # noqa: F401
     rename_layer,
     subdivide,
 )
+# CRS support (geom/crs.py): the sandbox has no pyproj, so only the
+# EPSG families with from-scratch Snyder formulas resolve — 4326,
+# 3857 (spherical mercator), 3812 (Belgian Lambert 2008) and
+# 32601-32660 (WGS84 UTM north). Any other code raises ValueError
+# (never a silent None); geodesic distances are spherical (R_MEAN).
 from .geom.crs import get_crs  # noqa: F401
 
 # deprecated aliases kept by the reference (geoops.py:2267, :2683, :2917)

@@ -233,3 +233,33 @@ def transform_xy(x: np.ndarray, y: np.ndarray, src_epsg: int, dst_epsg: int):
         return x, y
     lon, lat = _to_4326(np.asarray(x, np.float64), np.asarray(y, np.float64), src_epsg)
     return _from_4326(lon, lat, dst_epsg)
+
+
+# ------------------------------------------------------------ geodesic
+
+#: mean Earth radius (IUGG R1) used for the spherical geodesic — no
+#: pyproj/geographiclib in the sandbox, so distances are great-circle on
+#: a sphere (documented deviation from the reference's spheroid
+#: ST_Distance: <0.6% worst case). The SQL oracles mirror this formula
+#: exactly.
+R_MEAN = 6371008.7714
+
+
+def haversine_m(lon1, lat1, lon2, lat2) -> np.ndarray:
+    """Vectorized great-circle distance in meters between lon/lat pairs
+    (degrees), haversine form (stable for small separations)."""
+    p1, p2 = np.radians(lat1), np.radians(lat2)
+    dp = p2 - p1
+    dl = np.radians(lon2) - np.radians(lon1)
+    a = np.sin(dp / 2) ** 2 + np.cos(p1) * np.cos(p2) * np.sin(dl / 2) ** 2
+    return 2.0 * R_MEAN * np.arcsin(np.sqrt(np.clip(a, 0.0, 1.0)))
+
+
+def geodesic_xy(x1, y1, x2, y2, epsg: int) -> np.ndarray:
+    """Great-circle meters between two planar point columns given their
+    CRS: inverse-project to lon/lat (geom/crs Snyder formulas), then
+    haversine. Raises ValueError for EPSG codes outside the supported
+    families (see _to_4326)."""
+    lon1, lat1 = _to_4326(np.asarray(x1, np.float64), np.asarray(y1, np.float64), epsg)
+    lon2, lat2 = _to_4326(np.asarray(x2, np.float64), np.asarray(y2, np.float64), epsg)
+    return haversine_m(lon1, lat1, lon2, lat2)

@@ -157,6 +157,56 @@ def _pt_seg_dist(pts: np.ndarray, segs: np.ndarray) -> np.ndarray:
     return np.sqrt((d * d).sum(-1))
 
 
+def _pt_segs_nearest(
+    pts: np.ndarray, segs: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, float]:
+    """(best point, its projection on the nearest segment, distance)."""
+    a = segs[None, :, 0]
+    b = segs[None, :, 1]
+    p = pts[:, None]
+    ab = b - a
+    len2 = (ab * ab).sum(-1)
+    t = np.clip(((p - a) * ab).sum(-1) / np.where(len2 == 0, 1, len2), 0, 1)
+    proj = a + t[..., None] * ab
+    d = p - proj
+    d2 = (d * d).sum(-1)
+    ki, kj = np.unravel_index(int(np.argmin(d2)), d2.shape)
+    return pts[ki], proj[ki, kj], float(np.sqrt(d2[ki, kj]))
+
+
+def pair_nearest_points(
+    a: GeometryArray, i: int, b: GeometryArray, j: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """The point pair realizing ST_Distance(a_i, b_j) — on the boundary
+    vertices/edges for disjoint geometries (the min of two disjoint
+    polylines is always at a vertex-to-edge projection). Intersecting
+    pairs have distance 0; any point is returned twice so downstream
+    geodesic math yields 0."""
+    ta, tb = a.part_types(i), b.part_types(j)
+    pa, pb = _points(a, i), _points(b, j)
+    if pair_intersects(a, i, b, j):
+        return pa[0], pa[0]
+    if ta == POINT and tb == POINT:
+        d = pa[:, None] - pb[None, :]
+        d2 = (d * d).sum(-1)
+        ki, kj = np.unravel_index(int(np.argmin(d2)), d2.shape)
+        return pa[ki], pb[kj]
+    if ta == POINT:
+        p, q, _ = _pt_segs_nearest(pa, _segments(b, j))
+        return p, q
+    if tb == POINT:
+        q, p, _ = _pt_segs_nearest(pb, _segments(a, i))
+        return p, q
+    sa, sb = _segments(a, i), _segments(b, j)
+    p1, q1, d1 = _pt_segs_nearest(
+        np.concatenate([sa[:, 0], sa[:, 1]]), sb
+    )
+    q2, p2, d2 = _pt_segs_nearest(
+        np.concatenate([sb[:, 0], sb[:, 1]]), sa
+    )
+    return (p1, q1) if d1 <= d2 else (p2, q2)
+
+
 # ----------------------------------------------------------- pair predicates
 
 

@@ -229,22 +229,29 @@ SELECT doc_id AS l1_doc_id, OIDN AS l1_OIDN, ROUND(a, 4) AS area_diff FROM (
   GROUP BY 1, 2, p.OPPERVL) t WHERE a > 0 ORDER BY 1"""
 
 
-def q_join_nearest(sf):
-    ds = join_nearest(
-        points_dataset(sf), zones_dataset(sf), nb_nearest=2, cols1=[], cols2=[]
+def _knn_round(batch: pa.Table) -> pa.Table:
+    return pa.table(
+        {
+            "l1_doc_id": batch.column("l1_doc_id"),
+            "pos": batch.column("pos"),
+            "distance": pa.array(
+                _round_half_up(batch.column("distance").to_numpy(), 4),
+                pa.float64(),
+            ),
+            "distance_crs": pa.array(
+                _round_half_up(batch.column("distance_crs").to_numpy(), 6),
+                pa.float64(),
+            ),
+        }
     )
 
-    def fn(batch: pa.Table) -> pa.Table:
-        d = _round_half_up(batch.column("distance").to_numpy(), 6)
-        return pa.table(
-            {
-                "l1_doc_id": batch.column("l1_doc_id"),
-                "pos": batch.column("pos"),
-                "distance": pa.array(d, pa.float64()),
-            }
-        )
 
-    return ds.map_batches(fn, batch_format="pyarrow")
+def q_join_nearest(sf):
+    ds = join_nearest(
+        points_dataset(sf), zones_dataset(sf), nb_nearest=2, cols1=[],
+        cols2=[], crs_epsg=3857,
+    )
+    return ds.map_batches(_knn_round, batch_format="pyarrow")
 
 
 def q_join_nearest_scalepath(sf):
@@ -253,30 +260,38 @@ def q_join_nearest_scalepath(sf):
     against the identical exact SQL oracle."""
     ds = join_nearest(
         points_dataset(sf), zones_dataset(sf), nb_nearest=2,
-        cols1=[], cols2=[], broadcast_threshold=0,
+        cols1=[], cols2=[], broadcast_threshold=0, crs_epsg=3857,
     )
+    return ds.map_batches(_knn_round, batch_format="pyarrow")
 
-    def fn(batch: pa.Table) -> pa.Table:
-        d = _round_half_up(batch.column("distance").to_numpy(), 6)
-        return pa.table(
-            {
-                "l1_doc_id": batch.column("l1_doc_id"),
-                "pos": batch.column("pos"),
-                "distance": pa.array(d, pa.float64()),
-            }
-        )
 
-    return ds.map_batches(fn, batch_format="pyarrow")
-
+_KNN_GEO = """
+  SELECT doc_id, pos, dist,
+         2.0 * 6371008.7714 * ASIN(SQRT(LEAST(1.0, GREATEST(0.0,
+           POWER(SIN((RADIANS(lat2) - RADIANS(lat1)) / 2), 2)
+           + COS(RADIANS(lat1)) * COS(RADIANS(lat2))
+             * POWER(SIN((RADIANS(lon2) - RADIANS(lon1)) / 2), 2))))) geo
+  FROM (SELECT doc_id, pos, dist,
+               DEGREES(x1 / 6378137.0) lon1,
+               DEGREES(2 * ATAN(EXP(y1 / 6378137.0)) - PI() / 2) lat1,
+               DEGREES(x2 / 6378137.0) lon2,
+               DEGREES(2 * ATAN(EXP(y2 / 6378137.0)) - PI() / 2) lat2
+        FROM d)
+"""
 
 O_JOIN_NEAREST = f"""{CTE},
 d AS (
   SELECT p.doc_id, ROW_NUMBER() OVER (PARTITION BY p.doc_id
            ORDER BY {PT_ZONE_DIST}, z.doc_id) pos,
-         {PT_ZONE_DIST} dist
-  FROM points p CROSS JOIN zones z)
-SELECT doc_id AS l1_doc_id, CAST(pos AS BIGINT) AS pos, ROUND(dist, 6) AS distance
-FROM d WHERE pos <= 2 ORDER BY 1, 2"""
+         {PT_ZONE_DIST} dist,
+         p.x x1, p.y y1,
+         LEAST(GREATEST(p.x, z.minx), z.maxx) x2,
+         LEAST(GREATEST(p.y, z.miny), z.maxy) y2
+  FROM points p CROSS JOIN zones z),
+g AS ({_KNN_GEO})
+SELECT doc_id AS l1_doc_id, CAST(pos AS BIGINT) AS pos,
+       ROUND(geo, 4) AS distance, ROUND(dist, 6) AS distance_crs
+FROM g WHERE pos <= 2 ORDER BY 1, 2"""
 
 
 def q_dissolve(sf):

@@ -159,6 +159,28 @@ def _exact_knn(
     return order.astype(np.int64), d[order]
 
 
+def _dist_cols(ga1, rows1, ga2, rows2, dists, crs_epsg):
+    """distance_crs = planar CRS-unit distance (the kNN metric);
+    distance = great-circle meters between the planar nearest points,
+    inverse-projected to lon/lat (reference emits both — ST_Distance +
+    knn2 distance_crs, _geoops_sql.py:2652-2671; here the geodesic is
+    spherical, geom/crs.py R_MEAN, documented). Without a CRS the two
+    columns are equal (planar)."""
+    cols = {"distance_crs": pa.array(dists, pa.float64())}
+    if crs_epsg is None:
+        cols["distance"] = pa.array(dists, pa.float64())
+    else:
+        from ..geom.crs import geodesic_xy
+        from .relation import pair_nearest_points_batch
+
+        pts = pair_nearest_points_batch(ga1, rows1, ga2, rows2, dists)
+        cols["distance"] = pa.array(
+            geodesic_xy(pts[:, 0], pts[:, 1], pts[:, 2], pts[:, 3], crs_epsg),
+            pa.float64(),
+        )
+    return cols
+
+
 def _broadcast_knn(
     ds1: ray.data.Dataset,
     ds2: ray.data.Dataset,
@@ -168,6 +190,7 @@ def _broadcast_knn(
     ordered1: list[str],
     ordered2: list[str],
     f2: list[pa.Field],
+    crs_epsg: int | None = None,
 ) -> ray.data.Dataset:
     """Exact kNN with the whole layer2 broadcast once (ray.put): per
     batch, vectorized bbox lower-bound distances + exact refinement."""
@@ -195,7 +218,7 @@ def _broadcast_knn(
         cols = {"l1_" + c: left.column(c) for c in ordered1}
         cols.update({"l2_" + c: right.column(c) for c in ordered2})
         cols["pos"] = pa.array(poss.astype(np.int64), pa.int64())
-        cols["distance"] = pa.array(dists, pa.float64())
+        cols.update(_dist_cols(ga1, rows1, ga2_local, rows2, dists, crs_epsg))
         return pa.table(cols)
 
     return ds1.map_batches(
@@ -215,10 +238,14 @@ def join_nearest(
     size: float | None = None,
     max_rounds: int = 6,
     broadcast_threshold: int = 100_000,
+    crs_epsg: int | None = None,
 ) -> ray.data.Dataset:
-    """kNN join emitting (l1_*, l2_*, pos, distance); pos is the 1-based
-    rank by planar distance (ties broken by layer2 doc_id via the stable
-    lower-bound ordering)."""
+    """kNN join emitting (l1_*, l2_*, pos, distance, distance_crs); pos
+    is the 1-based rank by planar distance (ties broken by layer2 doc_id
+    via the stable lower-bound ordering). distance_crs is the planar
+    CRS-unit distance; distance is the spherical geodesic in meters when
+    ``crs_epsg`` names a supported projection (geom/crs.py), else equal
+    to distance_crs."""
     size = size or OPTIONS.cell_size
     radius = radius or size
     cols1 = list(cols1 or _attr_cols(ds1))
@@ -236,7 +263,8 @@ def join_nearest(
     n2 = ds2.count()
     if n2 <= broadcast_threshold:
         return _broadcast_knn(
-            ds1, ds2, nb_nearest, radius, expand, ordered1, ordered2, f2
+            ds1, ds2, nb_nearest, radius, expand, ordered1, ordered2, f2,
+            crs_epsg,
         )
 
     def project(ds, side, expand_dist):
@@ -329,7 +357,7 @@ def join_nearest(
             cols = {c: out1.column(c) for c in out1.column_names}
             cols.update({c: out2.column(c) for c in out2.column_names})
             cols["pos"] = pa.array(poss, pa.int64())
-            cols["distance"] = pa.array(dists, pa.float64())
+            cols.update(_dist_cols(ga1, rows1, ga2, rows2, dists, crs_epsg))
             cols["__done"] = pa.array(
                 [True] * len(rows1), pa.bool_()
             )
@@ -343,6 +371,7 @@ def join_nearest(
                     ucols[f.name] = pa.nulls(len(undone), f.type)
                 ucols["pos"] = pa.nulls(len(undone), pa.int64())
                 ucols["distance"] = pa.nulls(len(undone), pa.float64())
+                ucols["distance_crs"] = pa.nulls(len(undone), pa.float64())
                 ucols["__done"] = pa.array([False] * len(undone), pa.bool_())
                 done_t = pa.concat_tables(
                     [done_t, pa.table({k: ucols[k] for k in cols})]

@@ -471,6 +471,73 @@ def evaluate_pairs(
     return query.evaluate(results)
 
 
+def pair_nearest_points_batch(
+    ga1: GeometryArray,
+    ia: np.ndarray,
+    ga2: GeometryArray,
+    ib: np.ndarray,
+    dists: np.ndarray | None = None,
+) -> np.ndarray:
+    """(m,4) array (x1,y1,x2,y2) of the nearest point pair per candidate
+    pair — rect×rect and point×rect fast paths vectorized (interval
+    overlap / clamp), generic pairs via pair_nearest_points. Pairs with
+    ``dists == 0`` short-circuit to a shared point (geodesic 0)."""
+    from ..geom.array import POINT
+    from ..geom.predicates import pair_nearest_points
+
+    m = len(ia)
+    out = np.empty((m, 4), dtype=np.float64)
+    if m == 0:
+        return out
+    done = np.zeros(m, dtype=bool)
+    lo1, hi1 = ga1.geom_coord_ranges()
+    if dists is not None:
+        z = np.flatnonzero(dists == 0)
+        if len(z):
+            p = ga1.coords[lo1[ia[z]]]
+            out[z, 0:2] = p
+            out[z, 2:4] = p
+            done[z] = True
+    r1, r2 = detect_rects(ga1), detect_rects(ga2)
+    pt1 = (ga1.types == POINT) & (hi1 - lo1 == 1)
+    b1, b2 = ga1.bounds(), ga2.bounds()
+
+    def _axis_nearest(lo_a, hi_a, lo_b, hi_b):
+        """per-axis nearest coordinates of two intervals (overlap → the
+        left end of the overlap, shared by both sides)."""
+        o0 = np.maximum(lo_a, lo_b)
+        o1 = np.minimum(hi_a, hi_b)
+        ov = o0 <= o1
+        ca = np.where(ov, o0, np.where(hi_b < lo_a, lo_a, hi_a))
+        cb = np.where(ov, o0, np.where(hi_b < lo_a, hi_b, lo_b))
+        return ca, cb
+
+    rr = ~done & r1[ia] & r2[ib]
+    if rr.any():
+        k = np.flatnonzero(rr)
+        ax, bx = _axis_nearest(
+            b1[ia[k], 0], b1[ia[k], 2], b2[ib[k], 0], b2[ib[k], 2]
+        )
+        ay, by = _axis_nearest(
+            b1[ia[k], 1], b1[ia[k], 3], b2[ib[k], 1], b2[ib[k], 3]
+        )
+        out[k, 0], out[k, 1], out[k, 2], out[k, 3] = ax, ay, bx, by
+        done[k] = True
+    pr = ~done & pt1[ia] & r2[ib]
+    if pr.any():
+        k = np.flatnonzero(pr)
+        p = ga1.coords[lo1[ia[k]]]
+        out[k, 0:2] = p
+        out[k, 2] = np.clip(p[:, 0], b2[ib[k], 0], b2[ib[k], 2])
+        out[k, 3] = np.clip(p[:, 1], b2[ib[k], 1], b2[ib[k], 3])
+        done[k] = True
+    for k in np.flatnonzero(~done):
+        p, q = pair_nearest_points(ga1, int(ia[k]), ga2, int(ib[k]))
+        out[k, 0:2] = p
+        out[k, 2:4] = q
+    return out
+
+
 def pair_distances(
     ga1: GeometryArray, ia: np.ndarray, ga2: GeometryArray, ib: np.ndarray
 ) -> np.ndarray:

@@ -531,3 +531,41 @@ def test_two_layer_post_chain(ray_session, oracle, join_path):
     for r in res[:50]:
         ga = from_wkb([r["geometry"]])
         assert len(ga._parts_of(0)) == 1
+
+
+def test_pair_nearest_points_batch_paths():
+    """Fast paths (rect×rect, point×rect) agree with the generic
+    vertex-to-segment fallback, and realize the planar pair distance."""
+    from geofileops_ray.geom import GeometryArray
+    from geofileops_ray.stages.relation import (
+        pair_distances,
+        pair_nearest_points_batch,
+    )
+
+    rng = np.random.default_rng(3)
+    geoms1, geoms2 = [], []
+    for _ in range(40):
+        # point subjects
+        geoms1.append((1, [[rng.integers(0, 30, size=(1, 2)).astype(float)]]))
+        # rect candidates
+        x0, y0 = rng.integers(0, 25, size=2).astype(float)
+        geoms2.append(_rect(x0, y0, x0 + rng.integers(1, 5), y0 + rng.integers(1, 5)))
+    for _ in range(40):
+        # rect subjects (rect×rect path)
+        x0, y0 = rng.integers(0, 25, size=2).astype(float)
+        geoms1.append(_rect(x0, y0, x0 + rng.integers(1, 4), y0 + rng.integers(1, 4)))
+        x0, y0 = rng.integers(0, 25, size=2).astype(float)
+        geoms2.append(_rect(x0, y0, x0 + rng.integers(1, 4), y0 + rng.integers(1, 4)))
+    for _ in range(20):
+        # triangle subjects → generic fallback
+        a = rng.integers(0, 30, size=2).astype(float)
+        geoms1.append(_tri(a, a + [3, 0], a + [0, 3]))
+        x0, y0 = rng.integers(0, 25, size=2).astype(float)
+        geoms2.append(_rect(x0, y0, x0 + 2, y0 + 2))
+    ga1 = GeometryArray.from_parts(geoms1)
+    ga2 = GeometryArray.from_parts(geoms2)
+    ia = np.arange(len(geoms1))
+    d = pair_distances(ga1, ia, ga2, ia)
+    pts = pair_nearest_points_batch(ga1, ia, ga2, ia, d)
+    realized = np.hypot(pts[:, 0] - pts[:, 2], pts[:, 1] - pts[:, 3])
+    assert np.allclose(realized, d, atol=1e-9)

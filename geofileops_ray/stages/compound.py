@@ -33,11 +33,10 @@ import pyarrow.compute as pc
 import ray.data
 
 from ..config import OPTIONS
-from ..geom import GeometryArray, bbox_join, bbox_join_auto, from_wkb, to_wkb, to_wkb_arrow
+from ..geom import GeometryArray, bbox_join, bbox_join_auto, from_wkb, to_wkb
 from ..geom.overlay import parts_to_geom, polygon_overlay, union_all_parts
 from .geometry_batch import decode_geometry
 from .spatial_join import _pair_table, _ref_cell, cell_cogroup
-from .overlay_ops import _geom_of_pair_op
 
 _GEOM = "geometry"
 
@@ -211,33 +210,14 @@ def _self_round(
         strip_pass, batch_format="pyarrow"
     )
 
-    def per_doc_diff(group: pa.Table) -> pa.Table:
-        g1_wkb = group.column("__g1")[0].as_py()
-        cands = list(dict.fromkeys(
-            c for c in group.column("__cand").to_pylist() if c is not None
-        ))
-        base = pa.table({"doc_id": group.column("doc_id").slice(0, 1)})
-        if not cands:
-            return base.append_column(
-                _GEOM, pa.array([g1_wkb], pa.binary())
-            ).append_column("__pass", pa.array([True]))
-        ga1 = from_wkb([g1_wkb])
-        cand = from_wkb(cands)
-        code, parts = _geom_of_pair_op(
-            ga1, 0, cand, np.arange(len(cands)), "difference"
-        )
-        out_ga = GeometryArray.from_parts([(code, parts)])
-        if out_ga.is_empty()[0]:
-            return base.slice(0, 0).append_column(
-                _GEOM, pa.array([], pa.binary())
-            ).append_column("__pass", pa.array([], pa.bool_()))
-        return base.append_column(_GEOM, to_wkb_arrow(out_ga)).append_column(
-            "__pass", pa.array([False])
-        )
+    from .overlay_ops import _resolve_pending_batched
 
-    pend = tagged.filter(expr="__kind == 1")
-    resolved = pend.groupby("doc_id").map_groups(
-        per_doc_diff, batch_format="pyarrow"
+    pend = tagged.filter(expr="__kind == 1").map_batches(
+        lambda b: b.select(["doc_id", "__g1", "__cand"]), batch_format="pyarrow"
+    )
+    resolved = _resolve_pending_batched(
+        pend, ["doc_id"], "difference", keep_no_candidate_rows=True,
+        emit_pass=True,
     )
     diff = diff_done.union(resolved)
     inters = tagged.filter(expr="__kind == 2").map_batches(

@@ -829,6 +829,98 @@ def _difference_group_part(
     return done_t, pa.concat_tables([pair_t, own_t])
 
 
+def _resolve_pending_batched(
+    pending: ray.data.Dataset,
+    key_cols: list[str],
+    op: str,
+    keep_no_candidate_rows: bool,
+    emit_pass: bool = False,
+) -> ray.data.Dataset:
+    """Resolve straddler rows (one __g1 + many __cand rows per doc key)
+    WITHOUT one Python map_groups call per doc: hash-bucket the keys into
+    a fixed number of salt partitions (same key → same bucket), then one
+    call per bucket runs ``_resolve_local_rows`` over ALL its docs — the
+    same Morton-batched sweep machinery the local path uses, so pending
+    docs share interior pruning, covered-row shortcuts and packed
+    assembly. Output: first-row attrs per resolved doc (minus the
+    scaffold columns) + ``geometry`` (+ ``__pass`` when requested)."""
+    import pandas as pd
+
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:  # pragma: no cover - resources probe best-effort
+        ncpu = 8
+    nparts = max(4, ncpu * 2)
+    scaffold = ["__g1", "__cand", "__done", _GEOM, "__part"]
+
+    def _key_arr(batch: pa.Table) -> np.ndarray:
+        if len(key_cols) == 1:
+            return batch.column(key_cols[0]).to_numpy(zero_copy_only=False)
+        vals = list(zip(*[batch.column(c).to_pylist() for c in key_cols]))
+        arr = np.empty(len(batch), dtype=object)
+        arr[:] = vals
+        return arr
+
+    def bucketed(batch: pa.Table) -> pa.Table:
+        h = np.zeros(len(batch), dtype=np.uint64)
+        for c in key_cols:
+            col = batch.column(c).to_numpy(zero_copy_only=False)
+            with np.errstate(over="ignore"):
+                h = h * np.uint64(1000003) ^ pd.util.hash_array(col)
+        return batch.append_column(
+            "__part", pa.array((h % nparts).astype(np.int64), pa.int64())
+        )
+
+    def resolve(group: pa.Table) -> pa.Table:
+        ids = _key_arr(group)
+        _, inv = np.unique(ids, return_inverse=True)
+        n1 = int(inv.max()) + 1 if len(inv) else 0
+        order = np.argsort(inv, kind="stable")
+        first_rows = order[np.searchsorted(inv[order], np.arange(n1))]
+        g1_tbl = group.take(pa.array(first_rows, pa.int64()))
+        ga1 = from_wkb(g1_tbl.column("__g1"))
+        # dedupe (doc, candidate-bytes) pairs and candidate blobs
+        cand_list = group.column("__cand").to_pylist()
+        blob_idx: dict[bytes, int] = {}
+        pair_seen: set[tuple[int, bytes]] = set()
+        ia_l: list[int] = []
+        ib_l: list[int] = []
+        for k, c in enumerate(cand_list):
+            if c is None:
+                continue
+            key = (int(inv[k]), c)
+            if key in pair_seen:
+                continue
+            pair_seen.add(key)
+            j = blob_idx.setdefault(c, len(blob_idx))
+            ia_l.append(key[0])
+            ib_l.append(j)
+        ga2 = from_wkb(list(blob_idx.keys()))
+        ia = np.asarray(ia_l, np.int64)
+        ib = np.asarray(ib_l, np.int64)
+        o2 = np.argsort(ia, kind="stable")
+        ia_s, ib_s = ia[o2], ib[o2]
+        starts = np.searchsorted(ia_s, np.arange(n1))
+        stops = np.searchsorted(ia_s, np.arange(n1) + 1)
+        done_idx, done_wkb, done_pass = _resolve_local_rows(
+            ga1, ga2, g1_tbl.column("__g1"), np.ones(n1, dtype=bool),
+            ia_s, ib_s, starts, stops, op, keep_no_candidate_rows,
+        )
+        out = g1_tbl.drop_columns(
+            [c for c in scaffold if c in g1_tbl.column_names]
+        ).take(pa.array(done_idx, pa.int64()))
+        out = out.append_column(_GEOM, pa.array(done_wkb, pa.binary()))
+        if emit_pass:
+            out = out.append_column("__pass", pa.array(done_pass, pa.bool_()))
+        return out
+
+    return (
+        pending.map_batches(bucketed, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(resolve, batch_format="pyarrow")
+    )
+
+
 def _per_row_overlay(
     ds1: ray.data.Dataset,
     ds2: ray.data.Dataset,
@@ -923,28 +1015,11 @@ def _per_row_overlay(
         strip, batch_format="pyarrow"
     )
     pending = paired.filter(expr="__done == False")
-
-    def per_doc(group: pa.Table) -> pa.Table:
-        cands = list(dict.fromkeys(
-            c for c in group.column("__cand").to_pylist() if c is not None
-        ))
-        g1_wkb = group.column("__g1")[0].as_py()
-        base = group.slice(0, 1).drop_columns(["__g1", "__cand", "__done", _GEOM])
-        ga1 = from_wkb([g1_wkb])
-        if not cands:
-            if not keep_no_candidate_rows:
-                return base.slice(0, 0).append_column(_GEOM, pa.array([], pa.binary()))
-            return base.append_column(_GEOM, pa.array([g1_wkb], pa.binary()))
-        cand = from_wkb(cands)
-        code, parts = _geom_of_pair_op(ga1, 0, cand, np.arange(len(cands)), op)
-        out_ga = GeometryArray.from_parts([(code, parts)])
-        if out_ga.is_empty()[0]:
-            # fully erased / fully outside → dropped ('DIFF_EMPTY' sentinel
-            # analogue, _geoops_sql.py:1227-1270)
-            return base.slice(0, 0).append_column(_GEOM, pa.array([], pa.binary()))
-        return base.append_column(_GEOM, to_wkb_arrow(out_ga))
-
-    resolved = pending.groupby("l1_doc_id").map_groups(per_doc, batch_format="pyarrow")
+    # fully-erased rows are dropped inside the batched resolver (the
+    # 'DIFF_EMPTY' sentinel analogue, _geoops_sql.py:1227-1270)
+    resolved = _resolve_pending_batched(
+        pending, ["l1_doc_id"], op, keep_no_candidate_rows
+    )
     out = done_ds.union(resolved)
     if sliver_tolerance:
         out = _filter_slivers(out, sliver_tolerance)
@@ -1158,30 +1233,9 @@ def _fused_overlay(
         strip, batch_format="pyarrow"
     )
     pending = paired.filter(expr="__done == False")
-
-    def per_doc(group: pa.Table) -> pa.Table:
-        cands = list(dict.fromkeys(
-            c for c in group.column("__cand").to_pylist() if c is not None
-        ))
-        g1_wkb = group.column("__g1")[0].as_py()
-        base = group.slice(0, 1).select(order).drop_columns([_GEOM])
-        if not cands:
-            return base.append_column(_GEOM, pa.array([g1_wkb], pa.binary()))
-        ga1 = from_wkb([g1_wkb])
-        cand = from_wkb(cands)
-        code, parts = _geom_of_pair_op(
-            ga1, 0, cand, np.arange(len(cands)), "difference"
-        )
-        out_ga = GeometryArray.from_parts([(code, parts)])
-        if out_ga.is_empty()[0]:
-            return base.slice(0, 0).append_column(
-                _GEOM, pa.array([], pa.binary())
-            )
-        return base.append_column(_GEOM, to_wkb_arrow(out_ga))
-
-    resolved = pending.groupby(["__side", "__key"]).map_groups(
-        per_doc, batch_format="pyarrow"
-    )
+    resolved = _resolve_pending_batched(
+        pending, ["__side", "__key"], "difference", keep_no_candidate_rows=True
+    ).map_batches(strip, batch_format="pyarrow")
     return done_ds.union(resolved)
 
 

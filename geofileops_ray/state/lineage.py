@@ -60,6 +60,11 @@ class LineageWriter:
 
     def __call__(self, group: pa.Table) -> pa.Table:
         key = int(group.column(self.col)[0].as_py())
+        # fault-injection hook for the kill/resume e2e test: slow each
+        # partition write so a SIGKILL can land between commits
+        delay = float(os.environ.get("GFR_LINEAGE_WRITE_DELAY", "0") or 0)
+        if delay:
+            time.sleep(delay)
         t0 = time.perf_counter()
         pdir = os.path.join(self.dir, "data", f"part={key}")
         os.makedirs(pdir, exist_ok=True)

@@ -186,3 +186,100 @@ def test_job_cli_checkpointed(ray_session, tmp_path):
     m = _json.load(open(os.path.join(ckpt, "metrics.json")))
     assert m["partitions_written"] == 1
     assert m["partitions_skipped_resume"] == len(recs) - 1
+
+
+def test_checkpointed_write_kill_resume(ray_session, tmp_path):
+    """Resume-path end-to-end proof: a checkpointed write is SIGKILLed
+    mid-run in a child process (writer slowed so the kill lands between
+    partition commits), then resumed here — finished partitions are
+    skipped, the torn partition is rewritten, and the final data equals
+    an unkilled control run byte-for-row."""
+    import glob
+    import json
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    import pyarrow.parquet as pq
+
+    ckpt = str(tmp_path / "killed")
+    child = tmp_path / "child.py"
+    child.write_text(
+        f"""
+import os, sys
+sys.path.insert(0, "/root/repo")
+os.environ["GFR_LINEAGE_WRITE_DELAY"] = "0.6"  # inherited by workers
+import ray
+ray.init(address="local", num_cpus=1, include_dashboard=False,
+         logging_level="ERROR")
+import numpy as np
+import pyarrow as pa
+import ray.data
+import geofileops_ray.state.lineage as L
+
+n = 800
+t = pa.table({{
+    "doc_id": pa.array(np.arange(n), pa.int64()),
+    "val": pa.array(np.arange(n) * 3 % 17, pa.int64()),
+    "__cell": pa.array(np.arange(n) % 8, pa.int64()),
+}})
+L.checkpointed_write(ray.data.from_arrow(t), {ckpt!r})
+ray.shutdown()
+"""
+    )
+    proc = subprocess.Popen(
+        [sys.executable, str(child)], cwd="/root/repo",
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        start_new_session=True,  # own process group: the kill takes the
+        # raylet + workers down too, not just the driver
+    )
+    # wait until SOME partitions committed, then kill mid-flight
+    deadline = time.time() + 180
+    while time.time() < deadline:
+        done = finished_partitions(ckpt)
+        if len(done) >= 2:
+            break
+        if proc.poll() is not None:  # pragma: no cover - too fast
+            break
+        time.sleep(0.05)
+    os.killpg(proc.pid, signal.SIGKILL)
+    proc.wait()
+    time.sleep(1.0)  # let any torn fs writes settle
+    done_after_kill = finished_partitions(ckpt)
+    assert 1 <= len(done_after_kill) < 8, done_after_kill
+
+    # resume in THIS session: only the unfinished partitions write
+    import ray.data
+
+    n = 800
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n), pa.int64()),
+            "val": pa.array(np.arange(n) * 3 % 17, pa.int64()),
+            "__cell": pa.array(np.arange(n) % 8, pa.int64()),
+        }
+    )
+    out = checkpointed_write(ray.data.from_arrow(t), ckpt)
+    written = sorted(r["partition"] for r in out)
+    assert written == sorted(set(range(8)) - done_after_kill)
+    assert finished_partitions(ckpt) == set(range(8))
+
+    # control: unkilled run → identical data
+    ctrl = str(tmp_path / "control")
+    checkpointed_write(ray.data.from_arrow(t), ctrl)
+
+    def collect(d):
+        rows = []
+        for p in sorted(glob.glob(os.path.join(d, "data", "part=*", "*.parquet"))):
+            part = int(p.split("part=")[1].split("/")[0])
+            for r in pq.read_table(p).to_pylist():
+                rows.append((part, r["doc_id"], r["val"]))
+        return sorted(rows)
+
+    assert collect(ckpt) == collect(ctrl)
+    # lineage records carry the metrics contract
+    rec = json.load(
+        open(sorted(glob.glob(os.path.join(ckpt, "lineage", "*.json")))[0])
+    )
+    assert {"partition", "rows_out", "bytes_out", "write_seconds"} <= set(rec)

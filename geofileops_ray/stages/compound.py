@@ -415,6 +415,18 @@ def union_full_self(
     return out.map_batches(pivot, batch_format="pyarrow")
 
 
+def _wkb_hash_ids(wkb_col) -> pa.Array:
+    """Vectorized 63-bit content ids for a WKB column (pandas siphash —
+    one C pass instead of a per-row hashlib call). Same collision class
+    as the blake2b-8 it replaces; used only to give dissolve outputs an
+    identity, where row counts are ≪ input rows."""
+    import pandas as pd
+
+    arr = np.asarray(wkb_col.to_pylist(), dtype=object)
+    ids = (pd.util.hash_array(arr) >> np.uint64(1)).astype(np.int64)
+    return pa.array(ids, pa.int64())
+
+
 def _geom_hash_ids(ds: ray.data.Dataset) -> ray.data.Dataset:
     """{geometry} → {doc_id, geometry} with a deterministic 63-bit
     blake2b id per geometry. Used to give dissolve outputs (which carry
@@ -422,19 +434,9 @@ def _geom_hash_ids(ds: ray.data.Dataset) -> ray.data.Dataset:
     dissolved row (≪ input rows)."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        import hashlib
-
-        ids = pa.array(
-            [
-                int.from_bytes(
-                    hashlib.blake2b(w, digest_size=8).digest(), "little"
-                )
-                >> 1
-                for w in batch.column(_GEOM).to_pylist()
-            ],
-            pa.int64(),
+        return pa.table(
+            {"doc_id": _wkb_hash_ids(batch.column(_GEOM)), _GEOM: batch.column(_GEOM)}
         )
-        return pa.table({"doc_id": ids, _GEOM: batch.column(_GEOM)})
 
     return ds.map_batches(fn, batch_format="pyarrow")
 
@@ -503,26 +505,14 @@ def dissolve_within_distance(
         gb = buf_kernel(
             ga, eps, cap_style="square", join_style="mitre", mitre_limit=1.25
         )
-        wkb = to_wkb(gb)
-        import hashlib
-
-        ids = pa.array(
-            [
-                int.from_bytes(
-                    hashlib.blake2b(w, digest_size=8).digest(), "little"
-                )
-                >> 1
-                for w in wkb
-            ],
-            pa.int64(),
-        )
+        wkb = pa.array(to_wkb(gb), pa.binary())
         return pa.table(
             {
-                "doc_id": ids,
+                "doc_id": _wkb_hash_ids(wkb),
                 "p_area": pa.array(_area(gb), pa.float64()),
                 "p_perim": pa.array(_perim(gb), pa.float64()),
-                "piece_wkb": pa.array(wkb, pa.binary()),
-                _GEOM: pa.array(wkb, pa.binary()),
+                "piece_wkb": wkb,
+                _GEOM: wkb,
             }
         )
 

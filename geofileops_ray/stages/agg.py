@@ -1,0 +1,135 @@
+"""Combiner-first vectorized keyed aggregation.
+
+Ray Data's sort-based ``groupby().aggregate(...)`` spends ~100-200 µs of
+per-group Python (block slice + per-group aggregate call) — measured
+37 s for 200k distinct int keys on 4 CPUs. That constant is invisible on
+bounded key domains but is THE wall when the key is a row id (sjoin /
+export gathers, cover-count joins): at 10^9 keys it is hours of pure
+scheduling overhead.
+
+``bucket_aggregate`` replaces it with zero per-key Python:
+
+1. PARTIAL aggregation inside every input batch (one arrow sort +
+   ``ufunc.reduceat`` per column — the map-side combiner; the shuffle
+   then moves at most distinct-keys-per-batch rows, mirroring the
+   reference's per-batch SQL aggregation before the merge step).
+2. Hash-bucket shuffle into ~2×CPU salt partitions (same key → same
+   bucket; the bucket COUNT bounds the number of Python group calls,
+   not the key cardinality).
+3. The same vectorized merge per bucket.
+
+Supported ops: sum, min, max, count (mean = sum+count at the call
+site). Value columns must be non-null numeric; keys may be any sortable
+arrow type (int, string, binary — multi-column keys allowed).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+_UFUNC = {"sum": np.add, "min": np.minimum, "max": np.maximum}
+# partial-op → merge-op (a partial count merges by summing)
+_MERGE_OP = {"sum": "sum", "min": "min", "max": "max", "count": "sum"}
+
+
+def _agg_block(
+    tbl: pa.Table, key_cols: list[str], specs: list[tuple[str, str, str]]
+) -> pa.Table:
+    """One vectorized aggregation pass over a table: sort by keys, find
+    run boundaries, reduceat every value column. specs = (col, op, out)."""
+    out_fields: dict[str, pa.Array] = {}
+    if len(tbl) == 0:
+        for c in key_cols:
+            out_fields[c] = tbl.column(c).combine_chunks()
+        for col, op, out in specs:
+            out_fields[out] = pa.array(
+                [], pa.int64() if op == "count" else tbl.schema.field(col).type
+            )
+        return pa.table(out_fields)
+    srt = tbl.take(
+        pc.sort_indices(tbl, sort_keys=[(c, "ascending") for c in key_cols])
+    )
+    n = len(srt)
+    diff = np.zeros(n - 1, dtype=bool)
+    keys_np = {}
+    for c in key_cols:
+        k = srt.column(c).to_numpy(zero_copy_only=False)
+        keys_np[c] = k
+        diff |= k[1:] != k[:-1]
+    starts = np.flatnonzero(np.concatenate([[True], diff]))
+    ends = np.concatenate([starts[1:], [n]])
+    for c in key_cols:
+        out_fields[c] = pa.array(keys_np[c][starts])
+    for col, op, out in specs:
+        if op == "count":
+            out_fields[out] = pa.array(ends - starts, pa.int64())
+            continue
+        v = srt.column(col).to_numpy(zero_copy_only=False)
+        if op == "sum" and v.dtype.kind in "bi" and v.dtype.itemsize < 8:
+            # np.add.reduceat keeps the input dtype: bool would OR, int8
+            # would overflow — widen before summing
+            v = v.astype(np.int64)
+        out_fields[out] = pa.array(_UFUNC[op].reduceat(v, starts))
+    return pa.table(out_fields)
+
+
+def default_nparts() -> int:
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:  # pragma: no cover - resources probe best-effort
+        ncpu = 8
+    return max(4, ncpu * 2)
+
+
+def _salt_parts(
+    batch: pa.Table, key_cols: list[str], nparts: int | None = None
+) -> pa.Table:
+    """Append ``__part`` = hash(key columns) % nparts — same key, same
+    partition; the partition count (≈2×CPU) bounds per-group Python
+    calls downstream regardless of key cardinality."""
+    import pandas as pd
+
+    if nparts is None:
+        nparts = default_nparts()
+    h = np.zeros(len(batch), dtype=np.uint64)
+    for c in key_cols:
+        col = batch.column(c).to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            h = h * np.uint64(1000003) ^ pd.util.hash_array(col)
+    return batch.append_column(
+        "__part", pa.array((h % nparts).astype(np.int64), pa.int64())
+    )
+
+
+def bucket_aggregate(
+    ds: ray.data.Dataset,
+    key_cols: list[str],
+    specs: list[tuple[str, str, str]],
+    nparts: int | None = None,
+) -> ray.data.Dataset:
+    """Keyed aggregation with per-batch combining and NO per-key Python.
+
+    ``specs`` is a list of (value_col, op, out_name) with op one of
+    sum/min/max/count; the output has ``key_cols`` + one column per
+    spec. count ignores its value_col (pass any column name)."""
+    if nparts is None:
+        nparts = default_nparts()
+
+    # map-side combiner: partial aggregates per batch
+    def partial(batch: pa.Table) -> pa.Table:
+        return _salt_parts(_agg_block(batch, key_cols, specs), key_cols, nparts)
+
+    merge_specs = [(out, _MERGE_OP[op], out) for _, op, out in specs]
+
+    def merge(group: pa.Table) -> pa.Table:
+        return _agg_block(group.drop_columns(["__part"]), key_cols, merge_specs)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__part")
+        .map_groups(merge, batch_format="pyarrow")
+    )

@@ -341,21 +341,21 @@ def union_full_self(
         if n_cut == 0:
             return passed
 
-        def _name_counts(b: pa.Table) -> pa.Table:
-            # rename by NAME (Ray's count column is 'count()'; a
-            # positional rename breaks if the groupby output order or
-            # naming changes)
-            cnt_col = [c for c in b.column_names if c != "l1_doc_id"]
-            assert cnt_col == ["count()"], cnt_col
-            return pa.table(
+        from .agg import bucket_aggregate
+
+        # combiner-first vectorized count (Ray's groupby().count() costs
+        # ~100-200µs Python per distinct key — the key here is a piece id)
+        counts = bucket_aggregate(
+            _cover_join(cut), ["l1_doc_id"],
+            [("l1_doc_id", "count", "nb_covering")],
+        ).map_batches(
+            lambda b: pa.table(
                 {
                     "piece_id": b.column("l1_doc_id"),
-                    "nb_covering": b.column("count()"),
+                    "nb_covering": b.column("nb_covering"),
                 }
-            )
-
-        counts = _cover_join(cut).groupby("l1_doc_id").count().map_batches(
-            _name_counts, batch_format="pyarrow"
+            ),
+            batch_format="pyarrow",
         )
         geoms = cut.map_batches(
             lambda b: b.select(["piece_id", _GEOM]), batch_format="pyarrow"

@@ -28,7 +28,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data
-from ray.data.aggregate import Max, Sum
 
 from ..config import OPTIONS
 from ..geom import GeometryArray, bbox_join, bbox_join_auto, from_wkb
@@ -545,18 +544,15 @@ def _match_flags(
         ds1, ds2, group_fn, ["doc_id"], ["doc_id"], size=size,
         expand1=expand1, salt=salt,
     )
-    return per_cell.groupby("l1_doc_id").aggregate(
-        Max("matched"), Sum("n_cand"), Sum("area")
-    ).map_batches(
-        lambda b: pa.table(
-            {
-                "l1_doc_id": b.column("l1_doc_id"),
-                "matched": b.column("max(matched)"),
-                "n_cand": b.column("sum(n_cand)"),
-                "area": b.column("sum(area)"),
-            }
-        ),
-        batch_format="pyarrow",
+    from .agg import bucket_aggregate
+
+    # combiner-first vectorized aggregate — Ray's groupby().aggregate()
+    # costs ~100-200µs Python PER KEY, and the key here is a row id
+    return bucket_aggregate(
+        per_cell,
+        ["l1_doc_id"],
+        [("matched", "max", "matched"), ("n_cand", "sum", "n_cand"),
+         ("area", "sum", "area")],
     )
 
 
@@ -731,22 +727,13 @@ def export_by_location(
         ds1, ds2, q, size, salt,
         with_area=with_area, emit_candidates=include_disjoint,
     )
-    from ray.data.aggregate import Count, Sum
+    from .agg import bucket_aggregate
 
-    flags = (
-        pairs.groupby("l1_doc_id")
-        .aggregate(Sum("matched"), Count(), Sum("area"))
-        .map_batches(
-            lambda b: pa.table(
-                {
-                    "l1_doc_id": b.column("l1_doc_id"),
-                    "n_match": b.column("sum(matched)").cast(pa.int64()),
-                    "n_cand": b.column("count()"),
-                    "area": b.column("sum(area)"),
-                }
-            ),
-            batch_format="pyarrow",
-        )
+    flags = bucket_aggregate(
+        pairs,
+        ["l1_doc_id"],
+        [("matched", "sum", "n_match"), ("matched", "count", "n_cand"),
+         ("area", "sum", "area")],
     )
     full_cols = [c for c in ds1.schema().base_schema.names if c != _GEOM] + [_GEOM]
     l1 = _prefix_dataset(ds1, "l1_", full_cols)
@@ -783,9 +770,10 @@ def export_by_distance(
         ds1, ds2, RelationQuery("intersects is True"), size, salt,
         expand1=max_distance, distance=max_distance,
     )
+    from .agg import bucket_aggregate
+
     kept = (
-        pairs.groupby("l1_doc_id")
-        .aggregate(Max("matched"))
+        bucket_aggregate(pairs, ["l1_doc_id"], [("matched", "max", "m")])
         .map_batches(
             lambda b: b.select(["l1_doc_id"]), batch_format="pyarrow"
         )

@@ -56,15 +56,16 @@ def exact_dedup(
             }
         )
 
-    def first(group: pa.Table) -> pa.Table:
-        ids = group.column("doc_id").to_numpy()
-        keep = int(np.argmin(ids))
-        return pa.table({"doc_id": pa.array([int(ids[keep])], pa.int64())})
+    from ..stages.agg import bucket_aggregate
 
-    return (
-        ds.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("__key")
-        .map_groups(first, batch_format="pyarrow")
+    # min(doc_id) per class with zero per-key Python (combiner-first
+    # vectorized aggregate — the class key has ~one key per unique doc)
+    return bucket_aggregate(
+        ds.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True),
+        ["__key"],
+        [("doc_id", "min", "doc_id")],
+    ).map_batches(
+        lambda b: b.select(["doc_id"]), batch_format="pyarrow"
     )
 
 
@@ -193,29 +194,43 @@ def minhash_dedup_pairs(
     )
     joined = sigs.join(texts, join_type="inner", num_partitions=8, on=("doc_id",))
 
-    def per_bucket(group: pa.Table) -> pa.Table:
-        ids = group.column("doc_id").to_numpy()
-        txt = group.column("text").to_pylist()
-        uniq: dict[int, str] = {}
-        for d, t in zip(ids, txt):
-            uniq[int(d)] = t
-        items = sorted(uniq)[:bucket_cap]
-        # shingle sets computed ONCE per doc, not per pair
-        sets = [set(_shingles(_norm_tokens(uniq[d]), shingle_k)) for d in items]
+    def per_part(group: pa.Table) -> pa.Table:
+        # ONE call per salt partition (not per LSH bucket): sort by
+        # bucket key, loop bucket RUNS in-process, accumulate into one
+        # output table — the per-bucket verify logic is unchanged
+        srt = group.take(
+            pc.sort_indices(group, sort_keys=[("__bucket", "ascending")])
+        )
+        keys = srt.column("__bucket").to_numpy(zero_copy_only=False)
+        ids_all = srt.column("doc_id").to_numpy()
+        txt_all = srt.column("text").to_pylist()
+        bounds = np.flatnonzero(
+            np.concatenate([[True], keys[1:] != keys[:-1], [True]])
+        )
         a_out, b_out, j_out = [], [], []
-        for x in range(len(items)):
-            sx = sets[x]
-            for y in range(x + 1, len(items)):
-                sy = sets[y]
-                inter = len(sx & sy)
-                un = len(sx | sy)
-                j = inter / un if un else 0.0
-                if j >= jaccard_threshold:
-                    a_out.append(items[x])
-                    b_out.append(items[y])
-                    # SQL ROUND semantics (half away from zero), so the
-                    # DuckDB oracle (minhash_pairs_sql) hash-matches
-                    j_out.append(math.floor(j * 1e6 + 0.5) / 1e6)
+        for r in range(len(bounds) - 1):
+            lo, hi = bounds[r], bounds[r + 1]
+            uniq: dict[int, str] = {}
+            for d, t in zip(ids_all[lo:hi], txt_all[lo:hi]):
+                uniq[int(d)] = t
+            items = sorted(uniq)[:bucket_cap]
+            # shingle sets computed ONCE per doc, not per pair
+            sets = [
+                set(_shingles(_norm_tokens(uniq[d]), shingle_k)) for d in items
+            ]
+            for x in range(len(items)):
+                sx = sets[x]
+                for y in range(x + 1, len(items)):
+                    sy = sets[y]
+                    inter = len(sx & sy)
+                    un = len(sx | sy)
+                    j = inter / un if un else 0.0
+                    if j >= jaccard_threshold:
+                        a_out.append(items[x])
+                        b_out.append(items[y])
+                        # SQL ROUND semantics (half away from zero), so
+                        # the DuckDB oracle (minhash_pairs_sql) matches
+                        j_out.append(math.floor(j * 1e6 + 0.5) / 1e6)
         return pa.table(
             {
                 "doc_id_a": pa.array(a_out, pa.int64()),
@@ -232,31 +247,25 @@ def minhash_dedup_pairs(
         )
         return batch.append_column("__bucket", key)
 
+    from ..stages.agg import _salt_parts
+
     pairs = (
         joined.map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("__bucket")
-        .map_groups(per_bucket, batch_format="pyarrow")
+        .map_batches(
+            lambda b: _salt_parts(b, ["__bucket"]), batch_format="pyarrow"
+        )
+        .groupby("__part")
+        .map_groups(per_part, batch_format="pyarrow")
     )
 
-    # a pair can surface from several bands → dedup by (a, b)
-    def first(group: pa.Table) -> pa.Table:
-        return group.slice(0, 1)
+    # a pair can surface from several bands → dedup by (a, b); the
+    # jaccard is computed from the same shingle sets in every band, so
+    # min() of the duplicates is the value itself (vectorized aggregate,
+    # no per-pair Python)
+    from ..stages.agg import bucket_aggregate
 
-    keyed = pairs.map_batches(
-        lambda b: b.append_column(
-            "__pair",
-            pc.binary_join_element_wise(
-                pc.cast(b.column("doc_id_a"), pa.string()),
-                pc.cast(b.column("doc_id_b"), pa.string()),
-                "_",
-            ),
-        ),
-        batch_format="pyarrow",
-    )
-    return (
-        keyed.groupby("__pair")
-        .map_groups(first, batch_format="pyarrow")
-        .drop_columns(["__pair"])
+    return bucket_aggregate(
+        pairs, ["doc_id_a", "doc_id_b"], [("jaccard", "min", "jaccard")]
     )
 
 
@@ -436,48 +445,96 @@ def ngram_jaccard_pairs(
 
     exploded = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
 
-    def kept_of_shingle(group: pa.Table) -> pa.Table:
-        if len(group) > max_df:
-            return group.slice(0, 0)
-        return group
+    from ..stages.agg import _salt_parts, bucket_aggregate, default_nparts
 
-    kept = exploded.groupby("shingle").map_groups(
-        kept_of_shingle, batch_format="pyarrow"
-    ).materialize()
+    # every shingle-keyed stage runs per SALT PARTITION (hash(shingle) %
+    # ~2×CPU) with fully vectorized run processing inside — zero per-key
+    # Python for a key space the size of the shingle vocabulary
+    def df_filter(group: pa.Table) -> pa.Table:
+        srt = group.take(
+            pc.sort_indices(group, sort_keys=[("shingle", "ascending")])
+        )
+        k = srt.column("shingle").to_numpy(zero_copy_only=False)
+        n = len(k)
+        if n == 0:
+            return srt.drop_columns(["__part"])
+        starts = np.flatnonzero(np.concatenate([[True], k[1:] != k[:-1]]))
+        L = np.diff(np.concatenate([starts, [n]]))
+        return srt.filter(pa.array(np.repeat(L <= max_df, L))).drop_columns(
+            ["__part"]
+        )
 
-    sizes = kept.groupby("doc_id").count()
+    kept = (
+        exploded.map_batches(
+            lambda b: _salt_parts(b, ["shingle"]), batch_format="pyarrow"
+        )
+        .groupby("__part")
+        .map_groups(df_filter, batch_format="pyarrow")
+        .materialize()
+    )
 
-    def pairs_of_shingle(group: pa.Table) -> pa.Table:
-        ids = np.sort(group.column("doc_id").to_numpy())
-        n = len(ids)
-        a_out, b_out = [], []
-        for x in range(n):
-            a_out.extend([int(ids[x])] * (n - x - 1))
-            b_out.extend(int(v) for v in ids[x + 1 :])
+    sizes = bucket_aggregate(kept, ["doc_id"], [("doc_id", "count", "n")])
+
+    def pairs_of_part(group: pa.Table) -> pa.Table:
+        # all (a<b) doc pairs within every shingle run, built by the
+        # ragged triangular expansion (repeat/cumsum) — no Python loop
+        srt = group.take(
+            pc.sort_indices(
+                group,
+                sort_keys=[("shingle", "ascending"), ("doc_id", "ascending")],
+            )
+        )
+        ids = srt.column("doc_id").to_numpy()
+        k = srt.column("shingle").to_numpy(zero_copy_only=False)
+        n = len(k)
+        empty = pa.table(
+            {
+                "doc_id_a": pa.array([], pa.int64()),
+                "doc_id_b": pa.array([], pa.int64()),
+            }
+        )
+        if n == 0:
+            return empty
+        starts = np.flatnonzero(np.concatenate([[True], k[1:] != k[:-1]]))
+        L = np.diff(np.concatenate([starts, [n]]))
+        pos = np.arange(n, dtype=np.int64)
+        rep = np.repeat(starts + L, L) - 1 - pos  # suffix length per row
+        total = int(rep.sum())
+        if total == 0:
+            return empty
+        sstart = np.cumsum(rep) - rep
+        w = np.arange(total, dtype=np.int64) - np.repeat(sstart, rep)
+        a_idx = np.repeat(pos, rep)
+        b_idx = a_idx + 1 + w
         return pa.table(
             {
-                "doc_id_a": pa.array(a_out, pa.int64()),
-                "doc_id_b": pa.array(b_out, pa.int64()),
+                "doc_id_a": pa.array(ids[a_idx], pa.int64()),
+                "doc_id_b": pa.array(ids[b_idx], pa.int64()),
             }
         )
 
-    inter = (
-        kept.groupby("shingle")
-        .map_groups(pairs_of_shingle, batch_format="pyarrow")
-        .groupby(["doc_id_a", "doc_id_b"])
-        .count()
+    pair_stream = (
+        kept.map_batches(
+            lambda b: _salt_parts(b, ["shingle"]), batch_format="pyarrow"
+        )
+        .groupby("__part")
+        .map_groups(pairs_of_part, batch_format="pyarrow")
     )
+    inter = bucket_aggregate(
+        pair_stream, ["doc_id_a", "doc_id_b"], [("doc_id_a", "count", "count()")]
+    )
+    npj = max(2, default_nparts() // 2)
     j1 = inter.join(
         sizes.map_batches(
             lambda b: b.rename_columns(["doc_id_a", "na"]), batch_format="pyarrow"
         ),
-        join_type="inner", num_partitions=8, on=("doc_id_a",),
+        join_type="inner", num_partitions=npj, on=("doc_id_a",),
     )
     j2 = j1.join(
         sizes.map_batches(
             lambda b: b.rename_columns(["doc_id_b", "nb"]), batch_format="pyarrow"
         ),
-        join_type="inner", num_partitions=8, on=("doc_id_b",),
+        join_type="inner", num_partitions=npj, on=("doc_id_b",),
     )
 
     def finish(batch: pa.Table) -> pa.Table:
@@ -579,50 +636,67 @@ def connected_components(
         init, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
 
-    def propagate(group: pa.Table) -> pa.Table:
-        src = group.column("src").to_numpy()
-        lbl = group.column("label").to_numpy()
-        own = lbl[src == -1]
-        if len(own) == 0:  # defensive: edges to a node outside `nodes`
-            return group.slice(0, 0)
-        v = int(own.min())
-        node = int(group.column("node")[0].as_py())
-        out_nodes = np.concatenate([src[src != -1], [node]])
-        return pa.table(
-            {
-                "node": pa.array(out_nodes, pa.int64()),
-                "src": pa.array(np.full(len(out_nodes), -1), pa.int64()),
-                "label": pa.array(np.full(len(out_nodes), v), pa.int64()),
-            }
-        )
+    from ..stages.agg import _salt_parts, bucket_aggregate
 
-    def unmin(b: pa.Table) -> pa.Table:
-        if b.num_columns == 0 or len(b) == 0:
+    _BIG = np.iinfo(np.int64).max
+
+    def propagate_part(group: pa.Table) -> pa.Table:
+        # one call per salt partition: per node-run, v = min own label;
+        # emit (neighbour, v) for every adjacency row + (node, v) — all
+        # reduceat/repeat vectorized (the old shape was one Python call
+        # per NODE, twice per round)
+        srt = group.take(
+            pc.sort_indices(group, sort_keys=[("node", "ascending")])
+        )
+        node = srt.column("node").to_numpy()
+        src = srt.column("src").to_numpy()
+        lbl = srt.column("label").to_numpy()
+        n = len(node)
+        if n == 0:
             return pa.table(
                 {
                     "node": pa.array([], pa.int64()),
-                    "src": pa.array([], pa.int64()),
                     "label": pa.array([], pa.int64()),
                 }
             )
-        n = len(b)
+        starts = np.flatnonzero(np.concatenate([[True], node[1:] != node[:-1]]))
+        L = np.diff(np.concatenate([starts, [n]]))
+        run_id = np.repeat(np.arange(len(starts)), L)
+        own = src == -1
+        vown = np.minimum.reduceat(np.where(own, lbl, _BIG), starts)
+        valid = vown != _BIG  # defensive: edges to a node outside `nodes`
+        neigh = (~own) & valid[run_id]
+        out_nodes = np.concatenate([src[neigh], node[starts[valid]]])
+        out_lbl = np.concatenate([vown[run_id[neigh]], vown[valid]])
+        return pa.table(
+            {
+                "node": pa.array(out_nodes, pa.int64()),
+                "label": pa.array(out_lbl, pa.int64()),
+            }
+        )
+
+    def readd_src(b: pa.Table) -> pa.Table:
         return pa.table(
             {
                 "node": b.column("node"),
-                "src": pa.array(np.full(n, -1), pa.int64()),
-                "label": b.column("min(label)"),
+                "src": pa.array(np.full(len(b), -1), pa.int64()),
+                "label": b.column("label"),
             }
         )
 
     prev_sum = None
     for _ in range(max_rounds):
-        lab = (
+        prop = (
             edges.union(lab)
-            .groupby("node")
-            .map_groups(propagate, batch_format="pyarrow")
-            .groupby("node")
-            .min("label")
-            .map_batches(unmin, batch_format="pyarrow")
+            .map_batches(
+                lambda b: _salt_parts(b, ["node"]), batch_format="pyarrow"
+            )
+            .groupby("__part")
+            .map_groups(propagate_part, batch_format="pyarrow")
+        )
+        lab = (
+            bucket_aggregate(prop, ["node"], [("label", "min", "label")])
+            .map_batches(readd_src, batch_format="pyarrow")
             .materialize()
         )
         s = lab.sum("label")

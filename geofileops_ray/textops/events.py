@@ -86,37 +86,68 @@ def tumbling_window_agg(
             }
         )
 
-    def merge(group: pa.Table) -> pa.Table:
-        n = int(np.sum(group.column("n_events").to_numpy()))
-        s = float(np.sum(group.column("sum_value").to_numpy()))
-        types = set()
-        for t in group.column("types").to_pylist():
-            types.update(t)
+    def merge_part(group: pa.Table) -> pa.Table:
+        # one call per salt partition: merge all (user, window) runs
+        # vectorized — counts/sums via reduceat, distinct-type counts by
+        # sorting the flattened (run, type) pairs and counting boundaries
+        srt = group.take(
+            pc.sort_indices(
+                group,
+                sort_keys=[("user_id", "ascending"), ("window_id", "ascending")],
+            )
+        )
+        u = srt.column("user_id").to_numpy()
+        w = srt.column("window_id").to_numpy()
+        n = len(u)
+        if n == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "window_id": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "sum_value": pa.array([], pa.float64()),
+                    "n_types": pa.array([], pa.int64()),
+                }
+            )
+        starts = np.flatnonzero(
+            np.concatenate([[True], (u[1:] != u[:-1]) | (w[1:] != w[:-1])])
+        )
+        L = np.diff(np.concatenate([starts, [n]]))
+        run_id = np.repeat(np.arange(len(starts)), L)
+        nev = np.add.reduceat(srt.column("n_events").to_numpy(), starts)
+        sv = np.add.reduceat(srt.column("sum_value").to_numpy(), starts)
+        tl = srt.column("types").combine_chunks()
+        flat = np.asarray(tl.flatten().to_pylist(), dtype=object)
+        offs = tl.offsets.to_numpy()
+        rid = np.repeat(run_id, offs[1:] - offs[:-1])
+        if len(flat):
+            o = np.lexsort((flat, rid))
+            fr, fv = rid[o], flat[o]
+            newv = np.concatenate([[True], (fr[1:] != fr[:-1]) | (fv[1:] != fv[:-1])])
+            ntypes = np.bincount(fr[newv], minlength=len(starts))
+        else:
+            ntypes = np.zeros(len(starts), dtype=np.int64)
         return pa.table(
             {
-                "user_id": group.column("user_id").slice(0, 1),
-                "window_id": group.column("window_id").slice(0, 1),
-                "n_events": pa.array([n], pa.int64()),
-                "sum_value": pa.array([round(s, 6)], pa.float64()),
-                "n_types": pa.array([len(types)], pa.int64()),
+                "user_id": pa.array(u[starts], pa.int64()),
+                "window_id": pa.array(w[starts], pa.int64()),
+                "n_events": pa.array(nev.astype(np.int64), pa.int64()),
+                "sum_value": pa.array(np.round(sv, 6), pa.float64()),
+                "n_types": pa.array(ntypes.astype(np.int64), pa.int64()),
             }
         )
 
+    from ..stages.agg import _salt_parts
+
     keyed_ds = ds.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
     partials = keyed_ds.map_batches(partial, batch_format="pyarrow")
-
-    def pairkey(batch: pa.Table) -> pa.Table:
-        k = pc.binary_join_element_wise(
-            pc.cast(batch.column("user_id"), pa.string()),
-            pc.cast(batch.column("window_id"), pa.string()),
-            "_",
-        )
-        return batch.append_column("__k", k)
-
     return (
-        partials.map_batches(pairkey, batch_format="pyarrow")
-        .groupby("__k")
-        .map_groups(merge, batch_format="pyarrow")
+        partials.map_batches(
+            lambda b: _salt_parts(b, ["user_id", "window_id"]),
+            batch_format="pyarrow",
+        )
+        .groupby("__part")
+        .map_groups(merge_part, batch_format="pyarrow")
     )
 
 
@@ -151,42 +182,60 @@ def sessionize(
             }
         )
 
-    def per_user(group: pa.Table) -> pa.Table:
-        ts = group.column("ts_us").to_numpy()
-        order = np.argsort(ts, kind="stable")
-        ts = ts[order]
-        v = group.column("value").to_numpy(zero_copy_only=False)[order]
-        n = len(ts)
-        new = np.empty(n, dtype=bool)
-        new[0] = True
-        new[1:] = (ts[1:] - ts[:-1]) > gap_us
-        starts = np.flatnonzero(new)
+    def per_part(group: pa.Table) -> pa.Table:
+        # one call per salt partition: sort (user, ts) once, session
+        # breaks = user change OR gap; per-session reduceat; session_id =
+        # position within the user's session sequence — all vectorized
+        srt = group.take(
+            pc.sort_indices(
+                group, sort_keys=[("user_id", "ascending"), ("ts_us", "ascending")]
+            )
+        )
+        u = srt.column("user_id").to_numpy()
+        ts = srt.column("ts_us").to_numpy()
+        v = srt.column("value").to_numpy(zero_copy_only=False)
+        n = len(u)
+        if n == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "session_id": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "start_us": pa.array([], pa.int64()),
+                    "duration_us": pa.array([], pa.int64()),
+                    "sum_value": pa.array([], pa.float64()),
+                }
+            )
+        newu = np.concatenate([[True], u[1:] != u[:-1]])
+        news = newu | np.concatenate([[True], (ts[1:] - ts[:-1]) > gap_us])
+        starts = np.flatnonzero(news)
         ends = np.concatenate([starts[1:], [n]])
         sums = np.add.reduceat(np.where(np.isnan(v), 0.0, v), starts)
+        # session_id: index within each user's session run
+        user_first = np.flatnonzero(newu[starts])
+        sid = np.arange(len(starts), dtype=np.int64) - np.repeat(
+            user_first, np.diff(np.concatenate([user_first, [len(starts)]]))
+        )
         return pa.table(
             {
-                "user_id": pa.array(
-                    np.repeat(group.column("user_id")[0].as_py(), len(starts)),
-                    pa.int64(),
-                ),
-                "session_id": pa.array(
-                    np.arange(len(starts), dtype=np.int64), pa.int64()
-                ),
-                "n_events": pa.array(
-                    (ends - starts).astype(np.int64), pa.int64()
-                ),
+                "user_id": pa.array(u[starts], pa.int64()),
+                "session_id": pa.array(sid, pa.int64()),
+                "n_events": pa.array((ends - starts).astype(np.int64), pa.int64()),
                 "start_us": pa.array(ts[starts], pa.int64()),
-                "duration_us": pa.array(
-                    ts[ends - 1] - ts[starts], pa.int64()
-                ),
+                "duration_us": pa.array(ts[ends - 1] - ts[starts], pa.int64()),
                 "sum_value": pa.array(np.round(sums, 6), pa.float64()),
             }
         )
 
+    from ..stages.agg import _salt_parts
+
     return (
         ds.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("user_id")
-        .map_groups(per_user, batch_format="pyarrow")
+        .map_batches(
+            lambda b: _salt_parts(b, ["user_id"]), batch_format="pyarrow"
+        )
+        .groupby("__part")
+        .map_groups(per_part, batch_format="pyarrow")
     )
 
 
@@ -224,43 +273,75 @@ def asof_join_events(
             }
         )
 
-    def per_user(group: pa.Table) -> pa.Table:
-        is_l = group.column("is_left").to_numpy(zero_copy_only=False)
-        ts = group.column("ts_us").to_numpy()
-        eid = group.column("event_id").to_numpy()
-        ta_, ia_ = ts[is_l], eid[is_l]
-        tb, ib = ts[~is_l], eid[~is_l]
-        order = np.lexsort((ib, tb))
-        tb, ib = tb[order], ib[order]
-        pos = np.searchsorted(tb, ta_, side="right") - 1
-        hit = pos >= 0
-        safe = np.maximum(pos, 0)
+    def per_part(group: pa.Table) -> pa.Table:
+        # one call per salt partition: merge-order ALL users' rows by
+        # (user, ts, eid) with rights before lefts on ties, then the
+        # as-of lookup is a per-row running count / last-seen-right
+        # (cumsum + maximum.accumulate with per-user reset) — no per-user
+        # Python calls
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "event_id": pa.array([], pa.int64()),
+                "ts_us": pa.array([], pa.int64()),
+                "ref_event_id": pa.array([], pa.int64()),
+                "ref_ts_us": pa.array([], pa.int64()),
+                "n_ref_before": pa.array([], pa.int64()),
+            }
+        )
+        if len(group) == 0:
+            return empty
+        u0 = group.column("user_id").to_numpy()
+        ts0 = group.column("ts_us").to_numpy()
+        eid0 = group.column("event_id").to_numpy()
+        isl0 = group.column("is_left").to_numpy(zero_copy_only=False)
+        # rights before lefts at equal (user, ts); rights by ascending
+        # eid so last-seen = max event_id (the SQL ROW_NUMBER mirror)
+        o = np.lexsort((eid0, isl0, ts0, u0))
+        u, ts, eid, isl = u0[o], ts0[o], eid0[o], isl0[o]
+        n = len(u)
+        newu = np.concatenate([[True], u[1:] != u[:-1]])
+        run_start = np.maximum.accumulate(
+            np.where(newu, np.arange(n), 0)
+        )
+        # rights preceding each row within its user run: global exclusive
+        # cumsum minus the cumsum at the run start
+        right = ~isl
+        cr_excl = np.concatenate([[0], np.cumsum(right)[:-1]])
+        n_right = cr_excl - cr_excl[run_start]
+        # index of the latest right so far (within run), else -1
+        lr = np.where(right, np.arange(n), -1)
+        lr = np.maximum.accumulate(lr)
+        valid = lr >= run_start
+        lefts = np.flatnonzero(isl)
+        hit = valid[lefts]
+        safe = np.maximum(lr[lefts], 0)
         return pa.table(
             {
-                "user_id": pa.array(
-                    np.full(len(ta_), group.column("user_id")[0].as_py()),
-                    pa.int64(),
-                ),
-                "event_id": pa.array(ia_, pa.int64()),
-                "ts_us": pa.array(ta_, pa.int64()),
+                "user_id": pa.array(u[lefts], pa.int64()),
+                "event_id": pa.array(eid[lefts], pa.int64()),
+                "ts_us": pa.array(ts[lefts], pa.int64()),
                 "ref_event_id": pa.array(
-                    np.where(hit, ib[safe] if len(ib) else 0, 0),
-                    pa.int64(),
-                    mask=~hit,
+                    np.where(hit, eid[safe], 0), pa.int64(), mask=~hit
                 ),
                 "ref_ts_us": pa.array(
-                    np.where(hit, tb[safe] if len(tb) else 0, 0),
-                    pa.int64(),
-                    mask=~hit,
+                    np.where(hit, ts[safe], 0), pa.int64(), mask=~hit
                 ),
-                "n_ref_before": pa.array(pos + 1, pa.int64()),
+                "n_ref_before": pa.array(
+                    n_right[lefts].astype(np.int64), pa.int64()
+                ),
             }
         )
 
+    from ..stages.agg import _salt_parts
+
     return (
         ds.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("user_id")
-        .map_groups(per_user, batch_format="pyarrow")
+        .map_batches(
+            lambda b: _salt_parts(b, ["user_id"]), batch_format="pyarrow"
+        )
+        .groupby("__part")
+        .map_groups(per_part, batch_format="pyarrow")
     )
 
 

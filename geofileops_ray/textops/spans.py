@@ -154,19 +154,56 @@ def media_ref_fanout(
         grp = sub.group_by(["media_ref", id_col]).aggregate([([], "count_all")])
         return grp.rename_columns(["media_ref", id_col, "n_spans_part"])
 
-    def final(group: pa.Table) -> pa.Table:
-        n = group.column("n_spans_part").to_numpy()
-        docs = group.column(id_col).to_numpy()
+    def final_part(group: pa.Table) -> pa.Table:
+        # one call per salt partition (the media_ref key space is as big
+        # as the asset catalogue): sort by (ref, doc); span sums via
+        # reduceat per ref run; distinct docs per ref = count of (ref,
+        # doc) boundaries inside the run — all vectorized
+        srt = group.take(
+            pc.sort_indices(
+                group,
+                sort_keys=[("media_ref", "ascending"), (id_col, "ascending")],
+            )
+        )
+        refs = srt.column("media_ref").to_numpy(zero_copy_only=False)
+        docs = srt.column(id_col).to_numpy()
+        nsp = srt.column("n_spans_part").to_numpy()
+        n = len(refs)
+        if n == 0:
+            return pa.table(
+                {
+                    "media_ref": pa.array([], pa.string()),
+                    "n_spans": pa.array([], pa.int64()),
+                    "n_docs": pa.array([], pa.int64()),
+                }
+            )
+        new_ref = np.concatenate([[True], refs[1:] != refs[:-1]])
+        starts = np.flatnonzero(new_ref)
+        L = np.diff(np.concatenate([starts, [n]]))
+        run_id = np.repeat(np.arange(len(starts)), L)
+        new_doc = new_ref | np.concatenate([[True], docs[1:] != docs[:-1]])
         return pa.table(
             {
-                "media_ref": group.column("media_ref").slice(0, 1),
-                "n_spans": pa.array([int(n.sum())], pa.int64()),
-                "n_docs": pa.array([int(len(np.unique(docs)))], pa.int64()),
+                "media_ref": pa.array(refs[starts].tolist(), pa.string()),
+                "n_spans": pa.array(
+                    np.add.reduceat(nsp.astype(np.int64), starts), pa.int64()
+                ),
+                "n_docs": pa.array(
+                    np.bincount(run_id[new_doc], minlength=len(starts)).astype(
+                        np.int64
+                    ),
+                    pa.int64(),
+                ),
             }
         )
 
+    from ..stages.agg import _salt_parts
+
     return (
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("media_ref")
-        .map_groups(final, batch_format="pyarrow")
+        .map_batches(
+            lambda b: _salt_parts(b, ["media_ref"]), batch_format="pyarrow"
+        )
+        .groupby("__part")
+        .map_groups(final_part, batch_format="pyarrow")
     )

@@ -1102,6 +1102,95 @@ SELECT ROUND(MIN(x0), 4) AS minx, ROUND(30.0*r, 4) AS miny,
 FROM cl GROUP BY r, cid ORDER BY 2, 1"""
 
 
+def _dwd_bars2_dataset() -> ray.data.Dataset:
+    """The bars construction generalized to TWO sub-rows merging
+    VERTICALLY (sub-row gap 3 < distance 5): per x-cluster the merged
+    result is exactly the 2-row cluster bounding box — x-gap fills,
+    the vertical-gap connector, and the gap×gap crossing holes are all
+    narrower than the distance, the sub-rows share the same x layout so
+    every outer wall is flat, and the closing of a flat-walled full grid
+    is its bbox."""
+    rows = []
+    for r in range(_DWD_R):
+        x = float((r * 13) % 17)
+        for k in range(_DWD_K):
+            w = 10.0 + ((r * 7 + k * 3) % 6)
+            if k > 0:
+                b = (r * 5 + k * 11) % 4
+                x += 2.0 + 0.25 * b if b < 2 else 7.0 + b
+            for sub, (y0, y1) in enumerate(
+                [(60.0 * r, 60.0 * r + 10.0), (60.0 * r + 13.0, 60.0 * r + 23.0)]
+            ):
+                rows.append(
+                    {
+                        "doc_id": (r * _DWD_K + k) * 2 + sub + 1,
+                        "geometry": synth.rect_wkb(
+                            np.array([x]), np.array([y0]),
+                            np.array([x + w]), np.array([y1]),
+                        )[0].as_py(),
+                    }
+                )
+            x += w
+    return ray.data.from_items(rows)
+
+
+def q_dissolve_within_distance_bars2(sf):
+    from ..stages.compound import dissolve_within_distance
+
+    ds = dissolve_within_distance(
+        _dwd_bars2_dataset(), distance=_DWD_DIST, gridsize=0.001
+    )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ga = from_wkb(batch.column("geometry"))
+        b = ga.bounds()
+
+        def r4(v):
+            return pa.array(np.round(v, 4) + 0.0, pa.float64())
+
+        return pa.table(
+            {
+                "minx": r4(b[:, 0]),
+                "miny": r4(b[:, 1]),
+                "maxx": r4(b[:, 2]),
+                "maxy": r4(b[:, 3]),
+                "area": r4(_area(ga)),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+O_DWD_BARS2 = f"""
+WITH rk AS (
+  SELECT r, k,
+         10.0 + ((r*7 + k*3) % 6) AS w,
+         CASE WHEN k = 0 THEN 0.0
+              WHEN (r*5 + k*11) % 4 < 2
+                THEN 2.0 + 0.25*((r*5 + k*11) % 4)
+              ELSE 7.0 + ((r*5 + k*11) % 4) END AS gap
+  FROM (SELECT unnest(range(0, {_DWD_R})) AS r),
+       (SELECT unnest(range(0, {_DWD_K})) AS k)
+),
+pos AS (
+  SELECT r, k, w, gap,
+         (r*13) % 17
+           + SUM(w + gap) OVER (PARTITION BY r ORDER BY k
+                                ROWS UNBOUNDED PRECEDING) - w AS x0
+  FROM rk
+),
+cl AS (
+  SELECT r, k, w, x0,
+         SUM(CASE WHEN gap > {_DWD_DIST} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY r ORDER BY k ROWS UNBOUNDED PRECEDING) AS cid
+  FROM pos
+)
+SELECT ROUND(MIN(x0), 4) AS minx, ROUND(60.0*r, 4) AS miny,
+       ROUND(MAX(x0 + w), 4) AS maxx, ROUND(60.0*r + 23.0, 4) AS maxy,
+       ROUND((MAX(x0 + w) - MIN(x0)) * 23.0, 4) AS area
+FROM cl GROUP BY r, cid ORDER BY 2, 1"""
+
+
 def q_select_two_layers(sf):
     """User SQL (bbox pair join) per cell. Both sides are replicated to
     every cell their bbox touches, so any bbox-intersecting pair
@@ -2393,6 +2482,7 @@ QUERIES = {
     "spans_roundtrip": q_spans_roundtrip,
     "spans_explode": q_spans_explode,
     "dissolve_within_distance": q_dissolve_within_distance,
+    "dissolve_within_distance_bars2": q_dissolve_within_distance_bars2,
     "clip_by_geometry_window": q_clip_by_geometry,
     "export_by_bounds_window": q_export_by_bounds,
     "quadkey_cover_12": q_quadkey_cover,
@@ -2455,6 +2545,7 @@ ORACLES = {
     "join_nearest_k2_scalepath": O_JOIN_NEAREST,
     "dissolve_gewasgroep": O_DISSOLVE,
     "dissolve_within_distance_bars": O_DWD_BARS,
+    "dissolve_within_distance_bars2": O_DWD_BARS2,
     "dissolve_median_json": O_DISSOLVE_MEDIAN_JSON,
     "tile_assignments_16": _o_tile_assign(),
     "zonal_rasterize_16": O_ZONAL_RASTERIZE,

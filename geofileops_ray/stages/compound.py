@@ -532,37 +532,63 @@ def dissolve_within_distance(
             cols2=[], size=size,
         )
 
-        def per_piece(group: pa.Table) -> pa.Table:
-            nb = len(set(group.column("l2_doc_id").to_pylist()))
-            if not close_internal_gaps:
-                keep = nb > 1
-            else:
-                # geoops.py:258-281: big areas and well-connected pieces
-                # stay
-                ig = from_wkb(group.column(_GEOM))
-                n_len = float(np.sum(_length_of(ig)))
-                n_per = float(np.sum(_perim(ig)))
-                p_area = float(group.column("l1_p_area")[0].as_py())
-                p_perim = float(group.column("l1_p_perim")[0].as_py())
-                keep = (
-                    nb > 1
-                    or p_area > distance * distance
-                    or (n_per / 2.0 + n_len) > 0.8 * p_perim
+        def per_part(group: pa.Table) -> pa.Table:
+            # all pieces of one salt partition at once: distinct-
+            # neighbour counts from run boundaries, contact-geometry
+            # sums via reduceat (geoops.py:258-281's filter, vectorized)
+            srt = group.take(
+                pc.sort_indices(
+                    group,
+                    sort_keys=[
+                        ("l1_doc_id", "ascending"), ("l2_doc_id", "ascending")
+                    ],
                 )
-            if not keep:
+            )
+            k1 = srt.column("l1_doc_id").to_numpy()
+            k2 = srt.column("l2_doc_id").to_numpy()
+            n = len(k1)
+            if n == 0:
                 return pa.table(
                     {"doc_id": pa.array([], pa.int64()),
                      _GEOM: pa.array([], pa.binary())}
                 )
+            new1 = np.concatenate([[True], k1[1:] != k1[:-1]])
+            starts = np.flatnonzero(new1)
+            L = np.diff(np.concatenate([starts, [n]]))
+            run_id = np.repeat(np.arange(len(starts)), L)
+            newpair = new1 | np.concatenate([[True], k2[1:] != k2[:-1]])
+            nb = np.bincount(run_id[newpair], minlength=len(starts))
+            if not close_internal_gaps:
+                keep = nb > 1
+            else:
+                ig = from_wkb(srt.column(_GEOM))
+                n_len = np.add.reduceat(_length_of(ig), starts)
+                n_per = np.add.reduceat(_perim(ig), starts)
+                p_area = srt.column("l1_p_area").to_numpy()[starts]
+                p_perim = srt.column("l1_p_perim").to_numpy()[starts]
+                keep = (
+                    (nb > 1)
+                    | (p_area > distance * distance)
+                    | ((n_per / 2.0 + n_len) > 0.8 * p_perim)
+                )
+            sel = starts[keep]
             return pa.table(
                 {
-                    "doc_id": group.column("l1_doc_id").slice(0, 1),
-                    _GEOM: group.column("l1_piece_wkb").slice(0, 1),
+                    "doc_id": pa.array(k1[sel], pa.int64()),
+                    _GEOM: srt.column("l1_piece_wkb").take(
+                        pa.array(sel, pa.int64())
+                    ),
                 }
             )
 
-        kept = pairs.groupby("l1_doc_id").map_groups(
-            per_piece, batch_format="pyarrow"
+        from .agg import _salt_parts
+
+        kept = (
+            pairs.map_batches(
+                lambda b: _salt_parts(b, ["l1_doc_id"]), batch_format="pyarrow"
+            )
+            .groupby("__part")
+            .map_groups(per_part, batch_format="pyarrow")
         )
 
     # 8-9: append connectors and re-dissolve; gridsize applied last

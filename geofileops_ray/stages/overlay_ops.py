@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -417,17 +418,56 @@ def intersection(
     if subdivided:
         # re-union the per-piece intersections of each original id pair
         # (reference ST_Union GROUP BY fids, _geoops_sql.py:2027-2070)
-        def reunion(group: pa.Table) -> pa.Table:
-            if len(group) == 1:
-                return group
-            ga = from_wkb(group.column(_GEOM))
-            parts = union_all_parts([ga._parts_of(i) for i in range(len(ga))])
-            g = GeometryArray.from_parts([parts_to_geom(parts)])
-            base = group.slice(0, 1).drop_columns([_GEOM])
-            return base.append_column(_GEOM, to_wkb_arrow(g))
+        def reunion_part(group: pa.Table) -> pa.Table:
+            # one call per salt partition: singleton pairs (the vast
+            # majority) pass through with ONE vectorized filter; only
+            # multi-piece pairs run the union sweep
+            group = group.drop_columns(["__part"])
+            srt = group.take(
+                pc.sort_indices(
+                    group,
+                    sort_keys=[
+                        ("l1_doc_id", "ascending"), ("l2_doc_id", "ascending")
+                    ],
+                )
+            )
+            k1 = srt.column("l1_doc_id").to_numpy()
+            k2 = srt.column("l2_doc_id").to_numpy()
+            n = len(k1)
+            if n == 0:
+                return srt
+            new1 = np.concatenate(
+                [[True], (k1[1:] != k1[:-1]) | (k2[1:] != k2[:-1])]
+            )
+            starts = np.flatnonzero(new1)
+            L = np.diff(np.concatenate([starts, [n]]))
+            single = np.repeat(L == 1, L)
+            outs = [srt.filter(pa.array(single))]
+            multi = starts[L > 1]
+            if len(multi):
+                ga = from_wkb(srt.column(_GEOM))
+                geoms = []
+                for st, ln in zip(multi, L[L > 1]):
+                    parts = union_all_parts(
+                        [ga._parts_of(int(st + i)) for i in range(int(ln))]
+                    )
+                    geoms.append(parts_to_geom(parts))
+                g = GeometryArray.from_parts(geoms)
+                base = srt.take(pa.array(multi, pa.int64())).drop_columns(
+                    [_GEOM]
+                )
+                outs.append(base.append_column(_GEOM, to_wkb_arrow(g)))
+            return pa.concat_tables(outs)
 
-        out = out.groupby(["l1_doc_id", "l2_doc_id"]).map_groups(
-            reunion, batch_format="pyarrow"
+        from .agg import _salt_parts
+
+        out = (
+            out.map_batches(
+                lambda b: _salt_parts(b, ["l1_doc_id", "l2_doc_id"]),
+                batch_format="pyarrow",
+            )
+            .groupby("__part")
+            .map_groups(reunion_part, batch_format="pyarrow")
         )
     if sliver_tolerance:
         out = _filter_slivers(out, sliver_tolerance)

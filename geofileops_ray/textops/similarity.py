@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -329,28 +330,54 @@ def embedding_neardup_pairs(
             }
         )
 
-    def per_bucket(group: pa.Table) -> pa.Table:
-        v = _batch_vecs(group)
-        ids = group.column(id_col).to_numpy()
-        vn = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-30)
-        cos = vn @ vn.T
-        ii, jj = np.nonzero(np.triu(cos >= threshold, k=1))
-        keep = ids[ii] != ids[jj]
-        ii, jj = ii[keep], jj[keep]
-        a = np.minimum(ids[ii], ids[jj])
-        b = np.maximum(ids[ii], ids[jj])
+    def per_part(group: pa.Table) -> pa.Table:
+        # one call per salt partition: normalize ALL vectors once, then
+        # one small gram matmul per bucket RUN (a bucket is the unit of
+        # similarity work; the salt bound keeps Ray's per-group overhead
+        # off the bucket count)
+        srt = group.take(
+            pc.sort_indices(group, sort_keys=[("__bucket", "ascending")])
+        )
+        keys = srt.column("__bucket").to_numpy(zero_copy_only=False)
+        v = _batch_vecs(srt)
+        ids = srt.column(id_col).to_numpy()
+        n = len(keys)
+        a_out, b_out, c_out = [], [], []
+        if n:
+            vn = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-30)
+            bounds = np.flatnonzero(
+                np.concatenate([[True], keys[1:] != keys[:-1], [True]])
+            )
+            for r in range(len(bounds) - 1):
+                lo, hi = int(bounds[r]), int(bounds[r + 1])
+                if hi - lo < 2:
+                    continue
+                cos = vn[lo:hi] @ vn[lo:hi].T
+                ii, jj = np.nonzero(np.triu(cos >= threshold, k=1))
+                rid = ids[lo:hi]
+                keep = rid[ii] != rid[jj]
+                ii, jj = ii[keep], jj[keep]
+                a_out.append(np.minimum(rid[ii], rid[jj]))
+                b_out.append(np.maximum(rid[ii], rid[jj]))
+                c_out.append(np.round(cos[ii, jj], 6))
+        cat = lambda xs, d: np.concatenate(xs) if xs else np.array([], dtype=d)
         return pa.table(
             {
-                "vec_id_a": pa.array(a, pa.int64()),
-                "vec_id_b": pa.array(b, pa.int64()),
-                "cos": pa.array(np.round(cos[ii, jj], 6), pa.float64()),
+                "vec_id_a": pa.array(cat(a_out, np.int64), pa.int64()),
+                "vec_id_b": pa.array(cat(b_out, np.int64), pa.int64()),
+                "cos": pa.array(cat(c_out, np.float64), pa.float64()),
             }
         )
 
+    from ..stages.agg import _salt_parts
+
     return (
         ds.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("__bucket")
-        .map_groups(per_bucket, batch_format="pyarrow")
+        .map_batches(
+            lambda b: _salt_parts(b, ["__bucket"]), batch_format="pyarrow"
+        )
+        .groupby("__part")
+        .map_groups(per_part, batch_format="pyarrow")
     )
 
 

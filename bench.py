@@ -191,9 +191,9 @@ def run_benchmarks(num_cpus: int, only_flagship: bool = False, repeat: int = 0) 
         # is the heaviest single row
         from geofileops_ray.stages.compound import union_full_self
 
-        _, t = timed(
-            lambda: union_full_self(tri, agg="count").count(), n=1
-        )
+        # best-of like every other row: single-shot numbers on this
+        # shared host swing ±3× run to run (see BASELINE.md variance note)
+        _, t = timed(lambda: union_full_self(tri, agg="count").count())
         results["union_full_self"] = round(t, 3)
         # concave layer: interlocking staircase L-shapes (general
         # NON-convex kernels — neither rect nor convex-SAT fast paths)

@@ -51,8 +51,12 @@ class Options:
     broadcast_id_limit: int = _env_int("GFR_BROADCAST_ID_LIMIT", 20_000_000)
     # two-layer ops broadcast the smaller side (ray.put once, read
     # zero-copy in every task — NO shuffle at all) when its materialized
-    # size is at most this many bytes; 0 disables the broadcast path
-    broadcast_bytes: int = _env_int("GFR_BROADCAST_BYTES", 64 * 1024 * 1024)
+    # size is at most this many bytes; 0 disables the broadcast path.
+    # Budget: the raw table is ONE plasma copy per node; the decoded
+    # GeometryArray (~3× WKB) is cached once per worker PROCESS
+    # (_bcast_side), so per-node cost ≈ cap + ncpu_per_node × 3 × cap —
+    # 128 MB ⇒ ~12 GB on a 32-core node, well inside 4 GB/core sizing
+    broadcast_bytes: int = _env_int("GFR_BROADCAST_BYTES", 128 * 1024 * 1024)
     # layer1 rows per task on the broadcast path (repartition before the
     # map so one task never owns a whole dense region — with ordered
     # input all rows touching the small side can land in one block and

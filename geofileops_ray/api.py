@@ -88,9 +88,13 @@ from .stages.catalog import (  # noqa: F401
 )
 # CRS support (geom/crs.py): the sandbox has no pyproj, so only the
 # EPSG families with from-scratch Snyder formulas resolve — 4326,
-# 3857 (spherical mercator), 3812 (Belgian Lambert 2008) and
-# 32601-32660 (WGS84 UTM north). Any other code raises ValueError
-# (never a silent None); geodesic distances are spherical (R_MEAN).
+# 3857 (spherical mercator), 3812 (Belgian Lambert 2008), 31370
+# (Belgian Lambert 72 incl. the published BD72→WGS84 7-parameter
+# Helmert shift — the reference test corpus's default CRS), 2154
+# (RGF93 / Lambert-93), 32601-32660 / 32701-32760 (WGS84 UTM
+# north/south) and 25828-25838 (ETRS89 UTM). Any other code raises
+# ValueError (never a silent None); geodesic distances are spherical
+# (R_MEAN).
 from .geom.crs import get_crs  # noqa: F401
 
 # deprecated aliases kept by the reference (geoops.py:2267, :2683, :2917)

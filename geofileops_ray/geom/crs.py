@@ -10,11 +10,21 @@ This module provides the same surface from public projection formulas
 * EPSG:3857  — spherical web mercator (exact closed form, SQL-mirrorable)
 * EPSG:3812  — Belgian Lambert 2008 (ellipsoidal Lambert Conformal Conic
   2SP on GRS80 — the reference test corpus's home projection family)
-* EPSG:326xx — WTS84 UTM north zones (ellipsoidal transverse mercator,
-  series expansion)
+* EPSG:31370 — Belgian Lambert 72 (the reference's default test CRS,
+  e.g. tests/test_helper.py): LCC 2SP on the International 1924
+  ellipsoid + the published 7-parameter BD72→WGS84 Helmert shift
+  (position-vector convention, the standard towgs84 for this code)
+* EPSG:2154  — RGF93 / Lambert-93 (LCC 2SP on GRS80, no datum shift)
+* EPSG:326xx / 327xx — WGS84 UTM north / south zones (ellipsoidal
+  transverse mercator, series expansion; south = 10 000 km false
+  northing)
+* EPSG:258xx — ETRS89 / UTM zones 25828-25838 (GRS80 ≡ WGS84 to <1e-9
+  flattening; treated as WGS84 UTM north)
 
 All transforms go through 4326 as the hub and are vectorized numpy over
 the coordinate slab (one pass per batch — no per-geometry python).
+Datum shifts run geodetic → ECEF → Helmert → geodetic, also fully
+vectorized.
 """
 
 from __future__ import annotations
@@ -31,6 +41,11 @@ _E2 = _F * (2 - _F)
 _E = math.sqrt(_E2)
 _R = 6378137.0  # spherical web-mercator radius
 
+# International 1924 (Hayford) ellipsoid — datum of Belgian Lambert 72
+_INTL_A = 6378388.0
+_INTL_F = 1.0 / 297.0
+_INTL_E2 = _INTL_F * (2 - _INTL_F)
+
 
 @dataclass(frozen=True)
 class CRS:
@@ -46,15 +61,38 @@ _LCC_3812 = dict(lat1=49.833333333333336, lat2=51.166666666666664,
                  lat0=50.797815, lon0=4.359215833333333,
                  x0=649328.0, y0=665262.0)
 
+# RGF93 / Lambert-93 (proj: +proj=lcc +lat_1=49 +lat_2=44 +lat_0=46.5
+# +lon_0=3 +x_0=700000 +y_0=6600000 +ellps=GRS80) — no datum shift.
+_LCC_2154 = dict(lat1=49.0, lat2=44.0, lat0=46.5, lon0=3.0,
+                 x0=700000.0, y0=6600000.0)
+
+# Belgian Lambert 72 (proj: +proj=lcc +lat_1=51.16666723333333
+# +lat_2=49.8333339 +lat_0=90 +lon_0=4.367486666666666
+# +x_0=150000.013256 +y_0=5400088.4378 +ellps=intl) on BD72; the datum
+# shift to WGS84 is the published towgs84 7-parameter Helmert below.
+_LCC_31370 = dict(lat1=51.16666723333333, lat2=49.8333339, lat0=90.0,
+                  lon0=4.367486666666666, x0=150000.013256,
+                  y0=5400088.4378, a=_INTL_A, e2=_INTL_E2)
+
+# BD72 → WGS84 position-vector Helmert (the standard +towgs84= for
+# EPSG:31370: tx ty tz [m], rx ry rz [arc-sec], ds [ppm]).
+_HELMERT_BD72 = (-106.868628, 52.297783, -103.723893,
+                 0.336570, -0.456955, 1.842183, -1.2747)
+
 
 def _known() -> dict[int, CRS]:
     out = {
         4326: CRS(4326, "WGS 84", True),
         3857: CRS(3857, "WGS 84 / Pseudo-Mercator", False),
         3812: CRS(3812, "ETRS89 / Belgian Lambert 2008", False),
+        31370: CRS(31370, "BD72 / Belgian Lambert 72", False),
+        2154: CRS(2154, "RGF93 v1 / Lambert-93", False),
     }
     for z in range(1, 61):
         out[32600 + z] = CRS(32600 + z, f"WGS 84 / UTM zone {z}N", False)
+        out[32700 + z] = CRS(32700 + z, f"WGS 84 / UTM zone {z}S", False)
+    for z in range(28, 39):
+        out[25800 + z] = CRS(25800 + z, f"ETRS89 / UTM zone {z}N", False)
     return out
 
 
@@ -68,7 +106,10 @@ def get_crs(epsg: int | None) -> CRS | None:
     try:
         return KNOWN_CRS[int(epsg)]
     except KeyError:
-        raise ValueError(f"unsupported EPSG:{epsg}; known: 4326, 3857, 3812, 326xx")
+        raise ValueError(
+            f"unsupported EPSG:{epsg}; known: 4326, 3857, 3812, 31370, "
+            "2154, 326xx/327xx (UTM), 25828-25838"
+        )
 
 
 # ----------------------------------------------------------- web mercator
@@ -90,10 +131,12 @@ def _merc_inv(x: np.ndarray, y: np.ndarray):
 
 
 def _lcc_consts(p):
-    e = _E
+    a = p.get("a", _A)
+    e2 = p.get("e2", _E2)
+    e = math.sqrt(e2)
 
     def m(phi):
-        return math.cos(phi) / math.sqrt(1 - _E2 * math.sin(phi) ** 2)
+        return math.cos(phi) / math.sqrt(1 - e2 * math.sin(phi) ** 2)
 
     def t(phi):
         return math.tan(math.pi / 4 - phi / 2) / (
@@ -103,26 +146,26 @@ def _lcc_consts(p):
     p1, p2, p0 = map(math.radians, (p["lat1"], p["lat2"], p["lat0"]))
     n = (math.log(m(p1)) - math.log(m(p2))) / (math.log(t(p1)) - math.log(t(p2)))
     F = m(p1) / (n * t(p1) ** n)
-    rho0 = _A * F * t(p0) ** n
-    return n, F, rho0
+    rho0 = a * F * t(p0) ** n  # lat0=90 ⇒ t(p0)=0 ⇒ rho0=0 (Lambert 72)
+    return n, F, rho0, a, e
 
 
 def _lcc_fwd(lon, lat, p):
-    n, F, rho0 = _lcc_consts(p)
+    n, F, rho0, a, e = _lcc_consts(p)
     phi = np.radians(lat)
     sphi = np.sin(phi)
-    t = np.tan(np.pi / 4 - phi / 2) / ((1 - _E * sphi) / (1 + _E * sphi)) ** (_E / 2)
-    rho = _A * F * t**n
+    t = np.tan(np.pi / 4 - phi / 2) / ((1 - e * sphi) / (1 + e * sphi)) ** (e / 2)
+    rho = a * F * t**n
     th = n * np.radians(lon - p["lon0"])
     return p["x0"] + rho * np.sin(th), p["y0"] + rho0 - rho * np.cos(th)
 
 
 def _lcc_inv(x, y, p):
-    n, F, rho0 = _lcc_consts(p)
+    n, F, rho0, a, e = _lcc_consts(p)
     dx = x - p["x0"]
     dy = rho0 - (y - p["y0"])
     rho = np.sign(n) * np.hypot(dx, dy)
-    t = (rho / (_A * F)) ** (1 / n)
+    t = (rho / (a * F)) ** (1 / n)
     th = np.arctan2(dx, dy)
     lon = np.degrees(th / n) + p["lon0"]
     # iterate for phi
@@ -130,7 +173,7 @@ def _lcc_inv(x, y, p):
     for _ in range(6):
         sphi = np.sin(phi)
         phi = np.pi / 2 - 2 * np.arctan(
-            t * ((1 - _E * sphi) / (1 + _E * sphi)) ** (_E / 2)
+            t * ((1 - e * sphi) / (1 + e * sphi)) ** (e / 2)
         )
     return lon, np.degrees(phi)
 
@@ -140,7 +183,7 @@ def _lcc_inv(x, y, p):
 _K0 = 0.9996
 
 
-def _tm_fwd(lon, lat, lon0):
+def _tm_fwd(lon, lat, lon0, y0=0.0):
     phi = np.radians(lat)
     lam = np.radians(lon - lon0)
     ep2 = _E2 / (1 - _E2)
@@ -166,13 +209,13 @@ def _tm_fwd(lon, lat, lon0):
             + (61 - 58 * T + T**2 + 600 * C - 330 * ep2) * Aq**6 / 720
         )
     )
-    return x, y
+    return x, y0 + y
 
 
-def _tm_inv(x, y, lon0):
+def _tm_inv(x, y, lon0, y0=0.0):
     ep2 = _E2 / (1 - _E2)
     e4, e6 = _E2**2, _E2**3
-    M = y / _K0
+    M = (y - y0) / _K0
     mu = M / (_A * (1 - _E2 / 4 - 3 * e4 / 64 - 5 * e6 / 256))
     e1 = (1 - math.sqrt(1 - _E2)) / (1 + math.sqrt(1 - _E2))
     phi1 = (
@@ -200,6 +243,71 @@ def _tm_inv(x, y, lon0):
     return np.degrees(lam) + lon0, np.degrees(phi)
 
 
+# --------------------------------------------------- datum shift (Helmert)
+
+
+def _geodetic_to_ecef(lon, lat, a, e2):
+    """Geodetic lon/lat (degrees, h=0) → geocentric XYZ on the given
+    ellipsoid. Vectorized."""
+    lam = np.radians(lon)
+    phi = np.radians(lat)
+    sphi = np.sin(phi)
+    N = a / np.sqrt(1 - e2 * sphi**2)
+    cphi = np.cos(phi)
+    return N * cphi * np.cos(lam), N * cphi * np.sin(lam), N * (1 - e2) * sphi
+
+
+def _ecef_to_geodetic(X, Y, Z, a, e2):
+    """Geocentric XYZ → geodetic lon/lat (degrees), Bowring-style fixed
+    point iteration (mm-converged in ≤5 rounds at h≈0)."""
+    lon = np.degrees(np.arctan2(Y, X))
+    p = np.hypot(X, Y)
+    phi = np.arctan2(Z, p * (1 - e2))
+    for _ in range(5):
+        sphi = np.sin(phi)
+        N = a / np.sqrt(1 - e2 * sphi**2)
+        phi = np.arctan2(Z + e2 * N * sphi, p)
+    return lon, np.degrees(phi)
+
+
+def _helmert(X, Y, Z, params, inverse=False):
+    """7-parameter similarity transform, position-vector convention
+    (EPSG method 9606): X' = (1+ds)·R·X + T with R the small-angle
+    rotation [[1,-rz,ry],[rz,1,-rx],[-ry,rx,1]]. `inverse` applies the
+    exact reverse of the forward transform (not the negated-parameter
+    approximation)."""
+    tx, ty, tz, rx, ry, rz, ds = params
+    rx, ry, rz = (math.radians(v / 3600.0) for v in (rx, ry, rz))
+    s = 1.0 + ds * 1e-6
+    if not inverse:
+        return (
+            s * (X - rz * Y + ry * Z) + tx,
+            s * (rz * X + Y - rx * Z) + ty,
+            s * (-ry * X + rx * Y + Z) + tz,
+        )
+    U, V, W = (X - tx) / s, (Y - ty) / s, (Z - tz) / s
+    # invert the small-angle rotation exactly (transpose = inverse only
+    # to first order; solve the 3x3 instead — scalar closed form)
+    det = 1 + rx * rx + ry * ry + rz * rz
+    return (
+        (U * (1 + rx * rx) + V * (rz + rx * ry) + W * (rx * rz - ry)) / det,
+        (U * (rx * ry - rz) + V * (1 + ry * ry) + W * (rx + ry * rz)) / det,
+        (U * (ry + rx * rz) + V * (ry * rz - rx) + W * (1 + rz * rz)) / det,
+    )
+
+
+def _bd72_to_wgs84(lon, lat):
+    X, Y, Z = _geodetic_to_ecef(lon, lat, _INTL_A, _INTL_E2)
+    X, Y, Z = _helmert(X, Y, Z, _HELMERT_BD72)
+    return _ecef_to_geodetic(X, Y, Z, _A, _E2)
+
+
+def _wgs84_to_bd72(lon, lat):
+    X, Y, Z = _geodetic_to_ecef(lon, lat, _A, _E2)
+    X, Y, Z = _helmert(X, Y, Z, _HELMERT_BD72, inverse=True)
+    return _ecef_to_geodetic(X, Y, Z, _INTL_A, _INTL_E2)
+
+
 # ------------------------------------------------------------ public API
 
 
@@ -210,8 +318,16 @@ def _to_4326(x, y, epsg: int):
         return _merc_inv(x, y)
     if epsg == 3812:
         return _lcc_inv(x, y, _LCC_3812)
+    if epsg == 2154:
+        return _lcc_inv(x, y, _LCC_2154)
+    if epsg == 31370:
+        return _bd72_to_wgs84(*_lcc_inv(x, y, _LCC_31370))
     if 32601 <= epsg <= 32660:
         return _tm_inv(x, y, (epsg - 32600) * 6 - 183)
+    if 32701 <= epsg <= 32760:
+        return _tm_inv(x, y, (epsg - 32700) * 6 - 183, y0=10_000_000.0)
+    if 25828 <= epsg <= 25838:
+        return _tm_inv(x, y, (epsg - 25800) * 6 - 183)
     raise ValueError(f"unsupported EPSG:{epsg}")
 
 
@@ -222,8 +338,16 @@ def _from_4326(lon, lat, epsg: int):
         return _merc_fwd(lon, lat)
     if epsg == 3812:
         return _lcc_fwd(lon, lat, _LCC_3812)
+    if epsg == 2154:
+        return _lcc_fwd(lon, lat, _LCC_2154)
+    if epsg == 31370:
+        return _lcc_fwd(*_wgs84_to_bd72(lon, lat), _LCC_31370)
     if 32601 <= epsg <= 32660:
         return _tm_fwd(lon, lat, (epsg - 32600) * 6 - 183)
+    if 32701 <= epsg <= 32760:
+        return _tm_fwd(lon, lat, (epsg - 32700) * 6 - 183, y0=10_000_000.0)
+    if 25828 <= epsg <= 25838:
+        return _tm_fwd(lon, lat, (epsg - 25800) * 6 - 183)
     raise ValueError(f"unsupported EPSG:{epsg}")
 
 

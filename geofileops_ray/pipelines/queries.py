@@ -1096,9 +1096,15 @@ cl AS (
            OVER (PARTITION BY r ORDER BY k ROWS UNBOUNDED PRECEDING) AS cid
   FROM pos
 )
-SELECT ROUND(MIN(x0), 4) AS minx, ROUND(30.0*r, 4) AS miny,
-       ROUND(MAX(x0 + w), 4) AS maxx, ROUND(30.0*r + 10.0, 4) AS maxy,
-       ROUND((MAX(x0 + w) - MIN(x0)) * 10.0, 4) AS area
+-- CAST AS DOUBLE: this oracle computes from pure literals, so DuckDB
+-- keeps DECIMAL through ROUND — but the Ray side emits float64, and the
+-- driver's value-hash is TYPE-sensitive (Decimal('100.000') == 100.0 in
+-- Python yet hashes differently). This was the r2 red row.
+SELECT CAST(ROUND(MIN(x0), 4) AS DOUBLE) AS minx,
+       CAST(ROUND(30.0*r, 4) AS DOUBLE) AS miny,
+       CAST(ROUND(MAX(x0 + w), 4) AS DOUBLE) AS maxx,
+       CAST(ROUND(30.0*r + 10.0, 4) AS DOUBLE) AS maxy,
+       CAST(ROUND((MAX(x0 + w) - MIN(x0)) * 10.0, 4) AS DOUBLE) AS area
 FROM cl GROUP BY r, cid ORDER BY 2, 1"""
 
 
@@ -1185,9 +1191,13 @@ cl AS (
            OVER (PARTITION BY r ORDER BY k ROWS UNBOUNDED PRECEDING) AS cid
   FROM pos
 )
-SELECT ROUND(MIN(x0), 4) AS minx, ROUND(60.0*r, 4) AS miny,
-       ROUND(MAX(x0 + w), 4) AS maxx, ROUND(60.0*r + 23.0, 4) AS maxy,
-       ROUND((MAX(x0 + w) - MIN(x0)) * 23.0, 4) AS area
+-- CAST AS DOUBLE: literal-only arithmetic stays DECIMAL in DuckDB;
+-- match the Ray side's float64 (see O_DWD_BARS note)
+SELECT CAST(ROUND(MIN(x0), 4) AS DOUBLE) AS minx,
+       CAST(ROUND(60.0*r, 4) AS DOUBLE) AS miny,
+       CAST(ROUND(MAX(x0 + w), 4) AS DOUBLE) AS maxx,
+       CAST(ROUND(60.0*r + 23.0, 4) AS DOUBLE) AS maxy,
+       CAST(ROUND((MAX(x0 + w) - MIN(x0)) * 23.0, 4) AS DOUBLE) AS area
 FROM cl GROUP BY r, cid ORDER BY 2, 1"""
 
 

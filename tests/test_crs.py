@@ -49,6 +49,57 @@ def test_get_crs():
         get_crs(9999)
 
 
+def test_lambert72_datum_roundtrip():
+    # 31370 goes through the BD72 Helmert datum shift both ways — the
+    # roundtrip must close to sub-mm (exact inverse Helmert, iterated
+    # geodetic conversion)
+    rng = np.random.default_rng(7)
+    lon = 2.5 + rng.random(200) * 4.0
+    lat = 49.5 + rng.random(200) * 2.0
+    x, y = transform_xy(lon, lat, 4326, 31370)
+    lon2, lat2 = transform_xy(x, y, 31370, 4326)
+    assert np.allclose(lon2, lon, atol=1e-9)
+    assert np.allclose(lat2, lat, atol=1e-9)
+    # Brussels (4.3517E, 50.8467N) sits near (149km, 170km) on the
+    # Belgian Lambert 72 grid — coarse anchor that catches sign/unit
+    # errors in the datum shift (a missing shift moves ~100 m; a
+    # sign-flipped one ~200 m; wrong projection params kilometres)
+    bx, by = transform_xy(np.array([4.3517]), np.array([50.8467]), 4326, 31370)
+    assert abs(bx[0] - 149000) < 2000 and abs(by[0] - 170000) < 2000
+
+
+def test_lambert93_and_utm_south():
+    # Paris → RGF93/Lambert-93 ≈ (652.7 km, 6 861.6 km)
+    x, y = transform_xy(np.array([2.3522]), np.array([48.8566]), 4326, 2154)
+    assert abs(x[0] - 652700) < 2000 and abs(y[0] - 6861600) < 2000
+    lon2, lat2 = transform_xy(x, y, 2154, 4326)
+    assert abs(lon2[0] - 2.3522) < 1e-9 and abs(lat2[0] - 48.8566) < 1e-9
+    # Sydney → UTM 56S: southern false northing keeps y positive
+    x, y = transform_xy(np.array([151.2093]), np.array([-33.8688]), 4326, 32756)
+    assert abs(x[0] - 334000) < 2500 and abs(y[0] - 6251000) < 2500
+    lon2, lat2 = transform_xy(x, y, 32756, 4326)
+    assert abs(lon2[0] - 151.2093) < 1e-8 and abs(lat2[0] + 33.8688) < 1e-8
+    # ETRS89 UTM 32N equals WGS84 UTM 32N to sub-mm (GRS80 ≈ WGS84)
+    lon = np.array([8.5]); lat = np.array([50.0])
+    x1, y1 = transform_xy(lon, lat, 4326, 25832)
+    x2, y2 = transform_xy(lon, lat, 4326, 32632)
+    assert abs(x1[0] - x2[0]) < 1e-6 and abs(y1[0] - y2[0]) < 1e-6
+
+
+def test_helmert_exact_inverse():
+    from geofileops_ray.geom.crs import _HELMERT_BD72, _helmert
+
+    rng = np.random.default_rng(3)
+    X = rng.normal(4e6, 1e5, 50)
+    Y = rng.normal(3e5, 1e5, 50)
+    Z = rng.normal(4.9e6, 1e5, 50)
+    X2, Y2, Z2 = _helmert(*_helmert(X, Y, Z, _HELMERT_BD72), _HELMERT_BD72,
+                          inverse=True)
+    assert np.allclose(X2, X, atol=1e-9)
+    assert np.allclose(Y2, Y, atol=1e-9)
+    assert np.allclose(Z2, Z, atol=1e-9)
+
+
 def test_reproject_dataset(ray_session):
     import ray.data
 

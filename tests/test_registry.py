@@ -38,6 +38,15 @@ def _norm_val(v):
     return v
 
 
+def _typed(rows):
+    """Type-sensitive canonical form. The driver's value-hash hashes the
+    REPR of values, so Decimal('100.0') vs float 100.0 (equal under ==)
+    still mismatches — a DuckDB oracle whose arithmetic stays DECIMAL
+    (pure-literal inputs) must CAST to DOUBLE. Compare reprs here so
+    that class of bug fails in pytest, not first in the driver record."""
+    return [tuple(f"{type(v).__name__}:{v!r}" for v in row) for row in rows]
+
+
 def _oracle_table(con, sql) -> pa.Table:
     return con.execute(sql).arrow()
 
@@ -71,15 +80,16 @@ def test_all_queries_against_oracles(ray_session, oracle, registry):
                 continue
             if gc != wc:
                 failures.append(f"{name}: columns {gc} != {wc}")
-            elif gr != wr:
+            elif _typed(gr) != _typed(wr):
+                tg, tw = _typed(gr), _typed(wr)
                 diff = next(
-                    (i for i, (a, b) in enumerate(zip(gr, wr)) if a != b),
-                    min(len(gr), len(wr)),
+                    (i for i, (a, b) in enumerate(zip(tg, tw)) if a != b),
+                    min(len(tg), len(tw)),
                 )
                 failures.append(
                     f"{name}: rows {len(gr)} vs {len(wr)}; first diff at "
-                    f"{diff}: {gr[diff] if diff < len(gr) else None} != "
-                    f"{wr[diff] if diff < len(wr) else None}"
+                    f"{diff}: {tg[diff] if diff < len(tg) else None} != "
+                    f"{tw[diff] if diff < len(tw) else None}"
                 )
         else:
             if res.num_rows < 0:  # pragma: no cover

@@ -186,18 +186,22 @@ def pair_nearest_points(
     pa, pb = _points(a, i), _points(b, j)
     if pair_intersects(a, i, b, j):
         return pa[0], pa[0]
-    if ta == POINT and tb == POINT:
+    # degenerate geometries (e.g. a single-vertex LINESTRING) have zero
+    # segments — fall back to their vertex set rather than crashing on
+    # an argmin over an empty distance matrix
+    sa = _segments(a, i) if ta != POINT else np.zeros((0, 2, 2))
+    sb = _segments(b, j) if tb != POINT else np.zeros((0, 2, 2))
+    if len(sa) == 0 and len(sb) == 0:
         d = pa[:, None] - pb[None, :]
         d2 = (d * d).sum(-1)
         ki, kj = np.unravel_index(int(np.argmin(d2)), d2.shape)
         return pa[ki], pb[kj]
-    if ta == POINT:
-        p, q, _ = _pt_segs_nearest(pa, _segments(b, j))
+    if len(sa) == 0:
+        p, q, _ = _pt_segs_nearest(pa, sb)
         return p, q
-    if tb == POINT:
-        q, p, _ = _pt_segs_nearest(pb, _segments(a, i))
+    if len(sb) == 0:
+        q, p, _ = _pt_segs_nearest(pb, sa)
         return p, q
-    sa, sb = _segments(a, i), _segments(b, j)
     p1, q1, d1 = _pt_segs_nearest(
         np.concatenate([sa[:, 0], sa[:, 1]]), sb
     )

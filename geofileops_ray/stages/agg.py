@@ -46,9 +46,19 @@ def _agg_block(
         for c in key_cols:
             out_fields[c] = tbl.column(c).combine_chunks()
         for col, op, out in specs:
-            out_fields[out] = pa.array(
-                [], pa.int64() if op == "count" else tbl.schema.field(col).type
-            )
+            typ = tbl.schema.field(col).type
+            if op == "count" or (
+                op == "sum"
+                and (
+                    pa.types.is_boolean(typ)
+                    or (pa.types.is_signed_integer(typ) and typ.bit_width < 64)
+                )
+            ):
+                # mirror the non-empty branch's widening (sum of bool /
+                # narrow int emits int64 there) so empty batches don't
+                # produce blocks with a divergent schema
+                typ = pa.int64()
+            out_fields[out] = pa.array([], typ)
         return pa.table(out_fields)
     srt = tbl.take(
         pc.sort_indices(tbl, sort_keys=[(c, "ascending") for c in key_cols])
@@ -77,24 +87,29 @@ def _agg_block(
     return pa.table(out_fields)
 
 
-def default_nparts() -> int:
+def pool_cpus() -> int:
+    """Best-effort CPU count of the Ray pool (driver-side probe)."""
     try:
-        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        return int(ray.cluster_resources().get("CPU", 8))
     except Exception:  # pragma: no cover - resources probe best-effort
-        ncpu = 8
-    return max(4, ncpu * 2)
+        return 8
 
 
-def _salt_parts(
-    batch: pa.Table, key_cols: list[str], nparts: int | None = None
-) -> pa.Table:
+def default_nparts() -> int:
+    return max(4, pool_cpus() * 2)
+
+
+def _salt_parts(batch: pa.Table, key_cols: list[str], nparts: int) -> pa.Table:
     """Append ``__part`` = hash(key columns) % nparts — same key, same
     partition; the partition count (≈2×CPU) bounds per-group Python
-    calls downstream regardless of key cardinality."""
+    calls downstream regardless of key cardinality.
+
+    ``nparts`` MUST be computed ONCE at the driver (``default_nparts()``)
+    and closed over — never probed inside the worker: a per-batch probe
+    can see different CPU totals mid-stage (autoscaling, probe failure
+    fallback) and would silently split one key across partitions."""
     import pandas as pd
 
-    if nparts is None:
-        nparts = default_nparts()
     h = np.zeros(len(batch), dtype=np.uint64)
     for c in key_cols:
         col = batch.column(c).to_numpy(zero_copy_only=False)

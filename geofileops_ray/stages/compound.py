@@ -360,10 +360,9 @@ def union_full_self(
         geoms = cut.map_batches(
             lambda b: b.select(["piece_id", _GEOM]), batch_format="pyarrow"
         )
-        try:
-            ncpu = int(ray.cluster_resources().get("CPU", 8))
-        except Exception:  # pragma: no cover - resources probe best-effort
-            ncpu = 8
+        from .agg import pool_cpus
+
+        ncpu = pool_cpus()
         # scale hash-join partitions with both pool size and piece count
         nparts = max(2, min(max(ncpu, 16), n_cut // 10_000 + ncpu))
         cut_out = counts.join(
@@ -581,11 +580,13 @@ def dissolve_within_distance(
                 }
             )
 
-        from .agg import _salt_parts
+        from .agg import _salt_parts, default_nparts
 
+        nparts = default_nparts()  # fixed at the driver
         kept = (
             pairs.map_batches(
-                lambda b: _salt_parts(b, ["l1_doc_id"]), batch_format="pyarrow"
+                lambda b: _salt_parts(b, ["l1_doc_id"], nparts),
+                batch_format="pyarrow",
             )
             .groupby("__part")
             .map_groups(per_part, batch_format="pyarrow")

@@ -445,9 +445,14 @@ def intersection(
             outs = [srt.filter(pa.array(single))]
             multi = starts[L > 1]
             if len(multi):
-                ga = from_wkb(srt.column(_GEOM))
+                # decode ONLY the rows of multi-piece runs — singletons
+                # (the vast majority) never pay the WKB decode
+                sub = srt.filter(pa.array(~single))
+                ga = from_wkb(sub.column(_GEOM))
+                Lm = L[L > 1]
+                sub_starts = np.concatenate([[0], np.cumsum(Lm[:-1])])
                 geoms = []
-                for st, ln in zip(multi, L[L > 1]):
+                for st, ln in zip(sub_starts, Lm):
                     parts = union_all_parts(
                         [ga._parts_of(int(st + i)) for i in range(int(ln))]
                     )
@@ -459,11 +464,12 @@ def intersection(
                 outs.append(base.append_column(_GEOM, to_wkb_arrow(g)))
             return pa.concat_tables(outs)
 
-        from .agg import _salt_parts
+        from .agg import _salt_parts, default_nparts
 
+        nparts = default_nparts()  # fixed at the driver
         out = (
             out.map_batches(
-                lambda b: _salt_parts(b, ["l1_doc_id", "l2_doc_id"]),
+                lambda b: _salt_parts(b, ["l1_doc_id", "l2_doc_id"], nparts),
                 batch_format="pyarrow",
             )
             .groupby("__part")
@@ -884,13 +890,9 @@ def _resolve_pending_batched(
     docs share interior pruning, covered-row shortcuts and packed
     assembly. Output: first-row attrs per resolved doc (minus the
     scaffold columns) + ``geometry`` (+ ``__pass`` when requested)."""
-    import pandas as pd
+    from .agg import _salt_parts, default_nparts
 
-    try:
-        ncpu = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:  # pragma: no cover - resources probe best-effort
-        ncpu = 8
-    nparts = max(4, ncpu * 2)
+    nparts = default_nparts()  # fixed at the driver: same key, same part
     scaffold = ["__g1", "__cand", "__done", _GEOM, "__part"]
 
     def _key_arr(batch: pa.Table) -> np.ndarray:
@@ -902,14 +904,7 @@ def _resolve_pending_batched(
         return arr
 
     def bucketed(batch: pa.Table) -> pa.Table:
-        h = np.zeros(len(batch), dtype=np.uint64)
-        for c in key_cols:
-            col = batch.column(c).to_numpy(zero_copy_only=False)
-            with np.errstate(over="ignore"):
-                h = h * np.uint64(1000003) ^ pd.util.hash_array(col)
-        return batch.append_column(
-            "__part", pa.array((h % nparts).astype(np.int64), pa.int64())
-        )
+        return _salt_parts(batch, key_cols, nparts)
 
     def resolve(group: pa.Table) -> pa.Table:
         ids = _key_arr(group)

@@ -966,24 +966,15 @@ def delete_duplicate_geometries(
         firsts[1:] = k[1:] != k[:-1]
         return srt.filter(pa.array(firsts)).drop_columns(drop)
 
-    try:
-        ncpu = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:  # pragma: no cover - resources probe best-effort
-        ncpu = 8
-    nparts = max(4, ncpu * 2)
+    from .agg import _salt_parts, default_nparts
 
-    def bucketed(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        h = pd.util.hash_array(
-            np.asarray(batch.column("__geomkey").to_pylist(), dtype=object)
-        )
-        return batch.append_column(
-            "__part", pa.array((h % nparts).astype(np.int64), pa.int64())
-        )
+    nparts = default_nparts()  # fixed at the driver: same key, same part
 
     return (
-        keyed_ds.map_batches(bucketed, batch_format="pyarrow")
+        keyed_ds.map_batches(
+            lambda b: _salt_parts(b, ["__geomkey"], nparts),
+            batch_format="pyarrow",
+        )
         .groupby("__part")
         .map_groups(first_per_key, batch_format="pyarrow")
     )

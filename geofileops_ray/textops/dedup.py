@@ -247,12 +247,14 @@ def minhash_dedup_pairs(
         )
         return batch.append_column("__bucket", key)
 
-    from ..stages.agg import _salt_parts
+    from ..stages.agg import _salt_parts, default_nparts
 
+    nparts = default_nparts()  # fixed at the driver: same key, same part
     pairs = (
         joined.map_batches(add_bucket, batch_format="pyarrow")
         .map_batches(
-            lambda b: _salt_parts(b, ["__bucket"]), batch_format="pyarrow"
+            lambda b: _salt_parts(b, ["__bucket"], nparts),
+            batch_format="pyarrow",
         )
         .groupby("__part")
         .map_groups(per_part, batch_format="pyarrow")
@@ -447,6 +449,8 @@ def ngram_jaccard_pairs(
 
     from ..stages.agg import _salt_parts, bucket_aggregate, default_nparts
 
+    nparts = default_nparts()  # fixed at the driver: same key, same part
+
     # every shingle-keyed stage runs per SALT PARTITION (hash(shingle) %
     # ~2×CPU) with fully vectorized run processing inside — zero per-key
     # Python for a key space the size of the shingle vocabulary
@@ -466,7 +470,8 @@ def ngram_jaccard_pairs(
 
     kept = (
         exploded.map_batches(
-            lambda b: _salt_parts(b, ["shingle"]), batch_format="pyarrow"
+            lambda b: _salt_parts(b, ["shingle"], nparts),
+            batch_format="pyarrow",
         )
         .groupby("__part")
         .map_groups(df_filter, batch_format="pyarrow")
@@ -515,7 +520,8 @@ def ngram_jaccard_pairs(
 
     pair_stream = (
         kept.map_batches(
-            lambda b: _salt_parts(b, ["shingle"]), batch_format="pyarrow"
+            lambda b: _salt_parts(b, ["shingle"], nparts),
+            batch_format="pyarrow",
         )
         .groupby("__part")
         .map_groups(pairs_of_part, batch_format="pyarrow")
@@ -636,8 +642,9 @@ def connected_components(
         init, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
 
-    from ..stages.agg import _salt_parts, bucket_aggregate
+    from ..stages.agg import _salt_parts, bucket_aggregate, default_nparts
 
+    nparts = default_nparts()  # fixed at the driver: same key, same part
     _BIG = np.iinfo(np.int64).max
 
     def propagate_part(group: pa.Table) -> pa.Table:
@@ -689,7 +696,8 @@ def connected_components(
         prop = (
             edges.union(lab)
             .map_batches(
-                lambda b: _salt_parts(b, ["node"]), batch_format="pyarrow"
+                lambda b: _salt_parts(b, ["node"], nparts),
+                batch_format="pyarrow",
             )
             .groupby("__part")
             .map_groups(propagate_part, batch_format="pyarrow")

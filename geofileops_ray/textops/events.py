@@ -137,13 +137,14 @@ def tumbling_window_agg(
             }
         )
 
-    from ..stages.agg import _salt_parts
+    from ..stages.agg import _salt_parts, default_nparts
 
+    nparts = default_nparts()  # fixed at the driver: same key, same part
     keyed_ds = ds.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
     partials = keyed_ds.map_batches(partial, batch_format="pyarrow")
     return (
         partials.map_batches(
-            lambda b: _salt_parts(b, ["user_id", "window_id"]),
+            lambda b: _salt_parts(b, ["user_id", "window_id"], nparts),
             batch_format="pyarrow",
         )
         .groupby("__part")
@@ -227,12 +228,14 @@ def sessionize(
             }
         )
 
-    from ..stages.agg import _salt_parts
+    from ..stages.agg import _salt_parts, default_nparts
 
+    nparts = default_nparts()  # fixed at the driver: same key, same part
     return (
         ds.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
         .map_batches(
-            lambda b: _salt_parts(b, ["user_id"]), batch_format="pyarrow"
+            lambda b: _salt_parts(b, ["user_id"], nparts),
+            batch_format="pyarrow",
         )
         .groupby("__part")
         .map_groups(per_part, batch_format="pyarrow")
@@ -333,12 +336,14 @@ def asof_join_events(
             }
         )
 
-    from ..stages.agg import _salt_parts
+    from ..stages.agg import _salt_parts, default_nparts
 
+    nparts = default_nparts()  # fixed at the driver: same key, same part
     return (
         ds.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
         .map_batches(
-            lambda b: _salt_parts(b, ["user_id"]), batch_format="pyarrow"
+            lambda b: _salt_parts(b, ["user_id"], nparts),
+            batch_format="pyarrow",
         )
         .groupby("__part")
         .map_groups(per_part, batch_format="pyarrow")

@@ -369,12 +369,14 @@ def embedding_neardup_pairs(
             }
         )
 
-    from ..stages.agg import _salt_parts
+    from ..stages.agg import _salt_parts, default_nparts
 
+    nparts = default_nparts()  # fixed at the driver: same key, same part
     return (
         ds.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
         .map_batches(
-            lambda b: _salt_parts(b, ["__bucket"]), batch_format="pyarrow"
+            lambda b: _salt_parts(b, ["__bucket"], nparts),
+            batch_format="pyarrow",
         )
         .groupby("__part")
         .map_groups(per_part, batch_format="pyarrow")

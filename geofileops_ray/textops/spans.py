@@ -197,12 +197,14 @@ def media_ref_fanout(
             }
         )
 
-    from ..stages.agg import _salt_parts
+    from ..stages.agg import _salt_parts, default_nparts
 
+    nparts = default_nparts()  # fixed at the driver: same key, same part
     return (
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         .map_batches(
-            lambda b: _salt_parts(b, ["media_ref"]), batch_format="pyarrow"
+            lambda b: _salt_parts(b, ["media_ref"], nparts),
+            batch_format="pyarrow",
         )
         .groupby("__part")
         .map_groups(final_part, batch_format="pyarrow")

@@ -69,3 +69,39 @@ def test_bucket_aggregate_multikey_binary(ray_session):
         {"a": b"x", "b": 2, "sv": 3.0},
         {"a": b"y", "b": 1, "sv": 2.5},
     ]
+
+
+def test_agg_block_empty_batch_schema_matches_nonempty():
+    """The empty-batch branch must emit the SAME widened dtypes as the
+    non-empty branch (sum of bool/int8 → int64), or mixed-schema blocks
+    feed the downstream groupby (block-order-dependent schemas)."""
+    from geofileops_ray.stages.agg import _agg_block
+
+    specs = [("v", "sum", "s"), ("v", "count", "c"), ("v", "max", "m")]
+    for typ in (pa.bool_(), pa.int8(), pa.int32()):
+        empty = pa.table(
+            {"k": pa.array([], pa.int64()), "v": pa.array([], typ)}
+        )
+        vals = [True, False] if typ == pa.bool_() else [1, 2]
+        full = pa.table(
+            {"k": pa.array([1, 1], pa.int64()), "v": pa.array(vals, typ)}
+        )
+        se = _agg_block(empty, ["k"], specs).schema
+        sf = _agg_block(full, ["k"], specs).schema
+        assert se == sf, f"{typ}: {se} != {sf}"
+
+
+def test_salt_parts_requires_driver_nparts():
+    """nparts is a required argument: the modulus must be fixed once at
+    the driver, never probed per batch inside workers (an autoscaled
+    pool would split one key across partitions)."""
+    import pytest
+
+    from geofileops_ray.stages.agg import _salt_parts
+
+    t = pa.table({"k": pa.array([1, 2, 3], pa.int64())})
+    with pytest.raises(TypeError):
+        _salt_parts(t, ["k"])  # noqa — missing nparts must be an error
+    p8 = _salt_parts(t, ["k"], 8).column("__part").to_pylist()
+    assert _salt_parts(t, ["k"], 8).column("__part").to_pylist() == p8
+    assert all(0 <= v < 8 for v in p8)

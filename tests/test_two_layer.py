@@ -569,3 +569,26 @@ def test_pair_nearest_points_batch_paths():
     pts = pair_nearest_points_batch(ga1, ia, ga2, ia, d)
     realized = np.hypot(pts[:, 0] - pts[:, 2], pts[:, 1] - pts[:, 3])
     assert np.allclose(realized, d, atol=1e-9)
+
+
+def test_pair_nearest_points_degenerate_line():
+    """A zero-segment geometry (single-vertex LINESTRING) must fall back
+    to its vertex set instead of crashing on an empty argmin."""
+    from geofileops_ray.geom import GeometryArray
+    from geofileops_ray.geom.predicates import pair_nearest_points
+
+    deg = GeometryArray.from_parts([(2, [[np.array([[5.0, 5.0]])]])])
+    deg2 = GeometryArray.from_parts([(2, [[np.array([[7.0, 5.0]])]])])
+    poly = GeometryArray.from_parts(
+        [(3, [[np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0],
+                         [0.0, 1.0], [0.0, 0.0]])]])]
+    )
+    line = GeometryArray.from_parts(
+        [(2, [[np.array([[0.0, 0.0], [10.0, 0.0]])]])]
+    )
+    p, q = pair_nearest_points(deg, 0, poly, 0)
+    assert np.hypot(*(p - q)) == pytest.approx(np.sqrt(32))
+    p, q = pair_nearest_points(deg, 0, deg2, 0)
+    assert np.hypot(*(p - q)) == pytest.approx(2.0)
+    p, q = pair_nearest_points(line, 0, deg, 0)
+    assert np.hypot(*(p - q)) == pytest.approx(5.0)

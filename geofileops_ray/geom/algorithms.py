@@ -404,6 +404,62 @@ def _capsule(a: np.ndarray, b: np.ndarray, d: float, quad_segs: int,
     return ensure_closed(ring)
 
 
+def _single_sided_pieces(
+    line: np.ndarray, distance: float, quad_segs: int, join_style: str
+) -> list:
+    """Region pieces whose union is the single-sided buffer of a polyline
+    (GEOS semantics: distance > 0 → left of the travel direction, < 0 →
+    right; flat ends, no end caps). Per-segment one-sided rectangles plus
+    a joint wedge (arc pie for round joins, triangle otherwise) on the
+    outside of each turn — the union sweep resolves overlaps exactly."""
+    d = abs(distance)
+    left = distance > 0
+    line = np.asarray(line, dtype=np.float64)
+    # drop zero-length segments (duplicate consecutive vertices)
+    if len(line) >= 2:
+        keep = np.ones(len(line), dtype=bool)
+        keep[1:] = (np.diff(line, axis=0) != 0).any(axis=1)
+        line = line[keep]
+    if len(line) < 2:
+        return []
+    e = np.diff(line, axis=0)
+    ln = np.hypot(e[:, 0], e[:, 1])
+    u = e / ln[:, None]
+    nv = np.stack([-u[:, 1], u[:, 0]], axis=1)  # left normals
+    if not left:
+        nv = -nv
+    pieces = []
+    for k in range(len(u)):
+        a, b = line[k], line[k + 1]
+        off = nv[k] * d
+        quad = np.array([a, b, b + off, a + off])
+        pieces.append([[ensure_closed(ensure_ccw(quad))]])
+    # joint wedges on the outside of each turn
+    for k in range(len(u) - 1):
+        crossz = u[k, 0] * u[k + 1, 1] - u[k, 1] * u[k + 1, 0]
+        gap = crossz < -1e-12 if left else crossz > 1e-12
+        if not gap:
+            continue
+        v = line[k + 1]
+        a0 = math.atan2(nv[k + 1, 1], nv[k + 1, 0])
+        a1 = math.atan2(nv[k, 1], nv[k, 0])
+        if not left:
+            a0, a1 = a1, a0
+        while a1 <= a0:
+            a1 += 2 * math.pi
+        if join_style == "round":
+            pts = _arc(v, d, a0, a1, quad_segs)
+            ring = np.concatenate([[v], pts], axis=0)
+        else:  # mitre / bevel: straight wedge between the two offsets
+            ring = np.array(
+                [v,
+                 v + d * np.array([math.cos(a0), math.sin(a0)]),
+                 v + d * np.array([math.cos(a1), math.sin(a1)])]
+            )
+        pieces.append([[ensure_closed(ensure_ccw(ring))]])
+    return pieces
+
+
 def _rounded_rect_rings(b: np.ndarray, distance: float, qs: int) -> np.ndarray:
     """(m, 4*(qs+1)+1, 2) closed CCW rounded-rect rings for bbox rows b."""
     ang = np.concatenate(
@@ -489,33 +545,7 @@ def _buffer_fast_paths(
         idx = np.flatnonzero(is_rect)
         b = arr.bounds()[idx]
         if distance > 0:
-            # corner centers CCW from bottom-right; arc angle ranges
-            ang = np.concatenate(
-                [
-                    np.linspace(-np.pi / 2, 0.0, qs + 1),
-                    np.linspace(0.0, np.pi / 2, qs + 1),
-                    np.linspace(np.pi / 2, np.pi, qs + 1),
-                    np.linspace(np.pi, 1.5 * np.pi, qs + 1),
-                ]
-            )  # (4*(qs+1),)
-            ca = np.cos(ang) * distance
-            sa = np.sin(ang) * distance
-            k = len(ang)
-            cx = np.empty((len(idx), k))
-            cy = np.empty((len(idx), k))
-            q = qs + 1
-            cx[:, 0 * q : 1 * q] = b[:, 2:3]
-            cy[:, 0 * q : 1 * q] = b[:, 1:2]
-            cx[:, 1 * q : 2 * q] = b[:, 2:3]
-            cy[:, 1 * q : 2 * q] = b[:, 3:4]
-            cx[:, 2 * q : 3 * q] = b[:, 0:1]
-            cy[:, 2 * q : 3 * q] = b[:, 3:4]
-            cx[:, 3 * q : 4 * q] = b[:, 0:1]
-            cy[:, 3 * q : 4 * q] = b[:, 1:2]
-            rings = np.empty((len(idx), k + 1, 2))
-            rings[:, :k, 0] = cx + ca[None, :]
-            rings[:, :k, 1] = cy + sa[None, :]
-            rings[:, k] = rings[:, 0]
+            rings = _rounded_rect_rings(b, distance, qs)
             for j, i in enumerate(idx):
                 out[int(i)] = (POLYGON, [[rings[j]]])
         else:
@@ -619,6 +649,22 @@ def buffer(
             out = union_all_parts([[r] for r in rings]) if len(rings) > 1 else rings
             geoms.append(parts_to_geom(out))
         elif pt == LINESTRING:
+            if single_sided:
+                # GEOS convention: positive distance buffers the LEFT of
+                # the line direction, negative the RIGHT, flat ends
+                if distance == 0:
+                    geoms.append((POLYGON, []))
+                    continue
+                pieces = []
+                for part in parts:
+                    pieces.extend(
+                        _single_sided_pieces(
+                            part[0], distance, quad_segs, join_style
+                        )
+                    )
+                out = union_all_parts(pieces) if pieces else []
+                geoms.append(parts_to_geom(out))
+                continue
             if distance <= 0:
                 geoms.append((POLYGON, []))
                 continue
@@ -644,16 +690,45 @@ def buffer(
                                                  join_style, mitre_limit)]
                         )
                     else:
+                        cap_sty = "round" if join_style == "round" else "square"
                         pieces = [[ [ensure_closed(ensure_ccw(outer))] ]]
                         ring = ensure_ccw(ensure_closed(outer))
                         for k in range(len(ring) - 1):
                             pieces.append([
                                 [_capsule(ring[k], ring[k + 1], distance,
-                                          quad_segs, "round" if join_style == "round" else "square")]
+                                          quad_segs, cap_sty)]
                             ])
                         merged = union_all_parts(pieces)
-                        # holes of the original shrink: approximate by
-                        # keeping holes shrunk via convex shrink
+                        # holes SHRINK under a positive buffer: each hole
+                        # region erodes by d (hole − buffer(∂hole, d));
+                        # surviving shrunk holes are subtracted from the
+                        # dilated outer (they were silently dropped before,
+                        # filling every hole of a non-convex/holed input)
+                        shrunk: list = []
+                        for hring in part[1:]:
+                            hr = ensure_ccw(
+                                ensure_closed(
+                                    np.asarray(hring, dtype=np.float64)
+                                )
+                            )
+                            if len(hr) < 4:
+                                continue
+                            hcaps = [
+                                [[_capsule(hr[k], hr[k + 1], distance,
+                                           quad_segs, cap_sty)]]
+                                for k in range(len(hr) - 1)
+                            ]
+                            cap_u = union_all_parts(hcaps)
+                            from .overlay import polygon_overlay as _po
+
+                            shrunk.extend(
+                                _po([[hr]], cap_u, "difference")
+                                if cap_u else [[hr]]
+                            )
+                        if shrunk:
+                            from .overlay import polygon_overlay as _po
+
+                            merged = _po(merged, shrunk, "difference")
                         out_parts.extend(merged)
                 elif _is_convex(outer) and len(part) == 1:
                     shr = _shrink_convex_ring(outer, -distance)

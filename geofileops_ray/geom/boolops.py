@@ -411,12 +411,41 @@ def _finish_rings(
     return rings, np.asarray(sa)
 
 
+def _ring_interior_point(r: np.ndarray) -> np.ndarray:
+    """A point strictly inside the region enclosed by a simple closed
+    ring. The vertex mean is NOT inside for non-convex rings (and an
+    exterior probe can land inside a sibling ring, misassigning holes):
+    scan a horizontal line through a y strictly between two distinct
+    vertex ys, and take the midpoint of the first crossing interval."""
+    ys = r[:-1, 1]
+    uniq = np.unique(ys)
+    if uniq.size < 2:
+        return r[:-1].mean(axis=0)  # degenerate flat ring
+    yc = 0.5 * (uniq[0] + uniq[-1])
+    k = int(np.clip(np.searchsorted(uniq, yc), 1, uniq.size - 1))
+    yst = 0.5 * (uniq[k - 1] + uniq[k])
+    if yst == uniq[k - 1] or yst == uniq[k]:  # float midpoint collapse
+        yst = np.nextafter(uniq[k - 1], uniq[k])
+    a, b = r[:-1], r[1:]
+    cross = (a[:, 1] <= yst) != (b[:, 1] <= yst)
+    t = (yst - a[cross, 1]) / (b[cross, 1] - a[cross, 1])
+    xs = np.sort(a[cross, 0] + t * (b[cross, 0] - a[cross, 0]))
+    if xs.size < 2:  # numerically degenerate; fall back
+        return r[:-1].mean(axis=0)
+    return np.array([0.5 * (xs[0] + xs[1]), yst])
+
+
 def _assemble_parts(
     rings_areas: tuple[list[np.ndarray], np.ndarray] | list[np.ndarray],
 ) -> Parts:
     """Outer/hole classification by signed area (the chaining rule emits
-    outers CCW and holes CW), then hole→outer assignment by containment.
-    Accepts (rings, precomputed signed areas) or a bare ring list."""
+    outers CCW and holes CW), then hole→outer assignment: the smallest
+    outer that contains an INTERIOR point of the hole AND is at least as
+    large as the hole. Both guards matter for island-in-lake nesting —
+    the vertex-mean probe of a hole lands inside an island sitting in
+    the hole, and an island is always smaller than its lake, so the old
+    smallest-containing-outer rule attached the lake's hole to the
+    island. Accepts (rings, precomputed signed areas) or a ring list."""
     if isinstance(rings_areas, tuple):
         rings, sareas = rings_areas
     else:
@@ -425,22 +454,27 @@ def _assemble_parts(
     outers = []
     oareas = []
     holes = []
+    hareas = []
     for r, a in zip(rings, sareas):
         if a >= 0:
             outers.append(r)
             oareas.append(a)
         else:
             holes.append(r)
+            hareas.append(-a)
     if not outers:
         return []
     parts: Parts = [[o] for o in outers]
     if holes:
         from .overlay import point_in_ring
 
-        order = np.argsort(oareas)  # smallest enclosing outer wins
-        for h in holes:
-            probe = h[:-1].mean(axis=0)
+        oa = np.asarray(oareas)
+        order = np.argsort(oa)  # smallest enclosing outer wins
+        for h, ha in zip(holes, hareas):
+            probe = _ring_interior_point(h)
             for oi in order:
+                if oa[oi] < ha * (1 - 1e-12):
+                    continue  # a container is never smaller than its hole
                 if point_in_ring(probe, outers[oi][:-1]):
                     parts[oi].append(h)
                     break

@@ -146,6 +146,9 @@ def centroid(arr: GeometryArray) -> np.ndarray:
     points mean. Empty -> nan."""
     n = len(arr)
     out = np.full((n, 2), np.nan)
+    # hoisted: geom_coord_ranges is O(n) — calling it per point row made
+    # point-batch centroids quadratic
+    lo_c, hi_c = arr.geom_coord_ranges()
     for i in range(n):
         lo_p, hi_p = arr.geom_offsets[i], arr.geom_offsets[i + 1]
         if lo_p == hi_p:
@@ -193,8 +196,7 @@ def centroid(arr: GeometryArray) -> np.ndarray:
             if l_tot != 0:
                 out[i] = (cx / l_tot, cy / l_tot)
         else:  # POINT
-            lo, hi = arr.geom_coord_ranges()
-            pts = arr.coords[lo[i] : hi[i]]
+            pts = arr.coords[lo_c[i] : hi_c[i]]
             if len(pts):
                 out[i] = pts.mean(axis=0)
     return out

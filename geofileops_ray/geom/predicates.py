@@ -249,9 +249,34 @@ def pair_contains(a: GeometryArray, i: int, b: GeometryArray, j: int,
     """
     ta, tb = a.part_types(i), b.part_types(j)
     if ta != POLYGON:
-        if ta == POINT or tb != POINT:
+        if ta == POINT:
+            # a (multi)point covers b iff b is a (multi)point whose every
+            # point coincides with one of a's
+            if tb != POINT:
+                return False
+            pa_, pb_ = _points(a, i), _points(b, j)
+            if len(pa_) == 0 or len(pb_) == 0:
+                return False
+            d = np.abs(pb_[:, None] - pa_[None, :]).max(axis=-1)
+            return bool((d.min(axis=1) <= _EPS).all())
+        # ta is a line: it can cover points and (sub)lines, never polygons
+        if tb == POLYGON:
             return False
-        return bool((_pt_seg_dist(_points(b, j), _segments(a, i)) <= _EPS).all())
+        sa = _segments(a, i)
+        if len(sa) == 0:
+            return False
+        if tb == POINT:
+            return bool(
+                (_pt_seg_dist(_points(b, j), sa).min(axis=1) <= _EPS).all()
+            )
+        # line covers line: every vertex AND segment midpoint of b lies on
+        # a segment of a (approximation: exact when a's collinear chains
+        # aren't interrupted mid-segment of b)
+        sb = _segments(b, j)
+        probes = _points(b, j)
+        if len(sb):
+            probes = np.concatenate([probes, 0.5 * (sb[:, 0] + sb[:, 1])])
+        return bool((_pt_seg_dist(probes, sa).min(axis=1) <= _EPS).all())
     pb = _points(b, j)
     if len(pb) == 0:
         return False
@@ -354,18 +379,19 @@ def pair_overlaps(a: GeometryArray, i: int, b: GeometryArray, j: int) -> bool:
 
 
 def pair_equals(a: GeometryArray, i: int, b: GeometryArray, j: int) -> bool:
-    """Geometric equality via normalized coordinate multiset + mutual
-    containment for polygons (robust to ring rotation/orientation)."""
+    """Topological equality (ST_Equals): same point set. Points compare
+    by normalized coordinate set; lines and polygons by mutual coverage
+    (robust to ring rotation/orientation, vertex subdivision and
+    traversal-order differences — a vertex-set compare alone called two
+    different polylines through the same vertices equal)."""
     ta, tb = a.part_types(i), b.part_types(j)
     if ta != tb:
         return False
-    pa = np.unique(_points(a, i).round(9), axis=0)
-    pb = np.unique(_points(b, j).round(9), axis=0)
-    if pa.shape != pb.shape or not np.array_equal(pa, pb):
-        return False
-    if ta == POLYGON:
-        return pair_contains(a, i, b, j) and pair_contains(b, j, a, i)
-    return True
+    if ta == POINT:
+        pa = np.unique(_points(a, i).round(9), axis=0)
+        pb = np.unique(_points(b, j).round(9), axis=0)
+        return pa.shape == pb.shape and bool(np.array_equal(pa, pb))
+    return pair_contains(a, i, b, j) and pair_contains(b, j, a, i)
 
 
 def _interiors_intersect(a: GeometryArray, i: int, b: GeometryArray, j: int) -> bool:

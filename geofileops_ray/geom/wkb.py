@@ -349,29 +349,14 @@ def _fast_eligible(
     ok = lens >= 21
     safe = np.where(ok, offs, 0)
     ok &= buf[safe] == 1
-    t = (
-        buf[safe + 1].astype(np.int64)
-        | (buf[safe + 2].astype(np.int64) << 8)
-        | (buf[safe + 3].astype(np.int64) << 16)
-        | (buf[safe + 4].astype(np.int64) << 24)
-    )
+    t = _u32(buf, safe + 1)
     is_pt = ok & (t == POINT)
     is_poly = ok & (t == POLYGON)
     ok &= is_pt | is_poly
     ok &= ~is_pt | (lens == 21)
     if is_poly.any():
-        nrings = (
-            buf[safe + 5].astype(np.int64)
-            | (buf[safe + 6].astype(np.int64) << 8)
-            | (buf[safe + 7].astype(np.int64) << 16)
-            | (buf[safe + 8].astype(np.int64) << 24)
-        )
-        npts = (
-            buf[safe + 9].astype(np.int64)
-            | (buf[safe + 10].astype(np.int64) << 8)
-            | (buf[safe + 11].astype(np.int64) << 16)
-            | (buf[safe + 12].astype(np.int64) << 24)
-        )
+        nrings = _u32(buf, safe + 5)
+        npts = _u32(buf, safe + 9)
         poly_ok = (nrings == 1) & (13 + 16 * npts == lens)
         ok &= ~is_poly | poly_ok
     return ok
@@ -450,6 +435,32 @@ def _fast_decode_packed(
         coords = buf[gather].view("<f8").reshape(-1, 2).astype(np.float64, copy=False)
     ring_offsets = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(ncoords, out=ring_offsets[1:])
+    if is_pt.any():
+        # POINT EMPTY convention: an all-NaN coordinate pair decodes as
+        # an EMPTY geometry (zero parts), matching _parse_one — without
+        # this the fast path leaked NaN coords/bounds into downstream
+        # sweeps, and the same blob decoded differently depending on
+        # whether its batch hit the fast or the general path
+        pt_rows = np.flatnonzero(is_pt)
+        nan_pt = np.isnan(coords[ring_offsets[pt_rows]]).all(axis=1)
+        if nan_pt.any():
+            empty_rows = pt_rows[nan_pt]
+            keep = np.ones(n, dtype=np.int64)
+            keep[empty_rows] = 0
+            geom_offsets = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(keep, out=geom_offsets[1:])
+            nkept = int(geom_offsets[-1])
+            coord_keep = np.ones(len(coords), dtype=bool)
+            coord_keep[ring_offsets[empty_rows]] = False  # 1 coord each
+            ro = np.zeros(nkept + 1, dtype=np.int64)
+            np.cumsum(ncoords[keep.astype(bool)], out=ro[1:])
+            return GeometryArray(
+                types=t.astype(np.int8),
+                geom_offsets=geom_offsets,
+                part_offsets=np.arange(nkept + 1, dtype=np.int64),
+                ring_offsets=ro,
+                coords=coords[coord_keep],
+            )
     return GeometryArray(
         types=t.astype(np.int8),
         geom_offsets=np.arange(n + 1, dtype=np.int64),

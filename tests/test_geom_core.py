@@ -527,3 +527,141 @@ def test_box_grid_extent_spanning_boxes():
     ia, ib = bbox_join(Q, np.concatenate([Ball, B[3:50]], axis=0))
     ga, gb = g2.query(Q)
     assert set(zip(ga.tolist(), gb.tolist())) == set(zip(ia.tolist(), ib.tolist()))
+
+
+# ---------------------------------------------------------------------------
+# regressions from the round-3 geometry-kernel review
+
+
+def _sq(x0, y0, x1, y1):
+    return np.array(
+        [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]], float
+    )
+
+
+def test_union_island_in_lake_hole_assignment():
+    """A hole must attach to its true (larger) container, not to an
+    island sitting inside the hole whose ring happens to contain the
+    hole's vertex-mean probe."""
+    from geofileops_ray.geom.boolops import union_many
+    from geofileops_ray.geom.measure import area
+    from geofileops_ray.geom.predicates import points_in_polygon
+
+    big = [_sq(0, 0, 10, 10), _sq(3, 3, 7, 7)[::-1].copy()]
+    island = [_sq(4.5, 4.5, 5.5, 5.5)]
+    out = union_many([[big], [island]])
+    ga = G.GeometryArray.from_parts([(3, out)])
+    assert area(ga)[0] == pytest.approx(100 - 16 + 1)
+    # lake interior (inside hole, outside island) is OUTSIDE the union
+    assert not points_in_polygon(
+        np.array([[4.0, 4.0]]), ga, 0, boundary_counts=True
+    ).any()
+    assert points_in_polygon(np.array([[5.0, 5.0]]), ga, 0).any()
+    assert points_in_polygon(np.array([[1.0, 1.0]]), ga, 0).any()
+
+
+def test_buffer_preserves_holes():
+    """Positive buffer of a holed polygon shrinks the hole instead of
+    silently dropping it."""
+    from geofileops_ray.geom.algorithms import buffer as gbuf
+    from geofileops_ray.geom.measure import area
+    from geofileops_ray.geom.predicates import points_in_polygon
+
+    gb = G.GeometryArray.from_parts(
+        [(3, [[_sq(0, 0, 10, 10), _sq(3, 3, 7, 7)[::-1].copy()]])]
+    )
+    out = gbuf(gb, 0.5, quad_segs=8, cap_style="square", join_style="mitre")
+    assert area(out)[0] == pytest.approx(11 * 11 - 3 * 3)
+    assert not points_in_polygon(
+        np.array([[5.0, 5.0]]), out, 0, boundary_counts=True
+    ).any()
+    # non-convex (L-shape) outer with a hole takes the capsule path
+    L = np.array(
+        [[0, 0], [10, 0], [10, 4], [4, 4], [4, 10], [0, 10], [0, 0]], float
+    )
+    ga = G.GeometryArray.from_parts([(3, [[L, _sq(1, 1, 3, 3)[::-1].copy()]])])
+    out2 = gbuf(ga, 0.1, quad_segs=8)
+    assert not points_in_polygon(
+        np.array([[2.0, 2.0]]), out2, 0, boundary_counts=True
+    ).any()
+    assert points_in_polygon(np.array([[1.05, 2.0]]), out2, 0).any()
+
+
+def test_single_sided_buffer():
+    """GEOS semantics: +d buffers the left of the travel direction, -d
+    the right, flat ends; joints filled on the outside of turns."""
+    from geofileops_ray.geom.algorithms import buffer as gbuf
+    from geofileops_ray.geom.measure import area
+    from geofileops_ray.geom.predicates import points_in_polygon
+
+    g = G.GeometryArray.from_parts(
+        [(2, [[np.array([[0.0, 0.0], [10.0, 0.0]])]])]
+    )
+    left = gbuf(g, 1.0, single_sided=True)
+    assert area(left)[0] == pytest.approx(10.0)
+    assert points_in_polygon(np.array([[5.0, 0.5]]), left, 0).any()
+    assert not points_in_polygon(np.array([[5.0, -0.5]]), left, 0).any()
+    right = gbuf(g, -1.0, single_sided=True)
+    assert area(right)[0] == pytest.approx(10.0)
+    assert points_in_polygon(np.array([[5.0, -0.5]]), right, 0).any()
+    # right-angle turn: outside gets a joint wedge, inside unions exactly
+    g2 = G.GeometryArray.from_parts(
+        [(2, [[np.array([[0.0, 0.0], [5.0, 0.0], [5.0, -5.0]])]])]
+    )
+    out = gbuf(g2, 1.0, single_sided=True, quad_segs=64)
+    assert area(out)[0] == pytest.approx(10 + math.pi / 4, abs=1e-3)
+    inside = gbuf(g2, -1.0, single_sided=True)
+    assert area(inside)[0] == pytest.approx(9.0)
+    bevel = gbuf(g2, 1.0, single_sided=True, join_style="mitre")
+    assert area(bevel)[0] == pytest.approx(10.5)
+
+
+def test_point_empty_fast_decode():
+    """POINT EMPTY (all-NaN coords) must decode as EMPTY on the
+    vectorized fast paths too, not leak NaN coords batch-dependently."""
+    import struct
+
+    from geofileops_ray.geom import wkb as gwkb
+
+    pt_empty = struct.pack("<BI2d", 1, 1, float("nan"), float("nan"))
+    pt = struct.pack("<BI2d", 1, 1, 3.0, 4.0)
+    line = struct.pack("<BII4d", 1, 2, 2, 0.0, 0.0, 1.0, 1.0)
+    fast = gwkb.from_wkb([pt_empty, pt])  # all-point batch → fast path
+    general = gwkb.from_wkb([pt_empty, pt, line])  # mixed → general
+    assert fast.is_empty().tolist() == [True, False]
+    assert general.is_empty().tolist()[:2] == [True, False]
+    assert not np.isnan(fast.coords).any()
+    blob = pt_empty + pt
+    offs = np.array([0, len(pt_empty), len(blob)], dtype=np.int64)
+    packed = gwkb.from_wkb_packed(blob, offs)
+    assert packed.is_empty().tolist() == [True, False]
+    assert packed.coords.tolist() == [[3.0, 4.0]]
+
+
+def test_covers_points_and_lines():
+    """covers/contains must work for point-on-point and
+    line-contains-subline pairs (previously always False)."""
+    from geofileops_ray.geom.predicates import pair_contains, pair_equals
+
+    def pt(*pts):
+        return G.GeometryArray.from_parts(
+            [(1, [[np.array([p], float)] for p in pts])]
+        )
+
+    def ln(*pts):
+        return G.GeometryArray.from_parts([(2, [[np.array(pts, float)]])])
+
+    assert pair_contains(pt((3, 4)), 0, pt((3, 4)), 0)
+    assert not pair_contains(pt((3, 4)), 0, pt((3, 5)), 0)
+    assert pair_contains(ln((0, 0), (10, 0)), 0, ln((2, 0), (5, 0)), 0)
+    assert not pair_contains(ln((0, 0), (10, 0)), 0, ln((2, 0), (5, 1)), 0)
+    # multi-segment line covers a point on its SECOND segment (the old
+    # all-pairs test required the point to be near every segment)
+    assert pair_contains(ln((0, 0), (5, 0), (5, 5)), 0, pt((5, 3)), 0)
+    # equals: reversal and collinear subdivision are equal; same vertex
+    # set traversed in a different order is NOT
+    assert pair_equals(ln((0, 0), (2, 0)), 0, ln((2, 0), (0, 0)), 0)
+    assert pair_equals(ln((0, 0), (2, 0)), 0, ln((0, 0), (1, 0), (2, 0)), 0)
+    assert not pair_equals(
+        ln((0, 0), (1, 0), (0.5, 1)), 0, ln((0, 0), (0.5, 1), (1, 0)), 0
+    )

@@ -50,7 +50,13 @@ SPAN_TYPE = pa.list_(
 
 
 def _hash(doc_id: np.ndarray) -> np.ndarray:
-    return (doc_id.astype(np.int64) * _MULT) % _MOD
+    # exact doc_id * MULT mod 2^32 at ANY doc_id: reduce mod 2^32 first
+    # and multiply in uint64 ((2^32-1)*MULT < 2^64). A plain int64
+    # product silently wraps once doc_id exceeds 2^63/MULT ≈ 3.47e9 —
+    # exactly the scale expand_documents targets — and would silently
+    # diverge from the SQL mirror (which errors loudly on overflow).
+    d = doc_id.astype(np.uint64) % np.uint64(_MOD)
+    return ((d * np.uint64(_MULT)) % np.uint64(_MOD)).astype(np.int64)
 
 
 # ------------------------------------------------------- WKB vector builders

@@ -46,18 +46,20 @@ def _agg_block(
         for c in key_cols:
             out_fields[c] = tbl.column(c).combine_chunks()
         for col, op, out in specs:
+            if op == "count":  # count ignores col — don't resolve it
+                out_fields[out] = pa.array([], pa.int64())
+                continue
             typ = tbl.schema.field(col).type
-            if op == "count" or (
-                op == "sum"
-                and (
-                    pa.types.is_boolean(typ)
-                    or (pa.types.is_signed_integer(typ) and typ.bit_width < 64)
-                )
-            ):
+            if op == "sum":
                 # mirror the non-empty branch's widening (sum of bool /
-                # narrow int emits int64 there) so empty batches don't
-                # produce blocks with a divergent schema
-                typ = pa.int64()
+                # narrow signed emits int64, unsigned emits uint64) so
+                # empty batches don't produce divergent block schemas
+                if pa.types.is_boolean(typ) or (
+                    pa.types.is_signed_integer(typ) and typ.bit_width < 64
+                ):
+                    typ = pa.int64()
+                elif pa.types.is_unsigned_integer(typ):
+                    typ = pa.uint64()
             out_fields[out] = pa.array([], typ)
         return pa.table(out_fields)
     srt = tbl.take(
@@ -72,8 +74,12 @@ def _agg_block(
         diff |= k[1:] != k[:-1]
     starts = np.flatnonzero(np.concatenate([[True], diff]))
     ends = np.concatenate([starts[1:], [n]])
+    take_idx = pa.array(starts, pa.int64())
     for c in key_cols:
-        out_fields[c] = pa.array(keys_np[c][starts])
+        # take from the arrow column (not a numpy round-trip) so the
+        # output preserves the exact input type — pa.array(np) re-infers
+        # large_string as string etc., diverging from the empty branch
+        out_fields[c] = srt.column(c).combine_chunks().take(take_idx)
     for col, op, out in specs:
         if op == "count":
             out_fields[out] = pa.array(ends - starts, pa.int64())
@@ -83,6 +89,10 @@ def _agg_block(
             # np.add.reduceat keeps the input dtype: bool would OR, int8
             # would overflow — widen before summing
             v = v.astype(np.int64)
+        elif op == "sum" and v.dtype.kind == "u" and v.dtype.itemsize < 8:
+            # make numpy's unsigned promotion explicit (and match the
+            # empty branch): narrow unsigned sums emit uint64
+            v = v.astype(np.uint64)
         out_fields[out] = pa.array(_UFUNC[op].reduceat(v, starts))
     return pa.table(out_fields)
 
@@ -112,9 +122,26 @@ def _salt_parts(batch: pa.Table, key_cols: list[str], nparts: int) -> pa.Table:
 
     h = np.zeros(len(batch), dtype=np.uint64)
     for c in key_cols:
-        col = batch.column(c).to_numpy(zero_copy_only=False)
+        arr = batch.column(c)
+        if pa.types.is_integer(arr.type):
+            # hash integer keys on a canonical int64 view: a nullable int
+            # column converts to float64 in batches that contain a null
+            # and int64 in batches that don't, and pandas hashes
+            # int64(5) != float64(5.0) — the same key would land in two
+            # partitions depending on its batch's null content
+            nulls = arr.is_null().to_numpy(zero_copy_only=False)
+            vals = (
+                arr.fill_null(0).cast(pa.int64())
+                .to_numpy(zero_copy_only=False)
+            )
+            hc = pd.util.hash_array(np.ascontiguousarray(vals))
+            if nulls.any():
+                hc = hc.copy()
+                hc[nulls] = np.uint64(0x9E3779B97F4A7C15)
+        else:
+            hc = pd.util.hash_array(arr.to_numpy(zero_copy_only=False))
         with np.errstate(over="ignore"):
-            h = h * np.uint64(1000003) ^ pd.util.hash_array(col)
+            h = h * np.uint64(1000003) ^ hc
     return batch.append_column(
         "__part", pa.array((h % nparts).astype(np.int64), pa.int64())
     )

@@ -446,9 +446,9 @@ def intersection(
             multi = starts[L > 1]
             if len(multi):
                 # decode ONLY the rows of multi-piece runs — singletons
-                # (the vast majority) never pay the WKB decode
-                sub = srt.filter(pa.array(~single))
-                ga = from_wkb(sub.column(_GEOM))
+                # (the vast majority) never pay the WKB decode; filter
+                # just the geometry column (the attrs aren't needed)
+                ga = from_wkb(srt.column(_GEOM).filter(pa.array(~single)))
                 Lm = L[L > 1]
                 sub_starts = np.concatenate([[0], np.cumsum(Lm[:-1])])
                 geoms = []

@@ -192,7 +192,12 @@ def minhash_dedup_pairs(
         lambda b: pa.table({"doc_id": b.column("doc_id"), "text": b.column(text_col)}),
         batch_format="pyarrow",
     )
-    joined = sigs.join(texts, join_type="inner", num_partitions=8, on=("doc_id",))
+    from ..stages.agg import default_nparts
+
+    joined = sigs.join(
+        texts, join_type="inner", num_partitions=default_nparts(),
+        on=("doc_id",),
+    )
 
     def per_part(group: pa.Table) -> pa.Table:
         # ONE call per salt partition (not per LSH bucket): sort by
@@ -379,6 +384,18 @@ def simhash(
             sums = np.add.reduceat(bitmat, offs[nonempty], axis=0)
             votes[nonempty] = sums
         sh = ((votes > 0).astype(np.int64) << np.arange(bits)[None, :]).sum(axis=1)
+        # omit token-less docs (empty/NULL/symbol-only text): the SQL
+        # mirror's unnest produces no rows for them, so emitting a sh=0
+        # row here would be a row-count oracle divergence
+        keep = np.diff(offs) > 0
+        if not keep.all():
+            kidx = pa.array(np.flatnonzero(keep), pa.int64())
+            return pa.table(
+                {
+                    "doc_id": batch.column("doc_id").take(kidx),
+                    "sh": pa.array(sh[keep], pa.int64()),
+                }
+            )
         return pa.table(
             {"doc_id": batch.column("doc_id"), "sh": pa.array(sh, pa.int64())}
         )
@@ -550,11 +567,15 @@ def ngram_jaccard_pairs(
         j = i / (na + nb_ - i)
         keep_m = j >= threshold
         idx = np.flatnonzero(keep_m)
+        # SQL ROUND semantics (half away from zero) like the minhash
+        # path — np.round is half-to-even and diverges from the DuckDB
+        # oracle on exact .5e-6 boundaries
+        jr = np.floor(j[idx] * 1e6 + 0.5) / 1e6
         return pa.table(
             {
                 "doc_id_a": batch.column("doc_id_a").take(pa.array(idx)),
                 "doc_id_b": batch.column("doc_id_b").take(pa.array(idx)),
-                "jaccard": pa.array(np.round(j[idx], 6), pa.float64()),
+                "jaccard": pa.array(jr, pa.float64()),
             }
         )
 

@@ -37,26 +37,20 @@ def tumbling_window_agg(
             }
         )
 
-    def per_group(group: pa.Table) -> pa.Table:
-        vals = group.column("value").to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "user_id": group.column("user_id").slice(0, 1),
-                "window_id": group.column("window_id").slice(0, 1),
-                "n_events": pa.array([len(group)], pa.int64()),
-                "sum_value": pa.array(
-                    [round(float(np.nansum(vals)), 6)], pa.float64()
-                ),
-                "n_types": pa.array(
-                    [len(set(group.column("event_type").to_pylist()))], pa.int64()
-                ),
-            }
-        )
-
     # pre-aggregate inside each batch before the shuffle (combiner):
     def partial(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as _pc
 
+        if len(batch) == 0:  # u[starts] would index into an empty array
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "window_id": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "sum_value": pa.array([], pa.float64()),
+                    "types": pa.array([], pa.list_(pa.string())),
+                }
+            )
         # sort within batch then reduce runs — cheap local combine
         idx = _pc.sort_indices(
             batch, sort_keys=[("user_id", "ascending"), ("window_id", "ascending")]
@@ -65,6 +59,9 @@ def tumbling_window_agg(
         u = b.column("user_id").to_numpy()
         w = b.column("window_id").to_numpy()
         v = b.column("value").to_numpy(zero_copy_only=False)
+        # SQL SUM ignores NULL — zero NaN like sessionize does, or one
+        # null value turns its whole (user, window) sum into NaN
+        v = np.where(np.isnan(v), 0.0, v)
         et = b.column("event_type").to_pylist()
         key_change = np.flatnonzero((np.diff(u) != 0) | (np.diff(w) != 0)) + 1
         starts = np.concatenate([[0], key_change])
@@ -73,7 +70,7 @@ def tumbling_window_agg(
             "user_id": u[starts],
             "window_id": w[starts],
             "n_events": (ends - starts).astype(np.int64),
-            "sum_value": np.add.reduceat(v, starts) if len(b) else np.array([]),
+            "sum_value": np.add.reduceat(v, starts),
             "types": [sorted(set(et[s:e])) for s, e in zip(starts, ends)],
         }
         return pa.table(

@@ -200,6 +200,15 @@ def sample_frames(
     media = synth_media_from_spans(ds)
 
     def fn(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:  # np.concatenate([]) raises on zero rows
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "media_ref": pa.array([], pa.string()),
+                    "frame_idx": pa.array([], pa.int64()),
+                    "frame_ref": pa.array([], pa.string()),
+                }
+            )
         payloads = batch.column("payload").to_pylist()
         ids = batch.column("doc_id").to_numpy()
         refs = batch.column("media_ref").to_pylist()

@@ -118,8 +118,14 @@ def replicate_to_cells(
         k_of = np.where(is_hot, ks[pos], 1)
         if salt_mode == "split":
             ids = out.column(id_col).to_numpy()
-            salt = (ids * 2654435761 % 4294967296) % np.maximum(k_of, 1)
-            keys = keys | salt.astype(np.int64)
+            # uint64 mod-2^32 arithmetic: an int64 product wraps for
+            # ids ≥ 2^63/2654435761 ≈ 3.47e9 (see io/synth.py _hash)
+            h = (
+                (ids.astype(np.uint64) % np.uint64(4294967296))
+                * np.uint64(2654435761)
+            ) % np.uint64(4294967296)
+            salt = h.astype(np.int64) % np.maximum(k_of, 1)
+            keys = keys | salt
         else:  # replicate
             rep_rows = np.repeat(np.arange(len(out), dtype=np.int64), k_of)
             starts = np.concatenate([[0], np.cumsum(k_of)[:-1]])
@@ -156,15 +162,23 @@ def compute_salt_map(
         _, cells = assign_cells(b, size)
         return pa.table({"__cell": pa.array(cells, pa.int64())})
 
+    from ..stages.agg import bucket_aggregate
+
+    # combiner-first count (no per-cell Python), and filter to HOT cells
+    # BEFORE take_all — the driver must only ever hold the hot set (the
+    # genuinely tiny broadcast side), not one row per distinct cell
     counts = (
-        ds.map_batches(to_cells, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("__cell")
-        .count()
+        bucket_aggregate(
+            ds.map_batches(
+                to_cells, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            ["__cell"],
+            [("__cell", "count", "n")],
+        )
+        .filter(expr=f"n > {int(threshold)}")
         .take_all()
     )
     out: dict[int, int] = {}
     for row in counts:
-        n = row["count()"]
-        if n > threshold:
-            out[int(row["__cell"])] = int(min(256, -(-n // target)))
+        out[int(row["__cell"])] = int(min(256, -(-row["n"] // target)))
     return out

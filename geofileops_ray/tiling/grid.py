@@ -328,10 +328,14 @@ def vector_tile_cut(
     _geoops_gpd.py:2070-2083, generalized to a standalone stage).
 
     Stateless vectorized-per-batch map; no shuffle. Rect inputs take the
-    closed-form bbox∩tile path; general polygons run Sutherland–Hodgman
-    ring clipping (convex clip window — exact)."""
+    closed-form bbox∩tile path; CONVEX single-ring polygons run
+    Sutherland–Hodgman ring clipping (exact for convex subjects);
+    concave or holed polygons run the exact overlay sweep — SH on a
+    concave ring whose tile intersection is disconnected emits one
+    self-touching ring with zero-width bridges (invalid geometry)."""
+    from ..geom.algorithms import _is_convex
     from ..geom.array import GeometryArray, POLYGON, MULTIPOLYGON
-    from ..geom.overlay import clip_ring_rect, ring_signed_area
+    from ..geom.overlay import clip_ring_rect, polygon_overlay, ring_signed_area
     from ..geom.wkb import to_wkb
     from ..stages.geometry_batch import decode_geometry
     from ..stages.relation import detect_rects
@@ -375,10 +379,24 @@ def vector_tile_cut(
                             parts = ga._parts_of(i)
                         piece = []
                         for part in parts:
-                            rings = [clip_ring_rect(rr, rect) for rr in part]
-                            rings = [rr for rr in rings if len(rr) >= 4]
-                            if rings and abs(ring_signed_area(rings[0])) > 0:
-                                piece.append(rings)
+                            if len(part) == 1 and _is_convex(part[0]):
+                                rr = clip_ring_rect(part[0], rect)
+                                if len(rr) >= 4 and abs(
+                                    ring_signed_area(rr)
+                                ) > 0:
+                                    piece.append([rr])
+                                continue
+                            # concave or holed: exact overlay sweep
+                            tile_ring = np.array(
+                                [[rect[0], rect[1]], [rect[2], rect[1]],
+                                 [rect[2], rect[3]], [rect[0], rect[3]],
+                                 [rect[0], rect[1]]]
+                            )
+                            piece.extend(
+                                polygon_overlay(
+                                    [part], [[tile_ring]], "intersection"
+                                )
+                            )
                         if not piece:
                             continue
                     out_id.append(int(ids[i]))

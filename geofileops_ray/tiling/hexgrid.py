@@ -7,17 +7,21 @@ offset lattice — exactly the construction planar H3 uses per face
 (hex cells = Voronoi diagram of a triangular center lattice).
 
 Lattice: phase-A centers at ``(i*W, j*2H)``, phase-B centers at
-``((i+0.5)*W, (j+0.5)*2H)``.  With ``H/W = sqrt(3)/4`` the cells are
-regular hexagons; we default to W=8, H=3.5 (ratio 0.4375 ≈ 0.4330) so
-every center coordinate is dyadic-rational — all distance arithmetic
-below is then EXACT in float64 for dyadic inputs, which makes the
-assignment bit-reproducible in SQL (the DuckDB oracle mirrors the same
-FLOOR/CASE algebra; ties broken "A wins" identically in both engines).
+``((i+0.5)*W, (j+0.5)*2H)``.  With ``H/W = sqrt(3)/6`` the cells are
+regular hexagons; we default to W=8, H=3.5 (ratio 0.4375, a vertically
+stretched hex) so every center coordinate is dyadic-rational — all
+distance arithmetic below is then EXACT in float64 for dyadic inputs,
+which makes the assignment bit-reproducible in SQL (the DuckDB oracle
+mirrors the same FLOOR/CASE algebra; ties broken "A wins" identically
+in both engines).
 
 Cell id is the doubled-coordinate pair ``(hex_row, hex_col)``:
 phase-A center (i, j) → (2j, 2i); phase-B center → (2j+1, 2i+1).
-Neighbouring hexes differ by (0,±2), (±1,±1) — cheap ring expansion
-for kNN-style probes without any library.
+Neighbouring (edge-sharing Voronoi) hexes differ by (±2,0), (±1,±1):
+as long as the vertical center spacing ``2H`` is smaller than the
+horizontal ``W``, the two vertical same-phase cells share an edge and
+the two horizontal ones do NOT (they only meet the four diagonals) —
+cheap ring expansion for kNN-style probes without any library.
 
 Scale shape: assignment is a stateless vectorized ``map_batches`` (two
 candidate roundings + one comparison per point, ~10 flops); binning is
@@ -79,9 +83,11 @@ def hex_ring(row: int, col: int, k: int = 1) -> list[tuple[int, int]]:
         for dc in range(-2 * k, 2 * k + 1):
             if (dr + dc) % 2:
                 continue  # doubled coords: row+col parity is invariant
-            # doubled-width hex distance (col is the doubled axis)
+            # doubled-height hex distance: ROW is the doubled axis here
+            # (vertical same-phase cells are the edge-sharing ones — see
+            # module docstring); one hex step is (±1,±1) or (±2,0)
             adr, adc = abs(dr), abs(dc)
-            dist = adr + max(0, (adc - adr) // 2)
+            dist = adc + max(0, (adr - adc) // 2)
             if dist <= k:
                 out.append((row + dr, col + dc))
     return sorted(out)

@@ -105,3 +105,50 @@ def test_salt_parts_requires_driver_nparts():
     p8 = _salt_parts(t, ["k"], 8).column("__part").to_pylist()
     assert _salt_parts(t, ["k"], 8).column("__part").to_pylist() == p8
     assert all(0 <= v < 8 for v in p8)
+
+
+def test_salt_parts_nullable_int_key_consistent():
+    """A nullable int key column converts to float64 in batches that
+    contain a null and int64 in batches that don't; the hash must not
+    depend on which batch a key landed in."""
+    from geofileops_ray.stages.agg import _salt_parts
+
+    with_null = pa.table({"k": pa.array([5, None], pa.int64())})
+    without = pa.table({"k": pa.array([5, 7], pa.int64())})
+    pA = _salt_parts(with_null, ["k"], 64).column("__part").to_pylist()
+    pB = _salt_parts(without, ["k"], 64).column("__part").to_pylist()
+    assert pA[0] == pB[0]
+
+
+def test_agg_block_schema_parity_unsigned_count_largestring():
+    """Empty and non-empty batches must emit identical schemas for
+    unsigned sums (numpy promotes to uint64), count with a placeholder
+    value column (must not be resolved), and large_string keys (no
+    numpy round-trip re-inference)."""
+    from geofileops_ray.stages.agg import _agg_block
+
+    for typ in (pa.uint8(), pa.uint32()):
+        e = _agg_block(
+            pa.table({"k": pa.array([], pa.int64()), "v": pa.array([], typ)}),
+            ["k"], [("v", "sum", "s")],
+        ).schema
+        f = _agg_block(
+            pa.table({"k": pa.array([1, 1], pa.int64()),
+                      "v": pa.array([1, 2], typ)}),
+            ["k"], [("v", "sum", "s")],
+        ).schema
+        assert e == f
+    # count ignores its value column even on the empty branch
+    t = _agg_block(
+        pa.table({"k": pa.array([], pa.int64())}), ["k"],
+        [("placeholder", "count", "n")],
+    )
+    assert t.schema.field("n").type == pa.int64()
+    ls = pa.table(
+        {"k": pa.array(["a", "a", "b"], pa.large_string()),
+         "v": pa.array([1.0, 2.0, 3.0])}
+    )
+    assert (
+        _agg_block(ls, ["k"], [("v", "sum", "s")]).schema
+        == _agg_block(ls.slice(0, 0), ["k"], [("v", "sum", "s")]).schema
+    )

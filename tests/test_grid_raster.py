@@ -115,3 +115,41 @@ def test_vector_tile_cut_partition_of_input(ray_session):
     # no duplicate (doc, tile) rows
     keys = list(zip(ids.tolist(), tiles.tolist()))
     assert len(keys) == len(set(keys))
+
+
+def test_vector_tile_cut_concave_disconnected(ray_session):
+    """A concave polygon whose tile intersection is two disconnected
+    components must emit a 2-part MULTIPOLYGON, not one self-touching
+    Sutherland-Hodgman ring with zero-width bridges."""
+    import ray.data
+
+    from geofileops_ray.geom import GeometryArray
+    from geofileops_ray.geom.measure import area
+    from geofileops_ray.geom.predicates import points_in_polygon
+    from geofileops_ray.geom.wkb import from_wkb, to_wkb
+    from geofileops_ray.tiling.grid import vector_tile_cut
+    from geofileops_ray.util import collect
+
+    U = np.array(
+        [[0, 0], [10, 0], [10, 8], [7, 8], [7, 2], [3, 2], [3, 8],
+         [0, 8], [0, 0]], float
+    )
+    ga = GeometryArray.from_parts([(3, [[U]])])
+    t = pa.table(
+        {"doc_id": pa.array([1], pa.int64()),
+         "geometry": pa.array(to_wkb(ga), pa.binary())}
+    )
+    # 1 col x 2 rows: the top tile (y in 5..10) holds both arms of the U
+    out = collect(vector_tile_cut(ray.data.from_arrow(t), (0, 0, 10, 10), 2))
+    gout = from_wkb(out.column("geometry"))
+    by_tile = dict(zip(out.column("tile_id").to_pylist(), range(len(gout))))
+    assert area(gout).sum() == pytest.approx(56.0)  # U area preserved
+    top = by_tile[1]
+    nparts = int(gout.geom_offsets[top + 1] - gout.geom_offsets[top])
+    assert nparts == 2
+    assert area(gout)[top] == pytest.approx(18.0)
+    # the gap between the arms is outside every piece
+    for i in range(len(gout)):
+        assert not points_in_polygon(
+            np.array([[5.0, 6.0]]), gout, i, boundary_counts=True
+        ).any()

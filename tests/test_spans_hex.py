@@ -166,3 +166,26 @@ def test_line_line_overlap_kernel():
     diff = line_line_overlap(base._parts_of(0), cand, js, "difference")
     dtotal = sum(np.hypot(*(p[1] - p[0])) for p in diff)
     assert dtotal == (10 + 5) - 7
+
+
+def test_hex_ring_matches_voronoi_adjacency():
+    """Ring-1 must be the six EDGE-SHARING Voronoi neighbours: the two
+    vertical same-phase cells (±2, 0) and four diagonals (±1, ±1) — the
+    two horizontal cells (0, ±2) are NOT adjacent (the old doubled-width
+    formula had the axes swapped and probed exactly the wrong pair)."""
+    from geofileops_ray.tiling.hexgrid import hex_assign, hex_ring
+
+    ring1 = set(hex_ring(0, 0, 1)) - {(0, 0)}
+    assert ring1 == {(-2, 0), (2, 0), (-1, -1), (-1, 1), (1, -1), (1, 1)}
+    # empirical check: walk outward from the center in many directions;
+    # the first cell entered must always be a ring-1 member
+    seen = set()
+    for ang in np.linspace(0, 2 * np.pi, 720, endpoint=False):
+        d = np.array([np.cos(ang), np.sin(ang)])
+        for rad in np.linspace(0.05, 8, 400):
+            r, c = hex_assign(np.array([d[0] * rad]), np.array([d[1] * rad]))
+            cell = (int(r[0]), int(c[0]))
+            if cell != (0, 0):
+                seen.add(cell)
+                break
+    assert seen == ring1

@@ -89,3 +89,81 @@ def test_ann_recall_vs_bruteforce(ray_session):
     # bucketing, independent of the recall target)
     ivf_full = topk_sets(ts.ivf_topk(emb, queries, k=10, n_lists=8, nprobe=8))
     assert recall(ivf_full) == 1.0
+
+
+def test_tumbling_and_frames_survive_empty_blocks(ray_session):
+    """Empty input blocks (small files + high block counts) must not
+    crash the tumbling combiner or frame sampling, and null event values
+    must sum like SQL SUM (ignored, not NaN-propagated)."""
+    import ray.data
+
+    from geofileops_ray.textops.events import tumbling_window_agg
+    from geofileops_ray.util import collect
+
+    t = pa.table(
+        {
+            "user_id": pa.array([1, 1, 2], pa.int64()),
+            "ts": pa.array([0, 1_000_000, 0], pa.int64()),
+            "value": pa.array([1.5, None, 2.0], pa.float64()),
+            "event_type": pa.array(["a", "b", "a"]),
+        }
+    )
+    # repartition far beyond the row count to force empty blocks
+    ds = ray.data.from_arrow(t).repartition(16)
+    out = collect(tumbling_window_agg(ds, window_seconds=3600)).sort_by("user_id")
+    assert out.column("user_id").to_pylist() == [1, 2]
+    assert out.column("n_events").to_pylist() == [2, 1]
+    # SQL SUM ignores the NULL: 1.5, not NaN
+    assert out.column("sum_value").to_pylist() == [1.5, 2.0]
+
+    from geofileops_ray.textops.multimodal import sample_frames
+
+    spans = pa.table(
+        {
+            "doc_id": pa.array([7], pa.int64()),
+            "spans": pa.array(
+                [[{"kind": "media", "text": None,
+                   "media_ref": "media://1", "offset": 0}]],
+                type=pa.list_(pa.struct(
+                    [("kind", pa.string()), ("text", pa.string()),
+                     ("media_ref", pa.string()), ("offset", pa.int32())]
+                )),
+            ),
+        }
+    )
+    fr = collect(sample_frames(ray.data.from_arrow(spans).repartition(8)))
+    assert fr.num_rows >= 1
+    assert fr.column("doc_id").to_pylist()[0] == 7
+
+
+def test_simhash_omits_tokenless_docs(ray_session):
+    """Docs with no [a-z0-9] tokens produce NO simhash row (the SQL
+    mirror's unnest emits nothing for them)."""
+    import ray.data
+
+    from geofileops_ray.textops.dedup import simhash
+    from geofileops_ray.util import collect
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["hello world", "", "!!! ···"]),
+        }
+    )
+    out = collect(simhash(ray.data.from_arrow(t)))
+    assert out.column("doc_id").to_pylist() == [1]
+
+
+def test_synth_hash_exact_beyond_int64_wrap():
+    """_hash must equal doc_id*MULT mod 2^32 at ANY doc_id — a plain
+    int64 product wraps past doc_id ≈ 3.47e9 (the 100TB synth scale)."""
+    import numpy as np
+
+    from geofileops_ray.io.synth import _MOD, _MULT, _hash
+
+    ids = np.array(
+        [0, 1, 123456, 2**31, 3_470_000_000, 5_000_000_000, 10**12, 2**62],
+        dtype=np.int64,
+    )
+    expect = np.array([(int(v) * _MULT) % _MOD for v in ids], dtype=np.int64)
+    assert (_hash(ids) == expect).all()

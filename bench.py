@@ -217,6 +217,10 @@ def run_benchmarks(num_cpus: int, only_flagship: bool = False, repeat: int = 0) 
         docs = ray.data.read_parquet(f"{SF_DIR}/documents.parquet")
         _, t = timed(lambda: td.minhash_signatures(docs).count())
         results["minhash"] = round(t, 3)
+        from geofileops_ray.textops import sampling as tsm
+
+        _, t = timed(lambda: tsm.tfidf_topk(docs, k=5).count())
+        results["tfidf"] = round(t, 3)
         import numpy as np
         import pyarrow.parquet as pq
 

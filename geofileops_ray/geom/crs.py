@@ -20,6 +20,10 @@ This module provides the same surface from public projection formulas
   northing)
 * EPSG:258xx — ETRS89 / UTM zones 25828-25838 (GRS80 ≡ WGS84 to <1e-9
   flattening; treated as WGS84 UTM north)
+* EPSG:5070  — NAD83 / Conus Albers (ellipsoidal Albers equal-area
+  conic, Snyder pp. 98-103; NAD83 treated as WGS84, ~1-2 m)
+* EPSG:3035 — ETRS89-extended / LAEA Europe (ellipsoidal Lambert
+  azimuthal equal-area, oblique form, Snyder pp. 182-190)
 
 All transforms go through 4326 as the hub and are vectorized numpy over
 the coordinate slab (one pass per batch — no per-geometry python).
@@ -87,6 +91,8 @@ def _known() -> dict[int, CRS]:
         3812: CRS(3812, "ETRS89 / Belgian Lambert 2008", False),
         31370: CRS(31370, "BD72 / Belgian Lambert 72", False),
         2154: CRS(2154, "RGF93 v1 / Lambert-93", False),
+        5070: CRS(5070, "NAD83 / Conus Albers", False),
+        3035: CRS(3035, "ETRS89-extended / LAEA Europe", False),
     }
     for z in range(1, 61):
         out[32600 + z] = CRS(32600 + z, f"WGS 84 / UTM zone {z}N", False)
@@ -108,7 +114,7 @@ def get_crs(epsg: int | None) -> CRS | None:
     except KeyError:
         raise ValueError(
             f"unsupported EPSG:{epsg}; known: 4326, 3857, 3812, 31370, "
-            "2154, 326xx/327xx (UTM), 25828-25838"
+            "2154, 5070, 3035, 326xx/327xx (UTM), 25828-25838"
         )
 
 
@@ -308,6 +314,128 @@ def _wgs84_to_bd72(lon, lat):
     return _ecef_to_geodetic(X, Y, Z, _INTL_A, _INTL_E2)
 
 
+# ---------------------------------------------- equal-area projections
+# Snyder, USGS PP 1395: Albers equal-area conic (pp. 98-103) and Lambert
+# azimuthal equal-area, ellipsoidal oblique form (pp. 182-190). Both on
+# GRS80; NAD83 / ETRS89 are treated as WGS84 (≈1-2 m datum offset,
+# far below these projections' own use cases — documented restriction).
+
+# EPSG:5070 NAD83 / Conus Albers
+_AEA_5070 = dict(lat1=29.5, lat2=45.5, lat0=23.0, lon0=-96.0, x0=0.0, y0=0.0)
+# EPSG:3035 ETRS89-extended / LAEA Europe
+_LAEA_3035 = dict(lat0=52.0, lon0=10.0, x0=4321000.0, y0=3210000.0)
+
+
+def _q_auth(sphi: np.ndarray) -> np.ndarray:
+    """Authalic q(φ) given sin(φ) (Snyder 3-12)."""
+    es = _E * sphi
+    return (1.0 - _E2) * (
+        sphi / (1.0 - _E2 * sphi * sphi)
+        - (1.0 / (2.0 * _E)) * np.log((1.0 - es) / (1.0 + es))
+    )
+
+
+def _phi_from_q(q: np.ndarray) -> np.ndarray:
+    """Invert q(φ) by Snyder 3-16 iteration (converges quadratically)."""
+    phi = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
+    for _ in range(6):
+        s = np.sin(phi)
+        es = _E * s
+        one = 1.0 - _E2 * s * s
+        cphi = np.cos(phi)
+        # at the poles the correction is 0/0 — q is exactly ±q_pole there
+        cphi = np.where(np.abs(cphi) < 1e-12, 1e-12, cphi)
+        phi = phi + (one * one / (2.0 * cphi)) * (
+            q / (1.0 - _E2)
+            - s / one
+            + (1.0 / (2.0 * _E)) * np.log((1.0 - es) / (1.0 + es))
+        )
+    return phi
+
+
+def _aea_consts(p):
+    s1, s2, s0 = (
+        math.sin(math.radians(p["lat1"])),
+        math.sin(math.radians(p["lat2"])),
+        math.sin(math.radians(p["lat0"])),
+    )
+    c1, c2 = math.cos(math.radians(p["lat1"])), math.cos(math.radians(p["lat2"]))
+    m1 = c1 / math.sqrt(1 - _E2 * s1 * s1)
+    m2 = c2 / math.sqrt(1 - _E2 * s2 * s2)
+    q1 = float(_q_auth(np.float64(s1)))
+    q2 = float(_q_auth(np.float64(s2)))
+    q0 = float(_q_auth(np.float64(s0)))
+    n = (m1 * m1 - m2 * m2) / (q2 - q1)
+    C = m1 * m1 + n * q1
+    rho0 = _A * math.sqrt(C - n * q0) / n
+    return n, C, rho0
+
+
+def _aea_fwd(lon, lat, p):
+    n, C, rho0 = _aea_consts(p)
+    q = _q_auth(np.sin(np.radians(lat)))
+    rho = _A * np.sqrt(np.maximum(C - n * q, 0.0)) / n
+    th = n * np.radians(lon - p["lon0"])
+    return p["x0"] + rho * np.sin(th), p["y0"] + rho0 - rho * np.cos(th)
+
+
+def _aea_inv(x, y, p):
+    n, C, rho0 = _aea_consts(p)
+    xp = np.asarray(x, np.float64) - p["x0"]
+    yp = rho0 - (np.asarray(y, np.float64) - p["y0"])
+    rho = np.hypot(xp, yp)
+    q = (C - (rho * n / _A) ** 2) / n
+    th = np.arctan2(np.sign(n) * xp, np.sign(n) * yp)
+    lon = p["lon0"] + np.degrees(th / n)
+    return lon, np.degrees(_phi_from_q(q))
+
+
+def _laea_consts(p):
+    s0 = math.sin(math.radians(p["lat0"]))
+    c0 = math.cos(math.radians(p["lat0"]))
+    qp = float(_q_auth(np.float64(1.0)))
+    q0 = float(_q_auth(np.float64(s0)))
+    b0 = math.asin(min(max(q0 / qp, -1.0), 1.0))
+    rq = _A * math.sqrt(qp / 2.0)
+    m0 = c0 / math.sqrt(1 - _E2 * s0 * s0)
+    D = _A * m0 / (rq * math.cos(b0))
+    return qp, b0, rq, D
+
+
+def _laea_fwd(lon, lat, p):
+    qp, b0, rq, D = _laea_consts(p)
+    q = _q_auth(np.sin(np.radians(lat)))
+    beta = np.arcsin(np.clip(q / qp, -1.0, 1.0))
+    dl = np.radians(lon - p["lon0"])
+    denom = 1.0 + math.sin(b0) * np.sin(beta) + math.cos(b0) * np.cos(beta) * np.cos(dl)
+    B = rq * np.sqrt(2.0 / np.maximum(denom, 1e-300))
+    x = p["x0"] + B * D * np.cos(beta) * np.sin(dl)
+    y = p["y0"] + (B / D) * (
+        math.cos(b0) * np.sin(beta) - math.sin(b0) * np.cos(beta) * np.cos(dl)
+    )
+    return x, y
+
+
+def _laea_inv(x, y, p):
+    qp, b0, rq, D = _laea_consts(p)
+    xp = (np.asarray(x, np.float64) - p["x0"]) / D
+    yp = (np.asarray(y, np.float64) - p["y0"]) * D
+    rho = np.hypot(xp, yp)
+    ce = 2.0 * np.arcsin(np.clip(rho / (2.0 * rq), -1.0, 1.0))
+    sce, cce = np.sin(ce), np.cos(ce)
+    safe_rho = np.where(rho == 0.0, 1.0, rho)
+    q = qp * (cce * math.sin(b0) + yp * sce * math.cos(b0) / safe_rho)
+    q = np.where(rho == 0.0, qp * math.sin(b0), q)
+    lon = p["lon0"] + np.degrees(
+        np.arctan2(
+            xp * sce,
+            safe_rho * math.cos(b0) * cce - yp * math.sin(b0) * sce,
+        )
+    )
+    lon = np.where(rho == 0.0, p["lon0"], lon)
+    return lon, np.degrees(_phi_from_q(q))
+
+
 # ------------------------------------------------------------ public API
 
 
@@ -322,6 +450,10 @@ def _to_4326(x, y, epsg: int):
         return _lcc_inv(x, y, _LCC_2154)
     if epsg == 31370:
         return _bd72_to_wgs84(*_lcc_inv(x, y, _LCC_31370))
+    if epsg == 5070:
+        return _aea_inv(x, y, _AEA_5070)
+    if epsg == 3035:
+        return _laea_inv(x, y, _LAEA_3035)
     if 32601 <= epsg <= 32660:
         return _tm_inv(x, y, (epsg - 32600) * 6 - 183)
     if 32701 <= epsg <= 32760:
@@ -342,6 +474,10 @@ def _from_4326(lon, lat, epsg: int):
         return _lcc_fwd(lon, lat, _LCC_2154)
     if epsg == 31370:
         return _lcc_fwd(*_wgs84_to_bd72(lon, lat), _LCC_31370)
+    if epsg == 5070:
+        return _aea_fwd(lon, lat, _AEA_5070)
+    if epsg == 3035:
+        return _laea_fwd(lon, lat, _LAEA_3035)
     if 32601 <= epsg <= 32660:
         return _tm_fwd(lon, lat, (epsg - 32600) * 6 - 183)
     if 32701 <= epsg <= 32760:

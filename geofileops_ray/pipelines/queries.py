@@ -49,6 +49,7 @@ from ..stages.spatial_join import (
 )
 from ..textops import analysis as ta
 from ..textops import dedup as td
+from ..textops import sampling as tsm
 from ..textops import similarity as ts
 from ..textops.multimodal import extract_media_features
 from ..tiling.grid import tile_assignments
@@ -2132,6 +2133,10 @@ def _docs(sf):
     return ray.data.read_parquet(f"{sf}/documents.parquet")
 
 
+# stratified-sampling rates (permille kept per language stratum)
+_SAMPLE_RATES = {"en": 500, "de": 250, "fr": 125}
+
+
 def _emb(sf):
     return ray.data.read_parquet(f"{sf}/embeddings.parquet")
 
@@ -2528,6 +2533,15 @@ QUERIES = {
     "fingerprint": lambda sf: ta.fingerprint(_docs(sf)),
     "dedup_clusters": lambda sf: td.dedup_clusters(_docs(sf), threshold=0.2),
     "embedding_neardup": q_neardup,
+    "normalize_text": lambda sf: tsm.normalize_text(_docs(sf)),
+    "pii_scrub": lambda sf: tsm.pii_scrub(_docs(sf)),
+    "stratified_sample": lambda sf: tsm.stratified_sample(
+        _docs(sf), _SAMPLE_RATES, default_permille=100
+    ),
+    "sample_k_per_lang": lambda sf: tsm.sample_k_per_group(
+        _docs(sf), "lang", k=10
+    ),
+    "tfidf_top5": lambda sf: tsm.tfidf_topk(_docs(sf), k=5),
     # approximate / stub paths (rows-only checks; no oracle by design)
     "lsh_topk10": q_lsh_topk,
     "ivf_topk10": q_ivf_topk,
@@ -2648,6 +2662,13 @@ ORACLES = {
     "value_percentiles_per_type": __import__(
         "geofileops_ray.textops.events", fromlist=["percentiles_sql"]
     ).percentiles_sql(),
+    "normalize_text": tsm.NORMALIZE_SQL,
+    "pii_scrub": tsm.PII_SCRUB_SQL,
+    "stratified_sample": tsm.stratified_sample_sql(
+        _SAMPLE_RATES, default_permille=100
+    ),
+    "sample_k_per_lang": tsm.sample_k_per_group_sql("lang", 10),
+    "tfidf_top5": tsm.tfidf_topk_sql(5),
 }
 
 

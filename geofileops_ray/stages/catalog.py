@@ -162,9 +162,11 @@ def layer_digest(
                 f"{i}|{int(r[0])}|{int(r[1])}|{int(r[2])}|{int(r[3])}"
                 for i, r in zip(ids, b)
             ]
+        from ..util import md5_u64 as _md5_u64
+
         s = 0
         for k in keys:
-            s += int.from_bytes(hashlib.md5(k.encode()).digest()[8:], "little")
+            s += _md5_u64(k)
         return pa.table(
             {
                 "part_sum": pa.array([s % _MOD], pa.int64()),

@@ -10,7 +10,6 @@ op has an exact DuckDB SQL mirror (same regexes, md5 for hashes) used by
 from __future__ import annotations
 
 import hashlib
-import re
 
 import numpy as np
 import pyarrow as pa
@@ -189,14 +188,20 @@ def language_id(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Datase
 
 def fingerprint(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
     """Document fingerprint = md5 of whitespace-normalized lowercase text
-    → (doc_id, fp). md5 is reproducible bit-for-bit in DuckDB's md5()."""
-    ws = re.compile(r"\s+")
+    → (doc_id, fp). md5 is reproducible bit-for-bit in DuckDB's md5().
+
+    Normalization runs through the Arrow C++ kernels (NOT Python
+    ``re``): RE2's ``\\s`` is ASCII ``[\\t\\n\\f\\r ]`` while Python's
+    is full Unicode, and DuckDB's bare ``trim()`` strips Zs-category
+    spaces but not ``\\v`` — so both sides collapse with RE2 and trim
+    ``' '`` explicitly, keeping the fp oracle exact on any corpus."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        texts = batch.column(text_col).to_pylist()
+        x = pc.utf8_lower(batch.column(text_col))
+        x = pc.replace_substring_regex(x, pattern=r"\s+", replacement=" ")
+        x = pc.utf8_trim(x, characters=" ")
         fps = [
-            hashlib.md5(ws.sub(" ", (t or "").lower()).strip().encode()).hexdigest()
-            for t in texts
+            hashlib.md5((t or "").encode()).hexdigest() for t in x.to_pylist()
         ]
         return pa.table(
             {"doc_id": batch.column("doc_id"), "fp": pa.array(fps, pa.string())}
@@ -272,6 +277,6 @@ FROM h ORDER BY doc_id
 
 FINGERPRINT_SQL = """
 SELECT doc_id,
-       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ')) AS fp
 FROM documents ORDER BY doc_id
 """

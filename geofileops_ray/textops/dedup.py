@@ -135,10 +135,12 @@ def minhash_signatures(
         flat = [s for sh in doc_sh for s in sh]
         base = np.empty(len(flat), np.uint64)
         memo: dict[str, int] = {}
+        from ..util import md5_u64 as _md5_u64
+
         for j, s in enumerate(flat):
             v = memo.get(s)
             if v is None:
-                v = int.from_bytes(hashlib.md5(s.encode()).digest()[8:], "little")
+                v = _md5_u64(s)
                 memo[s] = v
             base[j] = v
         A = np.array(A_c, np.uint64)

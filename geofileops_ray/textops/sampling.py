@@ -16,11 +16,16 @@ Scale notes:
   (document frequencies via run lengths, no per-term Python) and once
   by doc for the final top-k, with the per-batch partial-top-k
   combiner bounding that exchange to O(#docs · k).
+  Partitioning assumption: one salt partition (≈ tf rows / (2 · pool
+  CPUs)) must fit in a worker's heap — on a 256-node/8k-core cluster
+  that is ~10^12 tokens / 16k parts ≈ tens of millions of (doc, term,
+  tf) rows per task, a few GB of Arrow. For larger corpora raise
+  ``nparts`` (it is independent of correctness — only co-location of
+  equal terms matters).
 """
 
 from __future__ import annotations
 
-import hashlib
 import math
 
 import numpy as np
@@ -28,6 +33,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data
+
+from ..util import md5_u64 as _md5_u64
 
 # RE2-compatible patterns (no lookaround/backrefs) — pyarrow and DuckDB
 # both run RE2, so replacement and counting semantics match exactly.
@@ -45,23 +52,22 @@ def _round6(x: np.ndarray) -> np.ndarray:
     return np.floor(np.asarray(x, np.float64) * 1e6 + 0.5) / 1e6
 
 
-def _md5_u64(s: str) -> int:
-    """DuckDB ``md5_number_lower``: lower 8 md5 bytes, little-endian."""
-    return int.from_bytes(hashlib.md5(s.encode()).digest()[8:], "little")
-
-
 def normalize_text(
     ds: ray.data.Dataset, text_col: str = "text"
 ) -> ray.data.Dataset:
     """(doc_id, text_norm, n_chars_norm): lowercase, collapse whitespace
-    runs to single spaces, strip — the same normalization the document
-    fingerprint hashes (analysis.py `fingerprint`), emitted as text.
-    Pure Arrow C++ kernels."""
+    runs (RE2 ``\\s`` = ASCII ``[\\t\\n\\f\\r ]``) to single spaces,
+    strip edge SPACES — the same normalization the document fingerprint
+    hashes (analysis.py `fingerprint`). Pure Arrow C++ kernels; every
+    step (incl. the space-only trim) has identical semantics in the
+    DuckDB mirror — Arrow's whitespace-trim and DuckDB's ``trim()``
+    disagree on \\v / NEL / Zl / Zp edges, so both sides trim ``' '``
+    explicitly."""
 
     def fn(batch: pa.Table) -> pa.Table:
         x = pc.utf8_lower(batch.column(text_col))
         x = pc.replace_substring_regex(x, pattern=r"\s+", replacement=" ")
-        x = pc.utf8_trim_whitespace(x)
+        x = pc.utf8_trim(x, characters=" ")
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
@@ -102,10 +108,21 @@ def pii_scrub(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
 
 def _hash_bucket_column(ids: np.ndarray, mod: int) -> np.ndarray:
     """md5_number_lower(str(id)) % mod per row — one C-speed digest per
-    row, bit-identical to the DuckDB expression."""
+    row, bit-identical to the DuckDB expression. Callers must have
+    dropped NULL ids first (SQL semantics: a NULL id never samples)."""
     return np.fromiter(
         (_md5_u64(str(int(i))) % mod for i in ids), np.int64, len(ids)
     )
+
+
+def _drop_null_ids(batch: pa.Table, id_col: str) -> pa.Table:
+    """Mirror the SQL oracles' NULL semantics (NULL id / comparison is
+    never TRUE, so the row is silently dropped) instead of crashing the
+    hash on NaN."""
+    col = batch.column(id_col)
+    if col.null_count:
+        batch = batch.filter(pc.is_valid(col))
+    return batch
 
 
 def stratified_sample(
@@ -124,6 +141,7 @@ def stratified_sample(
     sampling bucket."""
 
     def fn(batch: pa.Table) -> pa.Table:
+        batch = _drop_null_ids(batch, id_col)
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         bucket = _hash_bucket_column(ids, 1000)
         strata = batch.column(stratum_col).to_numpy(zero_copy_only=False)
@@ -156,6 +174,7 @@ def sample_k_per_group(
     from .analysis import topk_per_group
 
     def score(batch: pa.Table) -> pa.Table:
+        batch = _drop_null_ids(batch, id_col)
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         h = _hash_bucket_column(ids, _U53).astype(np.float64) / float(_U53)
         return pa.table(
@@ -218,6 +237,7 @@ def tfidf_topk(
     ds: ray.data.Dataset,
     k: int = 5,
     text_col: str = "text",
+    n_docs: int | None = None,
 ) -> ray.data.Dataset:
     """Per-document top-k TF-IDF terms: score = ROUND(tf · ln(N/df), 6),
     ties broken by term ascending. Output (doc_id, term, score, rank).
@@ -228,11 +248,16 @@ def tfidf_topk(
     length per term inside the partition (tf rows are unique per
     (doc, term)), score vectorized; then the standard partial-top-k
     combiner + groupby(doc) finishes. No broadcast of the vocabulary,
-    no driver materialization — both unbounded at corpus scale."""
+    no driver materialization — both unbounded at corpus scale.
+
+    ``n_docs`` (the corpus size for idf) is taken from ``ds.count()``
+    when not given — a metadata-only pass for parquet-backed inputs,
+    but a FULL extra execution if ``ds`` already has transforms on it;
+    pass the known count in that case."""
     from ..stages.agg import _salt_parts, default_nparts
     from .analysis import topk_per_group
 
-    n_docs = float(ds.count())
+    nd = float(n_docs if n_docs is not None else ds.count())
     nparts = default_nparts()
 
     tf = ds.map_batches(
@@ -268,7 +293,14 @@ def tfidf_topk(
         df = np.empty(len(ts), np.float64)
         df[order] = df_sorted
         tfv = g.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
-        score = _round6(tfv * np.log(n_docs / df))
+        # idf via libm math.log over the DISTINCT df values: bit-exact
+        # vs DuckDB's ln (np.log's SIMD path differs by 1 ulp on ~20%
+        # of inputs — measured — which could flip ROUND(x, 6) on a
+        # boundary and break the exact-oracle contract)
+        uniq_df = np.unique(runlen).astype(np.float64)
+        idf_vals = np.array([math.log(nd / d) for d in uniq_df], np.float64)
+        idf = idf_vals[np.searchsorted(uniq_df, df)]
+        score = _round6(tfv * idf)
         return pa.table(
             {
                 "doc_id": g.column("doc_id"),
@@ -294,9 +326,9 @@ def tfidf_topk(
 
 NORMALIZE_SQL = """
 SELECT doc_id,
-       trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS text_norm,
-       CAST(length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS BIGINT)
-         AS n_chars_norm
+       trim(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ') AS text_norm,
+       CAST(length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '))
+            AS BIGINT) AS n_chars_norm
 FROM documents ORDER BY doc_id
 """
 

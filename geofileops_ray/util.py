@@ -14,3 +14,14 @@ def collect(ds: ray.data.Dataset) -> pa.Table:
     if not tables:
         return pa.table({})
     return pa.concat_tables([t if isinstance(t, pa.Table) else pa.Table.from_batches([t]) for t in tables])
+
+
+def md5_u64(s: str) -> int:
+    """DuckDB ``md5_number_lower(s)``: lower 8 md5 bytes, little-endian.
+    THE one copy of this bit-exactness-critical convention — every
+    oracle-mirrored hash (dedup shingles, layer digests, sampling
+    buckets) must route through here so the byte-slice/endianness can
+    never drift between operators."""
+    import hashlib
+
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[8:], "little")

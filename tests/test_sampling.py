@@ -121,3 +121,55 @@ def test_tfidf_topk_scores(ray_session):
     assert by[(2, "bird")]["score"] == round(np.log(2.0), 6)
     # doc 1's second term is dog at score 0
     assert by[(1, "dog")]["score"] == 0.0
+
+
+def test_normalize_and_fingerprint_unicode_whitespace_parity(ray_session):
+    """\\v and NBSP edges: Python re's Unicode \\s and Arrow's
+    trim-whitespace both diverge from DuckDB here — the kernels must
+    match the SQL mirror exactly on such corpora."""
+    import duckdb
+
+    from geofileops_ray.textops import analysis as ta
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                ["\x0bHello\tWorld\x0b", "\xa0 padded \xa0", "A\x85B C"]
+            ),
+        }
+    )
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    got = {
+        r["doc_id"]: r["text_norm"]
+        for r in sm.normalize_text(ray.data.from_arrow(tbl)).take_all()
+    }
+    want = dict(
+        con.execute(
+            "SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g'),"
+            " ' ') FROM documents"
+        ).fetchall()
+    )
+    assert got == want
+    got_fp = {
+        r["doc_id"]: r["fp"]
+        for r in ta.fingerprint(ray.data.from_arrow(tbl)).take_all()
+    }
+    want_fp = dict(con.execute(ta.FINGERPRINT_SQL.replace("ORDER BY doc_id", "")).fetchall())
+    assert got_fp == want_fp
+
+
+def test_sampling_null_doc_id_dropped(ray_session):
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, None, 3], pa.int64()),
+            "lang": pa.array(["en", "en", "en"]),
+        }
+    )
+    out = sm.stratified_sample(
+        ray.data.from_arrow(tbl), {"en": 1000}
+    ).take_all()
+    assert sorted(r["doc_id"] for r in out) == [1, 3]
+    out2 = sm.sample_k_per_group(ray.data.from_arrow(tbl), "lang", k=5).take_all()
+    assert sorted(r["doc_id"] for r in out2) == [1, 3]

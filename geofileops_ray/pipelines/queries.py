@@ -48,6 +48,7 @@ from ..stages.spatial_join import (
     join_by_location,
 )
 from ..textops import analysis as ta
+from ..textops import contamination as tcn
 from ..textops import dedup as td
 from ..textops import sampling as tsm
 from ..textops import similarity as ts
@@ -2542,6 +2543,8 @@ QUERIES = {
         _docs(sf), "lang", k=10
     ),
     "tfidf_top5": lambda sf: tsm.tfidf_topk(_docs(sf), k=5),
+    "ngram_decontaminate": lambda sf: tcn.ngram_decontaminate(_docs(sf)),
+    "repetition_metrics": lambda sf: tcn.repetition_metrics(_docs(sf)),
     # approximate / stub paths (rows-only checks; no oracle by design)
     "lsh_topk10": q_lsh_topk,
     "ivf_topk10": q_ivf_topk,
@@ -2669,6 +2672,8 @@ ORACLES = {
     ),
     "sample_k_per_lang": tsm.sample_k_per_group_sql("lang", 10),
     "tfidf_top5": tsm.tfidf_topk_sql(5),
+    "ngram_decontaminate": tcn.decontaminate_sql(),
+    "repetition_metrics": tcn.REPETITION_SQL,
 }
 
 

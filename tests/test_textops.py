@@ -167,3 +167,83 @@ def test_synth_hash_exact_beyond_int64_wrap():
     )
     expect = np.array([(int(v) * _MULT) % _MOD for v in ids], dtype=np.int64)
     assert (_hash(ids) == expect).all()
+
+
+def test_decontaminate_edges(ray_session):
+    """Cross-document n-gram masking, short/empty docs, and the explicit
+    benchmark_ngrams parameter (the production path — eval-set n-grams
+    supplied directly, no benchmark build pass)."""
+    import ray.data
+
+    from geofileops_ray.textops.contamination import ngram_decontaminate
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    "alpha beta gamma delta",  # trigrams: abg, bgd
+                    "beta gamma",  # too short for a trigram
+                    "",  # empty
+                    "x alpha beta gamma",  # hits "alpha beta gamma"
+                ]
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(docs)
+    got = {
+        r["doc_id"]: r
+        for r in ngram_decontaminate(
+            ds, n=3, benchmark_ngrams=["alpha beta gamma", "zz yy xx"]
+        ).take_all()
+    }
+    assert got[1]["n_ngrams"] == 2 and got[1]["n_contaminated"] == 1
+    assert got[2]["n_ngrams"] == 0 and not got[2]["is_contaminated"]
+    assert got[3]["n_ngrams"] == 0 and not got[3]["is_contaminated"]
+    assert got[4]["n_ngrams"] == 2 and got[4]["n_contaminated"] == 1
+    # a trigram must never span two documents: doc1 ends "gamma delta",
+    # doc4 starts "x alpha" — "gamma delta x" is not a hit anywhere
+    got2 = {
+        r["doc_id"]: r["n_contaminated"]
+        for r in ngram_decontaminate(
+            ds, n=3, benchmark_ngrams=["gamma delta x", "delta x alpha"]
+        ).take_all()
+    }
+    assert got2 == {1: 0, 2: 0, 3: 0, 4: 0}
+
+
+def test_repetition_metrics_closed_form(ray_session):
+    """Hand-computed fractions, including the all-repeated and the
+    zero-denominator (empty) cases."""
+    import ray.data
+
+    from geofileops_ray.textops.contamination import repetition_metrics
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "a a a a",  # 4 words all dup; bigrams "a a" x3
+                    "one two three four",  # no repetition at all
+                    "",  # zero words
+                ]
+            ),
+        }
+    )
+    got = {
+        r["doc_id"]: r
+        for r in repetition_metrics(ray.data.from_arrow(docs)).take_all()
+    }
+    r1 = got[1]
+    assert r1["n_words"] == 4 and r1["n_distinct_words"] == 1
+    assert r1["dup_word_frac"] == 1.0
+    assert r1["top_bigram_frac"] == 1.0
+    assert r1["dup_trigram_frac"] == 1.0  # "a a a" twice
+    r2 = got[2]
+    assert r2["dup_word_frac"] == 0.0
+    assert r2["top_bigram_frac"] == 0.333333  # 3 distinct bigrams, max 1
+    assert r2["dup_trigram_frac"] == 0.0
+    r3 = got[3]
+    assert r3["n_words"] == 0 and r3["dup_word_frac"] == 0.0
+    assert r3["top_bigram_frac"] == 0.0 and r3["dup_trigram_frac"] == 0.0

@@ -2442,7 +2442,6 @@ QUERIES = {
     "clip_areas": q_clip,
     "difference_areas": q_difference,
     "difference_mixed": q_difference_mixed,
-    "clip_mixed": q_clip_mixed,
     "symmetric_difference_areas": q_symmetric_difference,
     "union_overlay_areas": q_union_overlay,
     "identity_areas": q_identity,
@@ -2478,6 +2477,7 @@ QUERIES = {
     "minhash_bands": lambda sf: td.minhash_signatures(_docs(sf)),
     "simhash32": lambda sf: td.simhash(_docs(sf)),
     "ngram_jaccard": lambda sf: td.ngram_jaccard_pairs(_docs(sf), threshold=0.2),
+    "ngram_decontaminate": lambda sf: tcn.ngram_decontaminate(_docs(sf)),
     "embedding_topk10": q_topk,
     "sessionize_30m": q_sessionize,
     "asof_click_view": q_asof_join,
@@ -2543,7 +2543,7 @@ QUERIES = {
         _docs(sf), "lang", k=10
     ),
     "tfidf_top5": lambda sf: tsm.tfidf_topk(_docs(sf), k=5),
-    "ngram_decontaminate": lambda sf: tcn.ngram_decontaminate(_docs(sf)),
+    "clip_mixed": q_clip_mixed,
     "repetition_metrics": lambda sf: tcn.repetition_metrics(_docs(sf)),
     # approximate / stub paths (rows-only checks; no oracle by design)
     "lsh_topk10": q_lsh_topk,

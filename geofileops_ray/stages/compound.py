@@ -284,6 +284,11 @@ def union_full_self(
             )
 
         pieces.append(diff.map_batches(tag, batch_format="pyarrow"))
+        # materialize: the dedup output is consumed twice (the emptiness
+        # probe AND the next round's input — which itself reads it via
+        # the broadcast probe plus the cogroup); without this the whole
+        # dedup shuffle re-executes up to 3× per round
+        inters = inters.materialize()
         if inters.count() == 0:
             break
         current = inters
@@ -372,19 +377,67 @@ def union_full_self(
 
     joined = _cover_join(flat)
 
-    def per_piece(group: pa.Table) -> pa.Table:
+    # LISTS aggregation without one Python group call per piece: salt
+    # partitions by piece id, then per partition ONE arrow sort finds the
+    # piece runs and each list column is assembled as a ListArray from
+    # run offsets (values ordered ascending, nulls last — the reference's
+    # json_group_array ordering analogue)
+    def per_part_lists(group: pa.Table) -> pa.Table:
+        group = group.drop_columns(["__part"])
+        l2types = {c: group.schema.field("l2_" + c).type for c in agg_cols}
+        if len(group) == 0:
+            cols = {
+                "piece_id": pa.array([], pa.binary()),
+                "nb_covering": pa.array([], pa.int64()),
+            }
+            for c in agg_cols:
+                cols[f"{c}_list"] = pa.array([], pa.list_(l2types[c]))
+            cols[_GEOM] = pa.array([], pa.binary())
+            return pa.table(cols)
+        srt = group.take(
+            pc.sort_indices(group, sort_keys=[("l1_doc_id", "ascending")])
+        )
+        k = srt.column("l1_doc_id").to_numpy(zero_copy_only=False)
+        n = len(k)
+        new = np.ones(n, dtype=bool)
+        new[1:] = k[1:] != k[:-1]
+        starts = np.flatnonzero(new)
+        L = np.diff(np.append(starts, n))
+        first = pa.array(starts, pa.int64())
+        offsets = pa.array(
+            np.concatenate([[0], np.cumsum(L)]).astype(np.int32)
+        )
         cols = {
-            "piece_id": group.column("l1_doc_id").slice(0, 1),
-            "nb_covering": pa.array([len(group)], pa.int64()),
+            "piece_id": srt.column("l1_doc_id").take(first),
+            "nb_covering": pa.array(L.astype(np.int64), pa.int64()),
         }
-        for c in agg_cols:
-            cols[f"{c}_list"] = pa.array(
-                [sorted(group.column("l2_" + c).to_pylist(), key=lambda v: (v is None, v))]
+        if agg_cols:
+            rid = pa.array(
+                np.repeat(np.arange(len(starts), dtype=np.int64), L)
             )
-        cols[_GEOM] = group.column("l1_geometry").slice(0, 1)
+            for c in agg_cols:
+                v = srt.column("l2_" + c)
+                order = pc.sort_indices(
+                    pa.table({"r": rid, "v": v}),
+                    sort_keys=[("r", "ascending"), ("v", "ascending")],
+                    null_placement="at_end",
+                )
+                vals = v.take(order).combine_chunks()
+                cols[f"{c}_list"] = pa.ListArray.from_arrays(offsets, vals)
+        cols[_GEOM] = srt.column("l1_geometry").take(first)
         return pa.table(cols)
 
-    out = joined.groupby("l1_doc_id").map_groups(per_piece, batch_format="pyarrow")
+    from .agg import _salt_parts, default_nparts
+
+    nparts = default_nparts()  # fixed at the driver
+    out = (
+        joined.map_batches(
+            lambda b: _salt_parts(b, ["l1_doc_id"], nparts),
+            batch_format="pyarrow",
+        )
+        .groupby("__part")
+        .map_groups(per_part_lists, batch_format="pyarrow")
+    )
     if agg != "columns" or not agg_cols:
         return out
     # COLUMNS pivot (reference _union_full.py:365-416): i<n>_<col> wide

@@ -230,7 +230,6 @@ def _pairwise_overlay_geoms(
     # for small features × large tile/zone rectangles; for the lshape ×
     # zone bench ~90% of pairs take this path)
     if not fast.all():
-        b1a, b2a = ga1.bounds(), ga2.bounds()
         for sel_rect, gsub, isub, grect, irect in (
             (r2, ga1, ia, ga2, ib),
             (r1, ga2, ib, ga1, ia),

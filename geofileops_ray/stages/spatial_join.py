@@ -377,12 +377,14 @@ def join_by_location(
     flags = _match_flags(ds1, ds2, q, size, salt)
     unmatched = flags.filter(expr="matched == 0")
     l1_full = _prefix_dataset(ds1, "l1_", ordered1)
+    from .agg import default_nparts
+
     anti = l1_full.join(
         unmatched.map_batches(
             lambda b: b.select(["l1_doc_id"]), batch_format="pyarrow"
         ),
         join_type="inner",
-        num_partitions=16,
+        num_partitions=default_nparts(),
         on=("l1_doc_id",),
     )
     f2 = _prefixed_schema(ds2.schema().base_schema, "l2_", ordered2)
@@ -842,6 +844,29 @@ def delete_duplicate_geometries(
         # starts — invariant to the ring's stored start and orientation
         return min(np.roll(r, -int(t), axis=0).tobytes() for t in ties)
 
+    def _canon_line(r: np.ndarray) -> bytes:
+        """Direction-invariant canonical byte form of a polyline
+        (ST_Equals holds between a line and its reverse); closed lines
+        are additionally rotation-invariant (topologically the same
+        closed curve regardless of stored start). The b'C' tag keeps a
+        closed line (stored without its closing vertex) from colliding
+        with an open line through the same vertex sequence."""
+        if len(r) > 1 and (r[0] == r[-1]).all():
+            body = r[:-1]
+            best = None
+            for seq in (body, body[::-1]):
+                ks = np.lexsort((seq[:, 1], seq[:, 0]))
+                k = int(ks[0])
+                ties = np.flatnonzero((seq == seq[k]).all(axis=1))
+                cand = min(
+                    np.roll(seq, -int(t), axis=0).tobytes() for t in ties
+                )
+                best = cand if best is None or cand < best else best
+            return b"C" + best
+        fwd = np.ascontiguousarray(r).tobytes()
+        bwd = np.ascontiguousarray(r[::-1]).tobytes()
+        return min(fwd, bwd)
+
     def keyed(batch: pa.Table) -> pa.Table:
         ga = decode_geometry(batch)
         n = len(ga)
@@ -885,7 +910,15 @@ def delete_duplicate_geometries(
             cr = x[:-1] * y[1:] - x[1:] * y[:-1]
             cs = np.concatenate([[0.0], np.cumsum(cr)])
             ccw = (cs[e - 1] - cs[s] + x[e - 1] * y[s] - x[s] * y[e - 1]) >= 0
-            ccw |= ~pol  # lines keep their direction (reference parity)
+            # lines: ST_Equals treats a line and its reverse as equal, so
+            # canonicalize direction by the lexicographically smaller
+            # endpoint; equal endpoints (closed lines — where rotation
+            # would also matter) route to the structural fallback
+            fwd_lt = (x[s] < x[e - 1]) | (
+                (x[s] == x[e - 1]) & (y[s] <= y[e - 1])
+            )
+            line_tie = ~pol & (x[s] == x[e - 1]) & (y[s] == y[e - 1])
+            ccw = np.where(pol, ccw, fwd_lt)
             # ragged positions: w = within-ring offset, gpos = global idx
             startw = np.concatenate([[0], np.cumsum(L)[:-1]]).astype(np.int64)
             w = np.arange(int(L.sum()), dtype=np.int64) - np.repeat(startw, L)
@@ -902,9 +935,12 @@ def delete_duplicate_geometries(
             # start/orientation-invariant
             Lr = np.repeat(L, L)
             multi = pol & (np.add.reduceat(is_min.astype(np.int64), startw) > 1)
+            multi |= line_tie  # closed-line rotation → structural fallback
             # unique lex-min: its stored index IS the pivot (invariant)
             pivot = np.minimum.reduceat(np.where(is_min, w, Lr), startw)
-            pivot = np.where(pol, pivot, 0)
+            # lines start at whichever endpoint is lex-smaller (forward:
+            # index 0; reversed: index L-1 walking backwards)
+            pivot = np.where(pol, pivot, np.where(ccw, 0, L - 1))
             dirn = np.where(ccw, 1, -1)
             canon_w = (np.repeat(pivot, L) + np.repeat(dirn, L) * w) % np.repeat(L, L)
             slab = np.ascontiguousarray(R[np.repeat(s, L) + canon_w]).tobytes()
@@ -933,7 +969,10 @@ def delete_duplicate_geometries(
                         _canon_ring(r) for r in part[1:]
                     )
                 else:
-                    rings = [(np.round(r, 9) + 0.0).tobytes() for r in part]
+                    # direction-invariant (ST_Equals: a line equals its
+                    # reverse); closed lines additionally canonicalize
+                    # rotation over the interior vertices
+                    rings = [_canon_line(np.round(r, 9) + 0.0) for r in part]
                 part_blobs.append(b"\x01".join(rings))
             blob = b"\x02".join(sorted(part_blobs)) + bytes([pt % 256])
             keys[i] = hashlib.sha1(blob).hexdigest()

@@ -115,7 +115,7 @@ def test_driver_window_covers_families_with_oracles():
         # overlays (incl. the heterogeneous line+polygon candidate mix)
         "intersection_pairs", "intersection_tri", "intersection_lines",
         "intersection_gridsize", "intersection_complexpoly", "clip_areas",
-        "difference_areas", "difference_mixed", "clip_mixed",
+        "difference_areas", "difference_mixed",
         "symmetric_difference_areas",
         "union_overlay_areas", "identity_areas",
         "select_two_layers", "union_full_self_invariants",
@@ -134,7 +134,7 @@ def test_driver_window_covers_families_with_oracles():
         "spans_reassemble", "media_ref_fanout",
         # text / dedup / similarity / events
         "language_id", "exact_dedup", "minhash_bands", "simhash32",
-        "ngram_jaccard", "embedding_topk10", "sessionize_30m",
-        "asof_click_view", "value_percentiles_per_type",
+        "ngram_jaccard", "ngram_decontaminate", "embedding_topk10",
+        "sessionize_30m", "asof_click_view", "value_percentiles_per_type",
     }
     assert required <= set(window), sorted(required - set(window))

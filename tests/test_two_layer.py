@@ -592,3 +592,28 @@ def test_pair_nearest_points_degenerate_line():
     assert np.hypot(*(p - q)) == pytest.approx(2.0)
     p, q = pair_nearest_points(line, 0, deg, 0)
     assert np.hypot(*(p - q)) == pytest.approx(5.0)
+
+
+def test_delete_duplicates_reversed_lines(ray_session):
+    """ST_Equals holds between a line and its reverse (and between
+    rotations of a closed line) — both encodings must collapse, on the
+    vectorized single-part path AND the multi-part structural fallback."""
+    from geofileops_ray.geom.array import LINESTRING, MULTILINESTRING
+
+    fwd = np.array([[0.0, 0.0], [1.0, 2.0], [3.0, 1.0]])
+    rows = [
+        (0, (LINESTRING, [[fwd]])),
+        (1, (LINESTRING, [[fwd[::-1].copy()]])),  # reversed → dup of 0
+        # closed line: reverse + rotate → still the same closed curve
+        (2, (LINESTRING, [[np.array(
+            [[10.0, 0.0], [12.0, 0.0], [12.0, 2.0], [10.0, 0.0]])]])),
+        (3, (LINESTRING, [[np.array(
+            [[12.0, 2.0], [12.0, 0.0], [10.0, 0.0], [12.0, 2.0]])]])),
+        # multi-part: parts listed in a different order, one reversed
+        (4, (MULTILINESTRING, [[fwd + 20.0], [fwd + 40.0]])),
+        (5, (MULTILINESTRING, [[(fwd + 40.0)[::-1].copy()], [fwd + 20.0]])),
+        # NOT a duplicate: same endpoints, different interior vertex
+        (6, (LINESTRING, [[np.array([[0.0, 0.0], [9.0, 9.0], [3.0, 1.0]])]])),
+    ]
+    res = delete_duplicate_geometries(_geom_ds(rows)).take_all()
+    assert sorted(r["doc_id"] for r in res) == [0, 2, 4, 6]

@@ -19,13 +19,37 @@ import pyarrow as pa
 import ray.data
 
 
+def _lance_or_raise():
+    try:
+        import lance  # noqa: F401  (pylance — ships on Lance clusters)
+    except ImportError as e:  # pragma: no cover - sandbox has no pylance
+        raise ImportError(
+            "Lance layers need the 'lance' (pylance) package, which is not "
+            "available in this environment; the Parquet driver uses the "
+            "identical layout (one fragment per partition, resumable "
+            "writes) — write the layer as Parquet instead"
+        ) from e
+
+
 def read_layer(
     path: str,
     columns: list[str] | None = None,
     bbox: tuple[float, float, float, float] | None = None,
+    format: str | None = None,
 ) -> ray.data.Dataset:
     """read_file analogue. ``bbox`` prunes on (minx,miny,maxx,maxy) cols
-    when the layer was written with bbox stats columns."""
+    when the layer was written with bbox stats columns.
+
+    ``format``: 'parquet' (default) or 'lance' (auto-detected from a
+    ``.lance`` path suffix). The north-rule input is a Lance table of
+    interleaved documents; on clusters with pylance the read is
+    ``ray.data.read_lance`` with the same column pruning — in this
+    sandbox (no pylance) Parquet is the storage driver and the Lance
+    path raises a clear ImportError."""
+    fmt = format or ("lance" if path.rstrip("/").endswith(".lance") else "parquet")
+    if fmt == "lance":
+        _lance_or_raise()
+        return ray.data.read_lance(path, columns=columns)
     import pyarrow.dataset as pads
 
     filt = None
@@ -47,9 +71,17 @@ def write_layer(
     ds: ray.data.Dataset,
     path: str,
     partition_cols: list[str] | None = None,
+    format: str | None = None,
 ) -> None:
     """to_file analogue: streaming parallel Parquet write (no single-writer
-    merge step — contrast geofileops' append loop _geoops_sql.py:856-919)."""
+    merge step — contrast geofileops' append loop _geoops_sql.py:856-919).
+    ``format='lance'`` (auto from a ``.lance`` suffix) writes a Lance
+    dataset on clusters with pylance; sandbox driver is Parquet."""
+    fmt = format or ("lance" if path.rstrip("/").endswith(".lance") else "parquet")
+    if fmt == "lance":
+        _lance_or_raise()
+        ds.write_lance(path)
+        return
     if partition_cols:
         ds.write_parquet(path, partition_cols=partition_cols)
     else:

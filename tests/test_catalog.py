@@ -102,3 +102,32 @@ def test_layer_store_catalog(ray_session, tmp_path):
     assert isinstance(sm, dict)
     assert gfo.has_spatial_index(p) is False
     assert gfo.remove_spatial_index(p) is None
+
+
+def test_layer_roundtrip_and_lance_gate(ray_session, tmp_path):
+    """read_layer/write_layer round-trip (bbox pushdown on stats
+    columns) and the Lance format gate: a .lance path must raise a clear
+    ImportError in this sandbox (no pylance), never silently fall back."""
+    import numpy as np
+    import pytest
+    import ray.data
+
+    from geofileops_ray.io.readwrite import read_layer, write_layer
+    from geofileops_ray.stages.geometry_batch import add_bounds
+
+    import geofileops_ray.io as gio
+
+    p = gio.parcels_dataset("/root/testdata/sf0.001").limit(50)
+    with_bounds = p.map_batches(add_bounds, batch_format="pyarrow")
+    out = tmp_path / "layer"
+    write_layer(with_bounds, str(out))
+    back = read_layer(str(out))
+    assert back.count() == 50
+    # bbox pushdown prunes on the stats columns
+    got = read_layer(str(out), bbox=(-1e9, -1e9, 1e9, 1e9)).count()
+    assert got == 50
+    # Lance path: explicit error, not a silent parquet fallback
+    with pytest.raises(ImportError, match="[Ll]ance"):
+        read_layer(str(out) + ".lance")
+    with pytest.raises(ImportError, match="[Ll]ance"):
+        write_layer(p, str(tmp_path / "x.lance"))

@@ -247,3 +247,61 @@ def test_repetition_metrics_closed_form(ray_session):
     r3 = got[3]
     assert r3["n_words"] == 0 and r3["dup_word_frac"] == 0.0
     assert r3["top_bigram_frac"] == 0.0 and r3["dup_trigram_frac"] == 0.0
+
+
+def test_text_ops_unicode_edges_match_duckdb(ray_session, oracle):
+    """Adversarial corpus (unicode letters, NBSP/vertical-tab/newline
+    whitespace, digits-only, emoji, empty) through the text operators
+    whose oracles run in the driver - tokenization and RE2 semantics
+    must match DuckDB bit-for-bit OFF the plain-ASCII synth corpus too."""
+    import duckdb
+    import pandas as pd
+    import ray.data
+
+    from geofileops_ray.textops import analysis as ta
+    from geofileops_ray.textops import contamination as tc
+    from geofileops_ray.textops import sampling as tsm
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array(list(range(8)), pa.int64()),
+            "text": pa.array(
+                [
+                    "H\u00e9llo w\u00f6rld na\u00efve caf\u00e9",
+                    "a\u00a0bc\nd\u000b\te",  # NBSP, NL, VT, TAB
+                    "42 7 42 foo42bar 42",
+                    "\U0001f389\U0001f389 emoji only \U0001f389",
+                    "",
+                    "  leading and trailing   ",
+                    "ALL CAPS ALL CAPS ALL",
+                    "x@y.com +32 475 11 22 33 10.0.0.1",  # PII shapes
+                ]
+            ),
+            "lang": pa.array(["en"] * 8),
+        }
+    )
+    con = duckdb.connect()
+    con.register("documents", docs)
+    ds = ray.data.from_arrow(docs)
+    cases = [
+        (tc.repetition_metrics(ds), tc.REPETITION_SQL),
+        (tc.ngram_decontaminate(ds, n=2, benchmark_mod=3),
+         tc.decontaminate_sql(n=2, benchmark_mod=3)),
+        (ta.token_count(ds), ta.TOKEN_COUNT_SQL),
+        (ta.quality_score(ds), ta.QUALITY_SQL),
+        (ta.fingerprint(ds), ta.FINGERPRINT_SQL),
+        (tsm.normalize_text(ds), tsm.NORMALIZE_SQL),
+        (tsm.pii_scrub(ds), tsm.PII_SCRUB_SQL),
+    ]
+    for got_ds, sql in cases:
+        got = (
+            pa.Table.from_pylist(got_ds.take_all())
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        want = con.execute(sql).df().sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got[sorted(got.columns)], want[sorted(want.columns)],
+            check_dtype=False,
+        )

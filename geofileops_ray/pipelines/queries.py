@@ -2320,6 +2320,18 @@ def q_spans_reassemble(sf):
     return reassemble_text(_docspans_sample(sf))
 
 
+def q_span_dedup(sf):
+    """Global first-occurrence dedup of text spans across the corpus
+    (boilerplate removal for interleaved docs): piece-hash shuffle marks
+    losers, doc-hash shuffle rebuilds the span lists; compared in
+    exploded form (survivors renumbered per doc, original offsets
+    kept)."""
+    from ..io.synth import docspans_dataset
+    from ..textops.spans import explode_spans, span_dedup
+
+    return explode_spans(span_dedup(docspans_dataset(sf)))
+
+
 def q_media_fanout(sf):
     """Invert doc→media_ref over all docs: per-ref span count + distinct
     doc count (per-batch distinct-pair combiner before the one small
@@ -2346,6 +2358,29 @@ O_SPANS_REASSEMBLE = _docspans_with(
        string_agg(piece, '' ORDER BY span_off) AS text_joined
 FROM docspans WHERE kind = 'text' AND doc_id % 10 = 0
 GROUP BY 1 ORDER BY 1"""
+)
+
+O_SPAN_DEDUP = _docspans_with(
+    """, txt AS (
+  SELECT doc_id, span_idx FROM docspans WHERE kind = 'text' AND piece <> ''
+),
+ranked AS (
+  SELECT t.doc_id, t.span_idx,
+         ROW_NUMBER() OVER (
+           PARTITION BY d.piece ORDER BY t.doc_id, t.span_idx) AS rn
+  FROM txt t JOIN docspans d USING (doc_id, span_idx)
+),
+losers AS (SELECT doc_id, span_idx FROM ranked WHERE rn > 1),
+surviving AS (
+  SELECT d.* FROM docspans d
+  LEFT JOIN losers l USING (doc_id, span_idx)
+  WHERE l.doc_id IS NULL
+)
+SELECT doc_id,
+  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY span_idx) - 1
+       AS BIGINT) AS span_idx,
+  kind, piece, media_ref, span_off
+FROM surviving ORDER BY 1, 2"""
 )
 
 O_MEDIA_FANOUT = _docspans_with(
@@ -2497,6 +2532,7 @@ QUERIES = {
     "warp_tps": _q_warp_gcps(_TPS_GCPS, "tps"),
     "spans_roundtrip": q_spans_roundtrip,
     "spans_explode": q_spans_explode,
+    "span_dedup": q_span_dedup,
     "dissolve_within_distance": q_dissolve_within_distance,
     "dissolve_within_distance_bars2": q_dissolve_within_distance_bars2,
     "clip_by_geometry_window": q_clip_by_geometry,
@@ -2588,6 +2624,7 @@ ORACLES = {
     "warp_tps": _o_warp_tps(_TPS_GCPS),
     "spans_roundtrip": O_SPANS,
     "spans_explode": O_SPANS_EXPLODE,
+    "span_dedup": O_SPAN_DEDUP,
     "spans_reassemble": O_SPANS_REASSEMBLE,
     "media_ref_fanout": O_MEDIA_FANOUT,
     "sjoin_left": O_SJOIN_LEFT,

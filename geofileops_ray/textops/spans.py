@@ -128,6 +128,174 @@ def reassemble_text(
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def span_dedup(
+    ds: ray.data.Dataset, id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """Global text-span dedup (boilerplate removal for interleaved
+    corpora): for every distinct non-empty text piece among the
+    'text'-kind spans of the WHOLE corpus, keep only its FIRST
+    occurrence (smallest (doc_id, span_idx)); later occurrences are
+    removed from their documents' span lists. Media spans and
+    empty-text spans pass through untouched; surviving spans keep their
+    original order and offsets (the input_hint's span-sequence
+    invariant). Output schema = input schema (id, spans).
+
+    Scale shape — two bounded shuffles, no driver materialization:
+    1. exploded (piece, doc, idx) rows hash-shuffle by PIECE into ~2×CPU
+       salt partitions; inside each, one arrow sort + run-boundary mask
+       marks every non-first row a loser (equal pieces always co-locate;
+       the loser stream is at most the span count);
+    2. losers + the original docs hash-shuffle by DOC id (tagged union,
+       same salt partitioning); per partition the kept-span mask and the
+       list rebuild are one vectorized pass over the flat buffers."""
+    from ..stages.agg import _salt_parts, default_nparts
+
+    nparts = default_nparts()  # fixed at the driver: same key, same part
+
+    def explode_text(batch: pa.Table) -> pa.Table:
+        spans = _spans_list(batch)
+        parent, idx, flat = _flat_parts(spans)
+        keep = (
+            pc.and_(
+                pc.equal(flat.field("kind"), "text"),
+                pc.invert(pc.equal(flat.field("text"), "")),
+            )
+            .to_numpy(zero_copy_only=False)
+            .astype(bool)
+        )
+        ids = batch.column(id_col).to_numpy()
+        return pa.table(
+            {
+                "piece": flat.field("text").filter(pa.array(keep)),
+                id_col: pa.array(ids[parent[keep]], pa.int64()),
+                "span_idx": pa.array(idx[keep], pa.int64()),
+            }
+        )
+
+    def losers_part(group: pa.Table) -> pa.Table:
+        group = group.drop_columns(["__part"])
+        if len(group) == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "span_idx": pa.array([], pa.int64()),
+                }
+            )
+        srt = group.take(
+            pc.sort_indices(
+                group,
+                sort_keys=[
+                    ("piece", "ascending"),
+                    (id_col, "ascending"),
+                    ("span_idx", "ascending"),
+                ],
+            )
+        )
+        p = srt.column("piece").to_numpy(zero_copy_only=False)
+        first = np.ones(len(p), dtype=bool)
+        first[1:] = p[1:] != p[:-1]
+        out = srt.filter(pa.array(~first))
+        return out.select([id_col, "span_idx"])
+
+    losers = (
+        ds.map_batches(explode_text, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(
+            lambda b: _salt_parts(b, ["piece"], nparts), batch_format="pyarrow"
+        )
+        .groupby("__part")
+        .map_groups(losers_part, batch_format="pyarrow")
+    )
+
+    spans_type = None
+    for f in ds.schema().base_schema:
+        if f.name == "spans":
+            spans_type = f.type
+    if spans_type is None:
+        raise ValueError("span_dedup needs a 'spans' column")
+
+    def tag_docs(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "spans": _spans_list(batch),
+                "span_idx": pa.nulls(n, pa.int64()),
+                "__isdoc": pa.array(np.ones(n, dtype=bool)),
+            }
+        )
+
+    def tag_losers(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "spans": pa.nulls(n, spans_type),
+                "span_idx": batch.column("span_idx"),
+                "__isdoc": pa.array(np.zeros(n, dtype=bool)),
+            }
+        )
+
+    tagged = ds.map_batches(
+        tag_docs, batch_format="pyarrow", zero_copy_batch=True
+    ).union(losers.map_batches(tag_losers, batch_format="pyarrow"))
+
+    # span_idx fits far below 2^32 (int32 list offsets), so (doc, idx)
+    # packs into one int64 key for the vectorized membership test
+    _SHIFT = np.int64(32)
+
+    def rebuild_part(group: pa.Table) -> pa.Table:
+        isdoc = group.column("__isdoc").to_numpy(zero_copy_only=False).astype(bool)
+        docs = group.filter(pa.array(isdoc))
+        if len(docs) == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "spans": pa.array([], spans_type),
+                }
+            )
+        lid = group.column(id_col).to_numpy()[~isdoc]
+        lidx = (
+            group.column("span_idx")
+            .to_numpy(zero_copy_only=False)[~isdoc]
+            .astype(np.int64)
+        )
+        lkey = np.sort((lid.astype(np.int64) << _SHIFT) | lidx)
+        spans = _spans_list(docs)
+        parent, idx, flat = _flat_parts(spans)
+        ids = docs.column(id_col).to_numpy()
+        key = (ids[parent].astype(np.int64) << _SHIFT) | idx
+        if len(lkey):
+            pos = np.clip(np.searchsorted(lkey, key), 0, len(lkey) - 1)
+            drop = lkey[pos] == key
+        else:
+            drop = np.zeros(len(key), dtype=bool)
+        keep = ~drop
+        counts = np.zeros(len(docs), dtype=np.int64)
+        np.add.at(counts, parent[keep], 1)
+        offsets = pa.array(
+            np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+        )
+        return pa.table(
+            {
+                id_col: docs.column(id_col),
+                "spans": pa.ListArray.from_arrays(
+                    offsets, flat.filter(pa.array(keep))
+                ),
+            }
+        )
+
+    return (
+        tagged.map_batches(
+            lambda b: _salt_parts(b, [id_col], nparts), batch_format="pyarrow"
+        )
+        .groupby("__part")
+        .map_groups(
+            lambda g: rebuild_part(g.drop_columns(["__part"])),
+            batch_format="pyarrow",
+        )
+    )
+
+
 def media_ref_fanout(
     ds: ray.data.Dataset, id_col: str = "doc_id"
 ) -> ray.data.Dataset:

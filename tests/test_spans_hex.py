@@ -189,3 +189,49 @@ def test_hex_ring_matches_voronoi_adjacency():
                 seen.add(cell)
                 break
     assert seen == ring1
+
+
+def test_span_dedup_first_occurrence_semantics(ray_session):
+    """Hand-built corpus: cross-doc and within-doc duplicate text spans
+    collapse to the single smallest-(doc, idx) occurrence; media spans
+    and empty-text spans never dedup; surviving order is preserved."""
+    import ray.data
+
+    from geofileops_ray.textops.spans import span_dedup
+
+    def mk(spans):
+        return [
+            {"kind": k, "text": t, "media_ref": m, "offset": i}
+            for i, (k, t, m) in enumerate(spans)
+        ]
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "spans": pa.array(
+                [
+                    mk([("text", "dup", ""), ("media", "", "media://1"),
+                        ("text", "dup", ""), ("text", "", "")]),
+                    mk([("text", "dup", ""), ("text", "unique2", ""),
+                        ("media", "", "media://1")]),
+                    mk([("text", "", ""), ("text", "unique3", "")]),
+                ]
+            ),
+        }
+    )
+    got = {
+        r["doc_id"]: r["spans"]
+        for r in span_dedup(ray.data.from_arrow(docs)).take_all()
+    }
+    # doc1 keeps the FIRST "dup" (idx 0), the media span, the empty span
+    assert [(s["kind"], s["text"], s["offset"]) for s in got[1]] == [
+        ("text", "dup", 0), ("media", "", 1), ("text", "", 3)
+    ]
+    # doc2 loses its "dup" (doc1 idx0 wins), keeps unique2 + media
+    assert [(s["kind"], s["text"]) for s in got[2]] == [
+        ("text", "unique2"), ("media", "")
+    ]
+    # doc3 untouched (empty-text spans never dedup against each other)
+    assert [(s["kind"], s["text"]) for s in got[3]] == [
+        ("text", ""), ("text", "unique3")
+    ]

@@ -221,6 +221,22 @@ def run_benchmarks(num_cpus: int, only_flagship: bool = False, repeat: int = 0) 
 
         _, t = timed(lambda: tsm.tfidf_topk(docs, k=5).count())
         results["tfidf"] = round(t, 3)
+        # curation family at the expanded row count (repeat copies share
+        # text → the fingerprint-dedup stage collapses ~repeat× — the
+        # boilerplate-heavy shape a curation run actually faces)
+        from geofileops_ray.io.synth import docspans_dataset, expand_documents
+        from geofileops_ray.textops import contamination as tcn
+        from geofileops_ray.textops.curation import curate_corpus
+        from geofileops_ray.textops.spans import span_dedup
+
+        docs_big = expand_documents(docs, repeat).materialize()
+        _, t = timed(lambda: tcn.ngram_decontaminate(docs_big).count())
+        results["decontaminate"] = round(t, 3)
+        _, t = timed(lambda: curate_corpus(docs_big).count())
+        results["curation"] = round(t, 3)
+        dsp = docspans_dataset(SF_DIR, repeat).materialize()
+        _, t = timed(lambda: span_dedup(dsp).count())
+        results["span_dedup"] = round(t, 3)
         import numpy as np
         import pyarrow.parquet as pq
 

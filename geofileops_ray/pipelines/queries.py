@@ -2579,6 +2579,9 @@ QUERIES = {
         _docs(sf), "lang", k=10
     ),
     "tfidf_top5": lambda sf: tsm.tfidf_topk(_docs(sf), k=5),
+    "curate_corpus": lambda sf: __import__(
+        "geofileops_ray.textops.curation", fromlist=["curate_corpus"]
+    ).curate_corpus(_docs(sf)),
     "clip_mixed": q_clip_mixed,
     "repetition_metrics": lambda sf: tcn.repetition_metrics(_docs(sf)),
     # approximate / stub paths (rows-only checks; no oracle by design)
@@ -2711,6 +2714,9 @@ ORACLES = {
     "tfidf_top5": tsm.tfidf_topk_sql(5),
     "ngram_decontaminate": tcn.decontaminate_sql(),
     "repetition_metrics": tcn.REPETITION_SQL,
+    "curate_corpus": __import__(
+        "geofileops_ray.textops.curation", fromlist=["curate_corpus_sql"]
+    ).curate_corpus_sql(),
 }
 
 

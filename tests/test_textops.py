@@ -305,3 +305,39 @@ def test_text_ops_unicode_edges_match_duckdb(ray_session, oracle):
             got[sorted(got.columns)], want[sorted(want.columns)],
             check_dtype=False,
         )
+
+
+def test_curate_corpus_dedup_stage_bites(ray_session):
+    """The synth corpus has no exact duplicates, so the fingerprint-
+    dedup stage's collision path needs its own fixture: inject docs
+    whose text differs only in whitespace/case (same fingerprint) and
+    check exactly the smallest doc_id of each class survives the full
+    pipeline, at a sampling rate that keeps everything."""
+    import ray.data
+
+    from geofileops_ray.textops.curation import curate_corpus
+
+    base = (
+        "the fast sort and merge of the table is that for a scan with "
+        "the data as the join in the row for the batch"
+    )
+    docs = pa.table(
+        {
+            "doc_id": pa.array([3, 1, 2, 10], pa.int64()),
+            "text": pa.array(
+                [
+                    base,  # dup class A (doc 3)
+                    base.upper() + "  ",  # same fingerprint → class A (doc 1)
+                    "  " + base.replace(" ", "   "),  # class A again (doc 2)
+                    base + " extra distinct tail words here now",  # class B
+                ]
+            ),
+            "lang": pa.array(["en"] * 4),
+        }
+    )
+    out = curate_corpus(
+        ray.data.from_arrow(docs),
+        min_quality=0.0, max_dup_word_frac=1.0, min_tokens=1,
+        rates_permille={"en": 1000}, benchmark_mod=10_000_019,
+    ).take_all()
+    assert sorted(r["doc_id"] for r in out) == [1, 10]

@@ -2445,6 +2445,16 @@ def q_windowed_events(sf):
     return tumbling_window_agg(ev, window_seconds=3600).drop_columns([])
 
 
+def q_hopping_events(sf):
+    """Hopping (sliding) event-time windows: 1h windows every 15min —
+    each event replicated to its 4 covering windows inside the batch,
+    then the tumbling combiner/merge shape."""
+    from ..textops.events import hopping_window_agg
+
+    ev = ray.data.read_parquet(f"{sf}/events.parquet")
+    return hopping_window_agg(ev, window_seconds=3600, slide_seconds=900)
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -2593,6 +2603,7 @@ QUERIES = {
     "media_frames": q_media_frames,
     "media_metadata": q_media_metadata,
     "windowed_events": q_windowed_events,
+    "hopping_events": q_hopping_events,
     "top10_quality_per_lang": q_top10_quality,
 }
 
@@ -2695,6 +2706,9 @@ ORACLES = {
     "windowed_events": __import__(
         "geofileops_ray.textops.events", fromlist=["tumbling_window_sql"]
     ).tumbling_window_sql(3600),
+    "hopping_events": __import__(
+        "geofileops_ray.textops.events", fromlist=["hopping_window_sql"]
+    ).hopping_window_sql(3600, 900),
     "sessionize_30m": __import__(
         "geofileops_ray.textops.events", fromlist=["sessionize_sql"]
     ).sessionize_sql(1800),

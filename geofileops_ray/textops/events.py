@@ -149,6 +149,146 @@ def tumbling_window_agg(
     )
 
 
+def hopping_window_agg(
+    ds: ray.data.Dataset,
+    window_seconds: int = 3600,
+    slide_seconds: int = 900,
+) -> ray.data.Dataset:
+    """Per (user_id, hopping window): event count + value sum. Windows
+    have length ``window_seconds`` and start every ``slide_seconds``
+    (must divide evenly); window id i covers [i·S, i·S + W), so each
+    event belongs to exactly W/S consecutive windows — the replication
+    happens INSIDE the batch (np.repeat, k small) before the same
+    combiner → salt-partition merge shape as the tumbling windows.
+    window_id is the integer window start // slide — SQL-mirrorable
+    with a CROSS JOIN range(0, k)."""
+    if window_seconds % slide_seconds:
+        raise ValueError("window_seconds must be a multiple of slide_seconds")
+    k = window_seconds // slide_seconds
+    sus = slide_seconds * 1_000_000
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy()
+        base = ts // sus
+        n = len(ts)
+        rep = np.repeat(np.arange(n, dtype=np.int64), k)
+        j = np.tile(np.arange(k, dtype=np.int64), n)
+        u = batch.column("user_id").to_numpy()
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": pa.array(u[rep], pa.int64()),
+                "window_id": pa.array(base[rep] - j, pa.int64()),
+                "value": pa.array(v[rep], pa.float64()),
+            }
+        )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "window_id": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "sum_value": pa.array([], pa.float64()),
+                }
+            )
+        idx = pc.sort_indices(
+            batch,
+            sort_keys=[("user_id", "ascending"), ("window_id", "ascending")],
+        )
+        b = batch.take(idx)
+        u = b.column("user_id").to_numpy()
+        w = b.column("window_id").to_numpy()
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        v = np.where(np.isnan(v), 0.0, v)  # SQL SUM ignores NULL
+        starts = np.flatnonzero(
+            np.concatenate([[True], (u[1:] != u[:-1]) | (w[1:] != w[:-1])])
+        )
+        ends = np.concatenate([starts[1:], [len(b)]])
+        return pa.table(
+            {
+                "user_id": pa.array(u[starts], pa.int64()),
+                "window_id": pa.array(w[starts], pa.int64()),
+                "n_events": pa.array(
+                    (ends - starts).astype(np.int64), pa.int64()
+                ),
+                "sum_value": pa.array(np.add.reduceat(v, starts), pa.float64()),
+            }
+        )
+
+    def merge_part(group: pa.Table) -> pa.Table:
+        if len(group) == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "window_id": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "sum_value": pa.array([], pa.float64()),
+                }
+            )
+        srt = group.take(
+            pc.sort_indices(
+                group,
+                sort_keys=[("user_id", "ascending"), ("window_id", "ascending")],
+            )
+        )
+        u = srt.column("user_id").to_numpy()
+        w = srt.column("window_id").to_numpy()
+        starts = np.flatnonzero(
+            np.concatenate([[True], (u[1:] != u[:-1]) | (w[1:] != w[:-1])])
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(u[starts], pa.int64()),
+                "window_id": pa.array(w[starts], pa.int64()),
+                "n_events": pa.array(
+                    np.add.reduceat(
+                        srt.column("n_events").to_numpy(), starts
+                    ).astype(np.int64),
+                    pa.int64(),
+                ),
+                "sum_value": pa.array(
+                    np.round(
+                        np.add.reduceat(srt.column("sum_value").to_numpy(), starts),
+                        6,
+                    ),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    from ..stages.agg import _salt_parts, default_nparts
+
+    nparts = default_nparts()  # fixed at the driver: same key, same part
+    return (
+        ds.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(partial, batch_format="pyarrow")
+        .map_batches(
+            lambda b: _salt_parts(b, ["user_id", "window_id"], nparts),
+            batch_format="pyarrow",
+        )
+        .groupby("__part")
+        .map_groups(merge_part, batch_format="pyarrow")
+    )
+
+
+def hopping_window_sql(
+    window_seconds: int = 3600, slide_seconds: int = 900
+) -> str:
+    k = window_seconds // slide_seconds
+    sus = slide_seconds * 1_000_000
+    return f"""
+SELECT user_id,
+       CAST(epoch_us(ts) // {sus} - j AS BIGINT) AS window_id,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 6) AS sum_value
+FROM events
+CROSS JOIN (SELECT CAST(range AS BIGINT) AS j FROM range(0, {k}))
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def sessionize(
     ds: ray.data.Dataset,
     gap_seconds: int = 1800,

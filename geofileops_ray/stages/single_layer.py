@@ -178,11 +178,14 @@ def update_column(
 
     def fn(batch: pa.Table) -> pa.Table:
         ga = decode_geometry(batch)
+        cen = meas.centroid(ga)
         helpers = {
             "area": meas.area(ga),
             "length": meas.length(ga),
             "perimeter": meas.perimeter(ga),
             "npoints": ga.num_coords().astype(np.float64),
+            "centroid_x": cen[:, 0],
+            "centroid_y": cen[:, 1],
         }
         work = batch
         for k, v in helpers.items():

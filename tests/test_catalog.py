@@ -131,3 +131,22 @@ def test_layer_roundtrip_and_lance_gate(ray_session, tmp_path):
         read_layer(str(out) + ".lance")
     with pytest.raises(ImportError, match="[Ll]ance"):
         write_layer(p, str(tmp_path / "x.lance"))
+
+
+def test_update_column_centroid_helpers(ray_session):
+    """ST_Centroid analogue columns in the update_column SQL surface:
+    for axis-aligned rectangles the centroid is the bbox center."""
+    import pyarrow as pa
+
+    import geofileops_ray.io as gio
+    from geofileops_ray.stages.single_layer import update_column
+
+    p = gio.parcels_dataset("/root/testdata/sf0.001").limit(30)
+    out = update_column(p, "cx", "centroid_x + 0")
+    out = update_column(out, "cy", "centroid_y + 0")
+    from geofileops_ray.geom import from_wkb
+
+    for r in out.take_all():
+        b = from_wkb([r["geometry"]]).bounds()[0]
+        assert abs(r["cx"] - (b[0] + b[2]) / 2) < 1e-9
+        assert abs(r["cy"] - (b[1] + b[3]) / 2) < 1e-9

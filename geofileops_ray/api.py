@@ -23,10 +23,12 @@ from .stages.single_layer import (  # noqa: F401
     export_by_bounds,
     isvalid,
     makevalid,
+    reproject,
     select,
     simplify,
     update_column,
     warp,
+    warp_gcps,
 )
 
 # two layer (geoops.py:1908-3871)

@@ -98,49 +98,100 @@ def _dissolve_lines_points(
     """Single-shuffle dissolve for point/line layers
     (_geoops_sql.py:4600-4881: ST_Union + aggregates in one GROUP BY).
     Point union = distinct coords; line union = collection of parts
-    (ST_LineMerge applied in spirit: single part stays LINESTRING)."""
+    (ST_LineMerge applied in spirit: single part stays LINESTRING).
 
-    def per_group(group: pa.Table) -> pa.Table:
-        ga = from_wkb(group.column(_GEOM))
-        t = ga.part_types(0) if len(ga) else POINT
-        if t == POINT:
-            pts = np.unique(np.round(ga.coords, 12), axis=0)
-            if len(pts) == 1:
-                geom = (POINT, [[pts]])
-            else:
-                geom = (4, [[pts[k : k + 1]] for k in range(len(pts))])
-        else:
-            rings = []
-            for i in range(len(ga)):
-                for part in ga._parts_of(i):
-                    rings.extend(part)
-            geom = (
-                (LINESTRING, [[rings[0]]])
-                if len(rings) == 1
-                else (MULTILINESTRING, [[r] for r in rings])
+    Shape: hash-bucket the group keys into ~2×CPU salt partitions and
+    process each partition in ONE call (sort + run boundaries) — Ray's
+    per-group task overhead (~100-200 µs/key) never multiplies by the
+    key cardinality (a line dissolve keyed on a road id is millions of
+    keys). Output parts are DETERMINISTICALLY ordered (lex by content),
+    so the geometry blob is identical across runs/partitionings."""
+    keys = list(groupby)
+
+    def per_part(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        group = group.drop_columns(["__part"])
+        n = len(group)
+        srt = (
+            group.take(
+                pc.sort_indices(group, sort_keys=[(k, "ascending") for k in keys])
             )
-        out_ga = GeometryArray.from_parts([geom])
-        cols = {k: group.column(k).slice(0, 1) for k in groupby}
+            if keys and n
+            else group
+        )
+        change = np.zeros(n, dtype=bool)
+        if n:
+            change[0] = True
+        for k in keys:
+            col = srt.column(k).combine_chunks()
+            if n > 1:
+                neq = pc.not_equal(col.slice(1), col.slice(0, n - 1))
+                change[1:] |= (
+                    neq.to_numpy(zero_copy_only=False).astype(bool)
+                )
+        starts = np.flatnonzero(change)
+        ends = np.concatenate([starts[1:], [n]]) if len(starts) else starts
+        ga = from_wkb(srt.column(_GEOM))
+        geoms: list[tuple[int, list]] = []
+        for s, e in zip(starts, ends):
+            t = ga.part_types(int(s))
+            if t == POINT:
+                lo, hi = ga.geom_coord_ranges()
+                pts = np.concatenate(
+                    [ga.coords[lo[i] : hi[i]] for i in range(s, e)], axis=0
+                )
+                pts = np.unique(np.round(pts, 12), axis=0)
+                if len(pts) == 1:
+                    geoms.append((POINT, [[pts]]))
+                else:
+                    geoms.append(
+                        (4, [[pts[k : k + 1]] for k in range(len(pts))])
+                    )
+            else:
+                rings = []
+                for i in range(s, e):
+                    for part in ga._parts_of(int(i)):
+                        rings.extend(part)
+                rings.sort(key=lambda r: r.tobytes())
+                geoms.append(
+                    (LINESTRING, [[rings[0]]])
+                    if len(rings) == 1
+                    else (MULTILINESTRING, [[r] for r in rings])
+                )
+        first = pa.array(starts, pa.int64())
+        cols: dict = {k: srt.column(k).take(first) for k in keys}
         for src, func, out_name in agg_columns:
-            v = _agg_from_lists(group.column(src).to_pylist(), func)
-            cols[out_name] = pa.array([v])
-        cols[_GEOM] = to_wkb_arrow(out_ga)
+            vals = srt.column(src).to_pylist() if n else []
+            cols[out_name] = pa.array(
+                [
+                    _agg_from_lists(vals[s:e], func)
+                    for s, e in zip(starts, ends)
+                ]
+            )
+        cols[_GEOM] = (
+            to_wkb_arrow(GeometryArray.from_parts(geoms))
+            if geoms
+            else pa.array([], pa.binary())
+        )
         return pa.table(cols)
 
-    if groupby:
-        return ds.groupby(groupby).map_groups(per_group, batch_format="pyarrow")
+    from .agg import _salt_parts, default_nparts
+
+    if keys:
+        nparts = default_nparts()  # fixed at the driver
+        return (
+            ds.map_batches(
+                lambda b: _salt_parts(b, keys, nparts), batch_format="pyarrow"
+            )
+            .groupby("__part")
+            .map_groups(per_part, batch_format="pyarrow")
+        )
     tagged = ds.map_batches(
-        lambda b: b.append_column("__g", pa.array(np.zeros(len(b), np.int8))),
+        lambda b: b.append_column("__part", pa.array(np.zeros(len(b), np.int64))),
         batch_format="pyarrow",
     )
-    return (
-        tagged.groupby("__g")
-        .map_groups(per_group, batch_format="pyarrow")
-        .map_batches(
-            lambda b: b.drop_columns(["__g"]) if "__g" in b.column_names else b,
-            batch_format="pyarrow",
-        )
-    )
+    return tagged.groupby("__part").map_groups(per_part, batch_format="pyarrow")
 
 
 def _union_group_polygons(

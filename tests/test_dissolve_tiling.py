@@ -163,3 +163,31 @@ def test_dissolve_hot_cell_quadtree_split(ray_session, monkeypatch):
         ("dense", 32.0 * 32.0, 512.0, 512),
         ("sparse", 88 * 9.0, 176.0, 88),
     ]
+
+
+def test_dissolve_lines_deterministic_across_partitionings(ray_session):
+    """Line-dissolve output parts are content-ordered, so the geometry
+    BLOB is byte-identical regardless of block layout / arrival order
+    (the r2 bars lesson: hash-compared outputs must not depend on
+    partitioning)."""
+    import pyarrow as pa
+    import ray.data
+
+    from geofileops_ray.io.synth import lines_dataset
+    from geofileops_ray.stages.dissolve import dissolve
+
+    sf = "/root/testdata/sf0.001"
+
+    def run(nblocks):
+        ds = lines_dataset(sf).repartition(nblocks)
+        out = dissolve(ds, groupby=["grp"],
+                       agg_columns=[("doc_id", "count", "n")])
+        return {
+            r["grp"]: (r["geometry"], r["n"]) for r in out.take_all()
+        }
+
+    a, b = run(1), run(13)
+    assert a.keys() == b.keys()
+    for k in a:
+        assert a[k][1] == b[k][1]
+        assert a[k][0] == b[k][0], f"geometry blob differs for grp={k}"

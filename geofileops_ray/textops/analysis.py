@@ -14,6 +14,7 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+from pyarrow.compute import dictionary_encode as _pc_dictionary_encode
 
 import ray.data
 
@@ -145,17 +146,40 @@ def topk_per_group(
         take, _ = _select_topk(kidx, s, ids)
         return batch.take(pa.array(take)).select([key_col, id_col, score_col])
 
-    def final(group: pa.Table) -> pa.Table:
+    def final_part(group: pa.Table) -> pa.Table:
+        # one call per salt partition, ALL its keys at once: the same
+        # vectorized per-key top-k as the combiner (a groupby(key)
+        # map_groups would cost ~100-200 µs of Python PER KEY — the key
+        # here can be a doc id, i.e. row-cardinality)
+        group = group.drop_columns(["__part"])
+        if len(group) == 0:
+            return group.append_column("rank", pa.array([], pa.int64()))
+        col = group.column(key_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = (
+                col.combine_chunks()
+                if col.num_chunks != 1
+                else col.chunk(0)
+            )
+        enc = _pc_dictionary_encode(col)
+        kidx = enc.indices.to_numpy().astype(np.int64)
         s = group.column(score_col).to_numpy(zero_copy_only=False)
         ids = group.column(id_col).to_numpy(zero_copy_only=False)
-        take, rank = _select_topk(np.zeros(len(group), np.int64), s, ids)
+        take, rank = _select_topk(kidx, s, ids)
         out = group.take(pa.array(take))
         return out.append_column("rank", pa.array(rank + 1, pa.int64()))
 
+    from ..stages.agg import _salt_parts, default_nparts
+
+    nparts = default_nparts()  # fixed at the driver: same key, same part
     return (
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(key_col)
-        .map_groups(final, batch_format="pyarrow")
+        .map_batches(
+            lambda b: _salt_parts(b, [key_col], nparts),
+            batch_format="pyarrow",
+        )
+        .groupby("__part")
+        .map_groups(final_part, batch_format="pyarrow")
     )
 
 

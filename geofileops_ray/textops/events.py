@@ -511,27 +511,65 @@ def percentiles_per_group(
             }
         )
 
-    def per_key(group: pa.Table) -> pa.Table:
-        v = group.column(value_col).to_numpy(zero_copy_only=False)
-        v = np.sort(v[~np.isnan(v)])
-        cols = {key_col: group.column(key_col).slice(0, 1)}
+    def per_part(group: pa.Table) -> pa.Table:
+        # one call per salt partition, all its keys at once: sort
+        # (key, value) ONCE, then every quantile is a vectorized
+        # interpolation at starts + q·(L-1) — no per-key Python
+        group = group.drop_columns(["__part"])
+        cols: dict = {}
+        if len(group) == 0:
+            cols[key_col] = group.column(key_col)
+            for q in qs:
+                cols[f"p{str(q)[2:]}"] = pa.array([], pa.float64())
+            return pa.table(cols)
+        v0 = group.column(value_col).to_numpy(zero_copy_only=False)
+        kcol = group.column(key_col)
+        if isinstance(kcol, pa.ChunkedArray):
+            kcol = kcol.combine_chunks()
+        enc = pc.dictionary_encode(kcol)
+        kidx = enc.indices.to_numpy().astype(np.int64)
+        order = np.lexsort((v0, kidx))  # NaNs sort last within each key
+        ks, v = kidx[order], v0[order]
+        n = len(ks)
+        newk = np.ones(n, dtype=bool)
+        newk[1:] = ks[1:] != ks[:-1]
+        starts = np.flatnonzero(newk)
+        # quantiles interpolate over the key's NON-NaN prefix (SQL
+        # quantile_cont ignores NULLs; an all-NaN key yields NaN)
+        Lv = np.add.reduceat((~np.isnan(v)).astype(np.int64), starts)
+        cols[key_col] = kcol.take(
+            pa.array(np.asarray(order[starts]), pa.int64())
+        )
         for q in qs:
-            if len(v) == 0:
-                val = float("nan")
-            else:
-                pos = q * (len(v) - 1)
-                lo = int(math.floor(pos))
-                hi = min(lo + 1, len(v) - 1)
-                val = v[lo] + (pos - lo) * (v[hi] - v[lo])
+            pos = q * np.maximum(Lv - 1, 0).astype(np.float64)
+            lo = np.floor(pos).astype(np.int64)
+            hi = np.minimum(lo + 1, np.maximum(Lv - 1, 0))
+            vlo = v[starts + lo]
+            vhi = v[starts + hi]
+            val = np.where(
+                Lv > 0, vlo + (pos - lo) * (vhi - vlo), np.nan
+            )
+            # round-half-even like Python round() (the previous per-key
+            # implementation) and DuckDB ROUND-on-binary-float
             cols[f"p{str(q)[2:]}"] = pa.array(
-                [round(float(val), 6)], pa.float64()
+                np.asarray(
+                    [round(float(x), 6) for x in val], dtype=np.float64
+                ),
+                pa.float64(),
             )
         return pa.table(cols)
 
+    from ..stages.agg import _salt_parts, default_nparts
+
+    nparts = default_nparts()  # fixed at the driver: same key, same part
     return (
         ds.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(key_col)
-        .map_groups(per_key, batch_format="pyarrow")
+        .map_batches(
+            lambda b: _salt_parts(b, [key_col], nparts),
+            batch_format="pyarrow",
+        )
+        .groupby("__part")
+        .map_groups(per_part, batch_format="pyarrow")
     )
 
 

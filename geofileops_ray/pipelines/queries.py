@@ -1230,8 +1230,15 @@ def q_select_two_layers(sf):
         "ON layer1.minx <= layer2.maxx AND layer1.maxx >= layer2.minx "
         "AND layer1.miny <= layer2.maxy AND layer1.maxy >= layer2.miny",
     )
-    return ds.groupby(["l1_doc_id", "l2_doc_id"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    # distinct pairs without one Python group call per pair (the pair
+    # key is row-cardinality): combiner-first vectorized aggregate
+    from ..stages.agg import bucket_aggregate
+
+    return bucket_aggregate(
+        ds, ["l1_doc_id", "l2_doc_id"], [("l1_doc_id", "count", "__c")]
+    ).map_batches(
+        lambda b: b.select(["l1_doc_id", "l2_doc_id"]),
+        batch_format="pyarrow",
     )
 
 

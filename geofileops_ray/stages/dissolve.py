@@ -1046,7 +1046,66 @@ def dissolve(
         return pa.table(cols)
 
     if groupby:
-        out = merged.groupby(groupby).map_groups(final_group, batch_format="pyarrow")
+        # salt-partition the group keys instead of one Ray map_groups
+        # task per key (~100-200 µs scheduling Python each — the wall
+        # when dissolving by a high-cardinality key): each partition
+        # sorts once and runs the per-key assembly on zero-copy slices
+        from .agg import _salt_parts, default_nparts
+
+        nparts_f = default_nparts()  # fixed at the driver
+
+        _EMPTY_T = {
+            "count": pa.int64(), "count_distinct": pa.int64(),
+            "concat": pa.string(), "concat_distinct": pa.string(),
+            "json": pa.string(),
+        }
+
+        def final_part(part: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            part = part.drop_columns(["__part"])
+            n = len(part)
+            if n == 0:
+                # schema-stable empty output (Ray may probe with empty
+                # blocks — the r3 empty-batch-divergence bug class)
+                cols: dict = {k: part.column(k) for k in groupby}
+                for _src, func, out_name in agg_columns:
+                    cols[out_name] = pa.array(
+                        [], _EMPTY_T.get(func, pa.float64())
+                    )
+                cols[_GEOM] = pa.array([], pa.binary())
+                return pa.table(cols)
+            srt = part.take(
+                pc.sort_indices(
+                    part, sort_keys=[(k, "ascending") for k in groupby]
+                )
+            )
+            change = np.zeros(n, dtype=bool)
+            if n:
+                change[0] = True
+            for k in groupby:
+                col = srt.column(k).combine_chunks()
+                if n > 1:
+                    neq = pc.not_equal(col.slice(1), col.slice(0, n - 1))
+                    change[1:] |= (
+                        neq.to_numpy(zero_copy_only=False).astype(bool)
+                    )
+            starts = np.flatnonzero(change)
+            ends = np.concatenate([starts[1:], [n]]) if len(starts) else starts
+            outs = [
+                final_group(srt.slice(int(s), int(e - s)))
+                for s, e in zip(starts, ends)
+            ]
+            return pa.concat_tables(outs)
+
+        out = (
+            merged.map_batches(
+                lambda b: _salt_parts(b, groupby, nparts_f),
+                batch_format="pyarrow",
+            )
+            .groupby("__part")
+            .map_groups(final_part, batch_format="pyarrow")
+        )
     else:
         tagged = merged.map_batches(
             lambda b: b.append_column("__g", pa.array(np.zeros(len(b), np.int8))),

@@ -126,20 +126,13 @@ def hex_bin_points(
             }
         )
 
-    def final(group: pa.Table) -> pa.Table:
-        n = group.column("n_points").to_numpy()
-        md = group.column("min_doc").to_numpy()
-        return pa.table(
-            {
-                "hex_row": group.column("hex_row").slice(0, 1),
-                "hex_col": group.column("hex_col").slice(0, 1),
-                "n_points": pa.array([int(n.sum())], pa.int64()),
-                "min_doc": pa.array([int(md.min())], pa.int64()),
-            }
-        )
+    # merge partials with the combiner-first vectorized aggregate (the
+    # occupied-cell count scales with the data extent, so a per-cell
+    # map_groups would be per-key Python at exactly the wrong scale)
+    from ..stages.agg import bucket_aggregate
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["hex_row", "hex_col"])
-        .map_groups(final, batch_format="pyarrow")
+    return bucket_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["hex_row", "hex_col"],
+        [("n_points", "sum", "n_points"), ("min_doc", "min", "min_doc")],
     )

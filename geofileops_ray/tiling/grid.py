@@ -230,9 +230,16 @@ def zonal_rasterize(
             }
         )
 
-    agg = ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True).groupby(
-        "pixel_id"
-    ).sum("n")
+    # combiner-first vectorized sum: the pixel-id domain is npx² (a fine
+    # raster is millions of keys), so Ray's per-key aggregate Python
+    # would dominate; fn above already combines per batch
+    from ..stages.agg import bucket_aggregate
+
+    agg = bucket_aggregate(
+        ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True),
+        ["pixel_id"],
+        [("n", "sum", "sum_n")],
+    )
 
     def finish(batch: pa.Table) -> pa.Table:
         pix = batch.column("pixel_id").to_numpy()
@@ -244,7 +251,7 @@ def zonal_rasterize(
                 "tile_id": pa.array(tile, pa.int64()),
                 "pcol": pa.array(pcol, pa.int64()),
                 "prow": pa.array(prow, pa.int64()),
-                "n_covered": batch.column("sum(n)").cast(pa.int64()),
+                "n_covered": batch.column("sum_n").cast(pa.int64()),
             }
         )
 

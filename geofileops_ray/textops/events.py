@@ -496,12 +496,12 @@ def percentiles_per_group(
     """Exact per-key percentiles (DuckDB ``quantile_cont`` semantics:
     sorted linear interpolation at q·(n-1)).
 
-    One shuffle keyed on ``key_col``, vectorized sort+interp per group.
-    Exact-by-sort assumes a key's values fit one group (fine for
-    low-cardinality keys like event_type/lang at any row scale since the
-    projection is 2 columns); for high-cardinality × huge-group inputs
-    swap the final for a t-digest style sketch — the pipeline shape
-    (prune → shuffle → per-key reduce) stays the same."""
+    One hash shuffle into ~2×CPU salt partitions; each partition sorts
+    (key, value) ONCE and interpolates every quantile vectorized over
+    the key runs — key cardinality costs no per-key Python. Exact-by-
+    sort assumes a salt partition fits a worker (the 2-column projection
+    makes that rows/2·CPUs × 16 bytes); for huge-value-count keys swap
+    the merge for a t-digest sketch — the pipeline shape stays."""
 
     def keyed(batch: pa.Table) -> pa.Table:
         return pa.table(

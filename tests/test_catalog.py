@@ -150,3 +150,32 @@ def test_update_column_centroid_helpers(ray_session):
         b = from_wkb([r["geometry"]]).bounds()[0]
         assert abs(r["cx"] - (b[0] + b[2]) / 2) < 1e-9
         assert abs(r["cy"] - (b[1] + b[3]) / 2) < 1e-9
+
+
+def test_api_facade_resolves_reference_namespace():
+    """A geofileops user switching imports must find every public
+    geoops.py / fileops.py name (zip/unzip GPKG transport excepted by
+    design) on the facade."""
+    from geofileops_ray import api
+
+    names = [
+        "buffer", "convexhull", "simplify", "makevalid", "isvalid",
+        "apply", "apply_vectorized", "warp", "warp_gcps", "reproject",
+        "select", "select_two_layers", "clip_by_geometry",
+        "export_by_bounds", "intersection", "difference", "erase",
+        "clip", "identity", "split", "symmetric_difference", "union",
+        "union_full_self", "join", "join_by_location",
+        "export_by_location", "export_by_distance", "join_nearest",
+        "delete_duplicate_geometries", "dissolve",
+        "dissolve_within_distance", "concat", "read_file", "to_file",
+        "copy_layer", "convert", "append_to", "listlayers",
+        "get_layerinfo", "get_only_layer", "get_default_layer",
+        "rename_layer", "add_column", "add_columns", "drop_column",
+        "rename_column", "update_column", "create_spatial_index",
+        "has_spatial_index", "remove_spatial_index", "cmp", "copy",
+        "move", "remove", "is_geofile", "get_crs", "execute_sql",
+        "read_file_nogeom", "read_file_sql", "subdivide",
+        "get_layer_geometrytypes",
+    ]
+    missing = [n for n in names if not hasattr(api, n)]
+    assert missing == [], missing

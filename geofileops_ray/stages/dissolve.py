@@ -161,13 +161,21 @@ def _dissolve_lines_points(
                 )
         first = pa.array(starts, pa.int64())
         cols: dict = {k: srt.column(k).take(first) for k in keys}
+        _empty_t = {
+            "count": pa.int64(), "count_distinct": pa.int64(),
+            "concat": pa.string(), "concat_distinct": pa.string(),
+            "json": pa.string(),
+        }
         for src, func, out_name in agg_columns:
             vals = srt.column(src).to_pylist() if n else []
-            cols[out_name] = pa.array(
-                [
-                    _agg_from_lists(vals[s:e], func)
-                    for s, e in zip(starts, ends)
-                ]
+            agg_vals = [
+                _agg_from_lists(vals[s:e], func) for s, e in zip(starts, ends)
+            ]
+            cols[out_name] = (
+                pa.array(agg_vals)
+                if agg_vals
+                # schema-stable empty blocks (Ray may probe with them)
+                else pa.array([], _empty_t.get(func, pa.float64()))
             )
         cols[_GEOM] = (
             to_wkb_arrow(GeometryArray.from_parts(geoms))

@@ -239,8 +239,10 @@ def span_dedup(
         tag_docs, batch_format="pyarrow", zero_copy_batch=True
     ).union(losers.map_batches(tag_losers, batch_format="pyarrow"))
 
-    # span_idx fits far below 2^32 (int32 list offsets), so (doc, idx)
-    # packs into one int64 key for the vectorized membership test
+    # (doc, idx) pairs pack into one int64 via PARTITION-LOCAL doc
+    # ranks (a raw ``doc_id << 32`` would overflow int64 at doc ids
+    # ≥ 2^31 — real at the 10^12-doc design point); ranks are bounded
+    # by the partition's distinct docs and span_idx by int32 offsets
     _SHIFT = np.int64(32)
 
     def rebuild_part(group: pa.Table) -> pa.Table:
@@ -253,17 +255,21 @@ def span_dedup(
                     "spans": pa.array([], spans_type),
                 }
             )
-        lid = group.column(id_col).to_numpy()[~isdoc]
+        all_ids = group.column(id_col).to_numpy()
+        uniq = np.unique(all_ids)
+        lid = all_ids[~isdoc]
         lidx = (
             group.column("span_idx")
             .to_numpy(zero_copy_only=False)[~isdoc]
             .astype(np.int64)
         )
-        lkey = np.sort((lid.astype(np.int64) << _SHIFT) | lidx)
+        lrank = np.searchsorted(uniq, lid).astype(np.int64)
+        lkey = np.sort((lrank << _SHIFT) | lidx)
         spans = _spans_list(docs)
         parent, idx, flat = _flat_parts(spans)
         ids = docs.column(id_col).to_numpy()
-        key = (ids[parent].astype(np.int64) << _SHIFT) | idx
+        drank = np.searchsorted(uniq, ids).astype(np.int64)
+        key = (drank[parent] << _SHIFT) | idx
         if len(lkey):
             pos = np.clip(np.searchsorted(lkey, key), 0, len(lkey) - 1)
             drop = lkey[pos] == key

@@ -235,3 +235,32 @@ def test_span_dedup_first_occurrence_semantics(ray_session):
     assert [(s["kind"], s["text"]) for s in got[3]] == [
         ("text", ""), ("text", "unique3")
     ]
+
+
+def test_span_dedup_huge_doc_ids(ray_session):
+    """doc ids beyond 2^31 (the 10^12-doc design point) must not wrap
+    the (doc, idx) membership key — regression for the rank-coded
+    packing."""
+    import ray.data
+
+    from geofileops_ray.textops.spans import span_dedup
+
+    big = 3_470_000_000_007  # > 2^31 and > 2^32
+    def mk(spans):
+        return [
+            {"kind": "text", "text": t, "media_ref": "", "offset": i}
+            for i, t in enumerate(spans)
+        ]
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([big, big + 1], pa.int64()),
+            "spans": pa.array([mk(["dup", "a"]), mk(["dup", "b"])]),
+        }
+    )
+    got = {
+        r["doc_id"]: [s["text"] for s in r["spans"]]
+        for r in span_dedup(ray.data.from_arrow(docs)).take_all()
+    }
+    assert got[big] == ["dup", "a"]
+    assert got[big + 1] == ["b"]

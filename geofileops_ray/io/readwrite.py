@@ -48,6 +48,16 @@ def read_layer(
     path raises a clear ImportError."""
     fmt = format or ("lance" if path.rstrip("/").endswith(".lance") else "parquet")
     if fmt == "lance":
+        if bbox is not None:
+            # ray.data.read_lance has no filter-expression passthrough
+            # here — silently returning UNfiltered rows would corrupt any
+            # bbox-windowed pipeline, so refuse loudly (the Parquet
+            # driver applies a real row filter below)
+            raise NotImplementedError(
+                "bbox filtering is not implemented for Lance layers; "
+                "read the layer without bbox and filter explicitly, or "
+                "use the Parquet driver"
+            )
         _lance_or_raise()
         return ray.data.read_lance(path, columns=columns)
     import pyarrow.dataset as pads

@@ -36,6 +36,31 @@ _UFUNC = {"sum": np.add, "min": np.minimum, "max": np.maximum}
 _MERGE_OP = {"sum": "sum", "min": "min", "max": "max", "count": "sum"}
 
 
+def run_change_mask(srt: pa.Table, key_cols: list[str]) -> np.ndarray:
+    """Boolean mask[n]: True where row i starts a new key run in a table
+    already sorted by ``key_cols``. NULL-aware — NULL groups with NULL
+    (SQL GROUP BY semantics): plain ``pc.not_equal`` yields null when an
+    operand is null, which a naive bool cast turns into False and would
+    silently merge the null-key run (sorted to one end) into its
+    neighbouring key's run; a numpy ``!=`` on a nullable-int column sees
+    NaN != NaN and would split every null-key row into its own run."""
+    n = len(srt)
+    change = np.zeros(n, dtype=bool)
+    if n:
+        change[0] = True
+    if n <= 1:
+        return change
+    for c in key_cols:
+        col = srt.column(c).combine_chunks()
+        a, b = col.slice(1), col.slice(0, n - 1)
+        neq = pc.fill_null(pc.not_equal(a, b), False)
+        null_flip = pc.not_equal(a.is_null(), b.is_null())
+        change[1:] |= (
+            pc.or_(neq, null_flip).to_numpy(zero_copy_only=False).astype(bool)
+        )
+    return change
+
+
 def _agg_block(
     tbl: pa.Table, key_cols: list[str], specs: list[tuple[str, str, str]]
 ) -> pa.Table:
@@ -66,13 +91,7 @@ def _agg_block(
         pc.sort_indices(tbl, sort_keys=[(c, "ascending") for c in key_cols])
     )
     n = len(srt)
-    diff = np.zeros(n - 1, dtype=bool)
-    keys_np = {}
-    for c in key_cols:
-        k = srt.column(c).to_numpy(zero_copy_only=False)
-        keys_np[c] = k
-        diff |= k[1:] != k[:-1]
-    starts = np.flatnonzero(np.concatenate([[True], diff]))
+    starts = np.flatnonzero(run_change_mask(srt, key_cols))
     ends = np.concatenate([starts[1:], [n]])
     take_idx = pa.array(starts, pa.int64())
     for c in key_cols:

@@ -90,6 +90,37 @@ def _agg_from_lists(values: list, func: str):
     raise ValueError(f"unknown agg {func}")
 
 
+def _agg_out_type(
+    src_type: pa.DataType, func: str, scalar_path: bool = False
+) -> pa.DataType:
+    """Arrow output type of an aggregate — mirrors what a NON-empty block
+    would infer from ``_agg_from_lists`` python values (int64 for int
+    min/max, string for string min/max, …), so empty / all-null blocks
+    can be typed explicitly instead of diverging (float64 fallback or
+    pa.null() inference → concat failure).
+
+    ``scalar_path=True`` for the polygon-dissolve scalar partials, which
+    carry numeric min/max as float64 state regardless of source type."""
+    if func in ("count", "count_distinct"):
+        return pa.int64()
+    if func in ("concat", "concat_distinct", "json"):
+        return pa.string()
+    if func in ("sum", "mean", "median"):
+        return pa.float64()
+    # min / max keep the source value domain
+    if scalar_path:
+        return pa.float64()
+    if pa.types.is_integer(src_type):
+        return pa.int64()
+    if pa.types.is_boolean(src_type):
+        return pa.bool_()
+    if pa.types.is_string(src_type) or pa.types.is_large_string(src_type):
+        return pa.string()
+    if pa.types.is_temporal(src_type):
+        return src_type
+    return pa.float64()
+
+
 def _dissolve_lines_points(
     ds: ray.data.Dataset,
     groupby: list[str],
@@ -120,17 +151,11 @@ def _dissolve_lines_points(
             if keys and n
             else group
         )
-        change = np.zeros(n, dtype=bool)
-        if n:
-            change[0] = True
-        for k in keys:
-            col = srt.column(k).combine_chunks()
-            if n > 1:
-                neq = pc.not_equal(col.slice(1), col.slice(0, n - 1))
-                change[1:] |= (
-                    neq.to_numpy(zero_copy_only=False).astype(bool)
-                )
-        starts = np.flatnonzero(change)
+        from .agg import run_change_mask
+
+        # null-aware boundaries: a NULL group key is its own group (SQL
+        # GROUP BY), not a continuation of the preceding key's run
+        starts = np.flatnonzero(run_change_mask(srt, keys))
         ends = np.concatenate([starts[1:], [n]]) if len(starts) else starts
         ga = from_wkb(srt.column(_GEOM))
         geoms: list[tuple[int, list]] = []
@@ -161,21 +186,16 @@ def _dissolve_lines_points(
                 )
         first = pa.array(starts, pa.int64())
         cols: dict = {k: srt.column(k).take(first) for k in keys}
-        _empty_t = {
-            "count": pa.int64(), "count_distinct": pa.int64(),
-            "concat": pa.string(), "concat_distinct": pa.string(),
-            "json": pa.string(),
-        }
         for src, func, out_name in agg_columns:
             vals = srt.column(src).to_pylist() if n else []
             agg_vals = [
                 _agg_from_lists(vals[s:e], func) for s, e in zip(starts, ends)
             ]
-            cols[out_name] = (
-                pa.array(agg_vals)
-                if agg_vals
-                # schema-stable empty blocks (Ray may probe with them)
-                else pa.array([], _empty_t.get(func, pa.float64()))
+            # explicit type on BOTH branches: empty blocks (Ray probes
+            # with them) and all-null agg values must not infer a
+            # divergent block schema (float64 / pa.null() drift)
+            cols[out_name] = pa.array(
+                agg_vals, type=_agg_out_type(srt.schema.field(src).type, func)
             )
         cols[_GEOM] = (
             to_wkb_arrow(GeometryArray.from_parts(geoms))
@@ -651,6 +671,30 @@ def dissolve(
         n for *_x, names in lists_ for n in names
     ]
     keep_cols = [*groupby, *partial_names, _GEOM]
+    # output arrow type per aggregate column — shared by the non-empty
+    # per-group rows AND the schema-stable empty probe blocks so an
+    # all-null / empty partition can never emit a divergent block schema
+    _final_out_t = {
+        out_name: _agg_out_type(
+            sch.field(src).type,
+            func,
+            scalar_path=(i not in holistic and func in _SCALAR_FUNCS),
+        )
+        for i, (src, func, out_name) in enumerate(agg_columns)
+    }
+    # partial-state column types (scalar state is float64; list state
+    # carries source values, json pre-encoded strings) — used so an
+    # all-null cell can't emit pa.null()-typed partial columns
+    _partial_out_t: dict[str, pa.DataType] = {}
+    for i, _src, _func, names in scalars:
+        for nm in names:
+            _partial_out_t[nm] = pa.float64()
+    for i, _src, _func, names in lists_:
+        _partial_out_t[names[0]] = pa.list_(
+            pa.string()
+            if agg_columns[i][1] == "json"
+            else sch.field(agg_columns[i][0]).type
+        )
 
     def prep(batch: pa.Table) -> pa.Table:
         return _init_partials(batch, agg_columns, holistic).select(keep_cols)
@@ -766,7 +810,15 @@ def dissolve(
             border_out: list[int] = []
             # numpy run grouping over the key tuples (no per-row dict work)
             if groupby:
-                uniq = sorted(set(keys))
+                # None-safe deterministic order (None < any value; a null
+                # group key is a real group — plain sorted() TypeErrors
+                # comparing None with str/int)
+                uniq = sorted(
+                    set(keys),
+                    key=lambda kt: tuple(
+                        (v is not None, str(v)) for v in kt
+                    ),
+                )
                 key_to_rows: dict = {k: [] for k in uniq}
                 for i, k in enumerate(keys):
                     key_to_rows[k].append(i)
@@ -806,9 +858,13 @@ def dissolve(
             all_wkb = to_wkb(GeometryArray.from_parts(geoms)) if geoms else []
             arrs: dict = {}
             for k in groupby:
-                arrs[k] = pa.array([r[k] for r in rows])
+                # explicit type: an all-null key cell must not infer a
+                # pa.null() column and diverge from sibling block schemas
+                arrs[k] = pa.array([r[k] for r in rows], type=sch.field(k).type)
             for name in partial_names:
-                arrs[name] = pa.array([r[name] for r in rows])
+                arrs[name] = pa.array(
+                    [r[name] for r in rows], type=_partial_out_t[name]
+                )
             arrs["__border"] = pa.array(border_out, pa.int8())
             arrs[_GEOM] = pa.array(all_wkb, pa.binary())
             return pa.table(arrs)
@@ -892,15 +948,9 @@ def dissolve(
         n = len(batch)
         sort_keys = [(k, "ascending") for k in groupby] + [("__border", "ascending")]
         b = batch.take(pc.sort_indices(batch, sort_keys=sort_keys)) if n else batch
-        change = np.zeros(n, dtype=bool)
-        if n:
-            change[0] = True
-        for k in groupby:
-            col = b.column(k).combine_chunks()
-            if n > 1:
-                neq = pc.not_equal(col.slice(1), col.slice(0, n - 1))
-                change[1:] |= neq.to_numpy(zero_copy_only=False).astype(bool)
-        gstarts = np.flatnonzero(change)
+        from .agg import run_change_mask
+
+        gstarts = np.flatnonzero(run_change_mask(b, groupby))
         gends = np.concatenate([gstarts[1:], [n]]) if len(gstarts) else gstarts
         border = b.column("__border").to_numpy(zero_copy_only=False) if n else np.zeros(0)
         geom = b.column(_GEOM).combine_chunks()
@@ -1043,7 +1093,9 @@ def dissolve(
         cols = {k: group.column(k).slice(0, 1) for k in groupby}
         state = _combine_partials(group, np.arange(len(group)), agg_columns, holistic)
         for out_name, v in _finalize_partials(state, agg_columns, holistic).items():
-            cols[out_name] = pa.array([v])
+            # explicit type: an all-null aggregate would otherwise infer
+            # pa.null() and diverge from sibling groups' block schema
+            cols[out_name] = pa.array([v], type=_final_out_t[out_name])
         cols[_GEOM] = pa.array([wkb_out], pa.binary())
         if _verbose:
             print(
@@ -1062,12 +1114,6 @@ def dissolve(
 
         nparts_f = default_nparts()  # fixed at the driver
 
-        _EMPTY_T = {
-            "count": pa.int64(), "count_distinct": pa.int64(),
-            "concat": pa.string(), "concat_distinct": pa.string(),
-            "json": pa.string(),
-        }
-
         def final_part(part: pa.Table) -> pa.Table:
             import pyarrow.compute as pc
 
@@ -1075,12 +1121,12 @@ def dissolve(
             n = len(part)
             if n == 0:
                 # schema-stable empty output (Ray may probe with empty
-                # blocks — the r3 empty-batch-divergence bug class)
+                # blocks — the r3 empty-batch-divergence bug class);
+                # types derive from the SOURCE column per aggregate, not
+                # a func-keyed constant map (string/int min/max diverged)
                 cols: dict = {k: part.column(k) for k in groupby}
-                for _src, func, out_name in agg_columns:
-                    cols[out_name] = pa.array(
-                        [], _EMPTY_T.get(func, pa.float64())
-                    )
+                for _src, _func, out_name in agg_columns:
+                    cols[out_name] = pa.array([], _final_out_t[out_name])
                 cols[_GEOM] = pa.array([], pa.binary())
                 return pa.table(cols)
             srt = part.take(
@@ -1088,17 +1134,9 @@ def dissolve(
                     part, sort_keys=[(k, "ascending") for k in groupby]
                 )
             )
-            change = np.zeros(n, dtype=bool)
-            if n:
-                change[0] = True
-            for k in groupby:
-                col = srt.column(k).combine_chunks()
-                if n > 1:
-                    neq = pc.not_equal(col.slice(1), col.slice(0, n - 1))
-                    change[1:] |= (
-                        neq.to_numpy(zero_copy_only=False).astype(bool)
-                    )
-            starts = np.flatnonzero(change)
+            from .agg import run_change_mask
+
+            starts = np.flatnonzero(run_change_mask(srt, groupby))
             ends = np.concatenate([starts[1:], [n]]) if len(starts) else starts
             outs = [
                 final_group(srt.slice(int(s), int(e - s)))

@@ -48,6 +48,7 @@ def tumbling_window_agg(
                     "window_id": pa.array([], pa.int64()),
                     "n_events": pa.array([], pa.int64()),
                     "sum_value": pa.array([], pa.float64()),
+                    "nn_value": pa.array([], pa.int64()),
                     "types": pa.array([], pa.list_(pa.string())),
                 }
             )
@@ -59,9 +60,10 @@ def tumbling_window_agg(
         u = b.column("user_id").to_numpy()
         w = b.column("window_id").to_numpy()
         v = b.column("value").to_numpy(zero_copy_only=False)
-        # SQL SUM ignores NULL — zero NaN like sessionize does, or one
-        # null value turns its whole (user, window) sum into NaN
-        v = np.where(np.isnan(v), 0.0, v)
+        # SQL SUM ignores NULL — zero NaN, but carry the per-run non-null
+        # count so an ALL-null run can finalize to NULL (not 0.0)
+        nonnull = ~np.isnan(v)
+        v = np.where(nonnull, v, 0.0)
         et = b.column("event_type").to_pylist()
         key_change = np.flatnonzero((np.diff(u) != 0) | (np.diff(w) != 0)) + 1
         starts = np.concatenate([[0], key_change])
@@ -71,6 +73,7 @@ def tumbling_window_agg(
             "window_id": w[starts],
             "n_events": (ends - starts).astype(np.int64),
             "sum_value": np.add.reduceat(v, starts),
+            "nn_value": np.add.reduceat(nonnull.astype(np.int64), starts),
             "types": [sorted(set(et[s:e])) for s, e in zip(starts, ends)],
         }
         return pa.table(
@@ -79,6 +82,7 @@ def tumbling_window_agg(
                 "window_id": pa.array(out["window_id"], pa.int64()),
                 "n_events": pa.array(out["n_events"], pa.int64()),
                 "sum_value": pa.array(out["sum_value"], pa.float64()),
+                "nn_value": pa.array(out["nn_value"], pa.int64()),
                 "types": pa.array(out["types"], pa.list_(pa.string())),
             }
         )
@@ -113,6 +117,7 @@ def tumbling_window_agg(
         run_id = np.repeat(np.arange(len(starts)), L)
         nev = np.add.reduceat(srt.column("n_events").to_numpy(), starts)
         sv = np.add.reduceat(srt.column("sum_value").to_numpy(), starts)
+        nn = np.add.reduceat(srt.column("nn_value").to_numpy(), starts)
         tl = srt.column("types").combine_chunks()
         flat = np.asarray(tl.flatten().to_pylist(), dtype=object)
         offs = tl.offsets.to_numpy()
@@ -129,7 +134,8 @@ def tumbling_window_agg(
                 "user_id": pa.array(u[starts], pa.int64()),
                 "window_id": pa.array(w[starts], pa.int64()),
                 "n_events": pa.array(nev.astype(np.int64), pa.int64()),
-                "sum_value": pa.array(np.round(sv, 6), pa.float64()),
+                # all values in the window NULL ⇒ SQL SUM is NULL, not 0
+                "sum_value": pa.array(np.round(sv, 6), pa.float64(), mask=nn == 0),
                 "n_types": pa.array(ntypes.astype(np.int64), pa.int64()),
             }
         )
@@ -191,6 +197,7 @@ def hopping_window_agg(
                     "window_id": pa.array([], pa.int64()),
                     "n_events": pa.array([], pa.int64()),
                     "sum_value": pa.array([], pa.float64()),
+                    "nn_value": pa.array([], pa.int64()),
                 }
             )
         idx = pc.sort_indices(
@@ -201,7 +208,10 @@ def hopping_window_agg(
         u = b.column("user_id").to_numpy()
         w = b.column("window_id").to_numpy()
         v = b.column("value").to_numpy(zero_copy_only=False)
-        v = np.where(np.isnan(v), 0.0, v)  # SQL SUM ignores NULL
+        # SQL SUM ignores NULL; the per-run non-null count lets an
+        # all-NULL (user, window) finalize to NULL instead of 0.0
+        nonnull = ~np.isnan(v)
+        v = np.where(nonnull, v, 0.0)
         starts = np.flatnonzero(
             np.concatenate([[True], (u[1:] != u[:-1]) | (w[1:] != w[:-1])])
         )
@@ -214,6 +224,9 @@ def hopping_window_agg(
                     (ends - starts).astype(np.int64), pa.int64()
                 ),
                 "sum_value": pa.array(np.add.reduceat(v, starts), pa.float64()),
+                "nn_value": pa.array(
+                    np.add.reduceat(nonnull.astype(np.int64), starts), pa.int64()
+                ),
             }
         )
 
@@ -248,12 +261,15 @@ def hopping_window_agg(
                     ).astype(np.int64),
                     pa.int64(),
                 ),
+                # all values in the window NULL ⇒ SQL SUM is NULL, not 0
                 "sum_value": pa.array(
                     np.round(
                         np.add.reduceat(srt.column("sum_value").to_numpy(), starts),
                         6,
                     ),
                     pa.float64(),
+                    mask=np.add.reduceat(srt.column("nn_value").to_numpy(), starts)
+                    == 0,
                 ),
             }
         )
@@ -348,7 +364,10 @@ def sessionize(
         news = newu | np.concatenate([[True], (ts[1:] - ts[:-1]) > gap_us])
         starts = np.flatnonzero(news)
         ends = np.concatenate([starts[1:], [n]])
-        sums = np.add.reduceat(np.where(np.isnan(v), 0.0, v), starts)
+        nonnull = ~np.isnan(v)
+        sums = np.add.reduceat(np.where(nonnull, v, 0.0), starts)
+        # all values in the session NULL ⇒ SQL SUM is NULL, not 0.0
+        allnull = np.add.reduceat(nonnull.astype(np.int64), starts) == 0
         # session_id: index within each user's session run
         user_first = np.flatnonzero(newu[starts])
         sid = np.arange(len(starts), dtype=np.int64) - np.repeat(
@@ -361,7 +380,7 @@ def sessionize(
                 "n_events": pa.array((ends - starts).astype(np.int64), pa.int64()),
                 "start_us": pa.array(ts[starts], pa.int64()),
                 "duration_us": pa.array(ts[ends - 1] - ts[starts], pa.int64()),
-                "sum_value": pa.array(np.round(sums, 6), pa.float64()),
+                "sum_value": pa.array(np.round(sums, 6), pa.float64(), mask=allnull),
             }
         )
 

@@ -1,0 +1,194 @@
+"""Regression tests for the round-3 ADVICE findings: NULL group keys
+must form their own group (SQL GROUP BY semantics) through every
+run-boundary code path, empty/all-null aggregate blocks must keep the
+source-derived schema, Lance reads must not silently drop a bbox, and
+an all-NULL window sum must finalize to NULL (not 0.0)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _squares(xs, size=1.0):
+    from geofileops_ray.io.synth import rect_wkb
+
+    xs = np.asarray(xs, dtype=np.float64)
+    return rect_wkb(xs, np.zeros_like(xs), xs + size, np.full_like(xs, size))
+
+
+def _wkb_line(coords):
+    import struct
+
+    return (
+        b"\x01\x02\x00\x00\x00"
+        + struct.pack("<I", len(coords))
+        + b"".join(struct.pack("<dd", *c) for c in coords)
+    )
+
+
+def test_dissolve_polygons_null_group_key(ray_session):
+    """A NULL group key is its own dissolve group — previously the
+    null-key run (sorted to the end) merged into the preceding key's
+    group (pc.not_equal(x, null) -> null -> False boundary), and the
+    per-cell union crashed sorting None against str."""
+    import ray.data
+
+    from geofileops_ray.stages.dissolve import dissolve
+
+    t = pa.table(
+        {
+            "k": pa.array(["a", None, "b", "a", None], pa.string()),
+            "v": pa.array([1.0, 1.0, 1.0, 1.0, 1.0]),
+            "geometry": _squares([0.0, 10.0, 20.0, 1.0, 11.0]),
+        }
+    )
+    res = dissolve(
+        ray.data.from_arrow(t),
+        groupby=["k"],
+        agg_columns=[("v", "sum", "sv")],
+    ).take_all()
+    got = {r["k"]: r["sv"] for r in res}
+    assert got == {"a": 2.0, "b": 1.0, None: 2.0}
+
+
+def test_dissolve_lines_null_group_key_and_agg_types(ray_session):
+    """Line dissolve on a nullable key: the NULL group must appear, and
+    min/max aggregates must keep the SOURCE column's value domain
+    (string stays string, int stays int64) even when a group's values
+    are all NULL — the empty/all-null branches previously inferred
+    float64 / pa.null() and produced divergent block schemas."""
+    import ray.data
+
+    from geofileops_ray.stages.dissolve import dissolve
+    from geofileops_ray.util import collect
+
+    t = pa.table(
+        {
+            "k": pa.array(["a", "a", None, "b"], pa.string()),
+            "s": pa.array(["zz", "aa", None, None], pa.string()),
+            "i": pa.array([7, 3, 5, None], pa.int64()),
+            "geometry": pa.array(
+                [
+                    _wkb_line([(0, 0), (1, 0)]),
+                    _wkb_line([(5, 0), (6, 0)]),
+                    _wkb_line([(10, 0), (11, 0)]),
+                    _wkb_line([(20, 0), (21, 0)]),
+                ],
+                pa.binary(),
+            ),
+        }
+    )
+    # far more blocks than rows: forces empty blocks through the stage
+    ds = ray.data.from_arrow(t).repartition(8)
+    out = collect(
+        dissolve(
+            ds,
+            groupby=["k"],
+            agg_columns=[
+                ("s", "min", "mn_s"),
+                ("i", "min", "mn_i"),
+                ("i", "count", "n"),
+            ],
+        )
+    )
+    assert out.schema.field("mn_s").type == pa.string()
+    assert out.schema.field("mn_i").type == pa.int64()
+    rows = {r["k"]: r for r in out.to_pylist()}
+    assert set(rows) == {"a", "b", None}
+    assert rows["a"]["mn_s"] == "aa" and rows["a"]["mn_i"] == 3
+    assert rows[None]["mn_s"] is None and rows[None]["mn_i"] == 5
+    assert rows["b"]["mn_s"] is None and rows["b"]["mn_i"] is None
+    assert rows["b"]["n"] == 0  # SQL COUNT(col) ignores NULL
+
+
+def test_bucket_aggregate_null_keys_match_duckdb(ray_session, oracle):
+    """bucket_aggregate must emit ONE group for the NULL key (numpy
+    NaN != NaN previously split every null-key row into its own run)."""
+    import ray.data
+
+    from geofileops_ray.stages.agg import bucket_aggregate
+
+    t = pa.table(
+        {
+            "k": pa.array([1, None, 2, None, 1, None], pa.int64()),
+            "v": pa.array([1.0, 2.0, 3.0, 4.0, 5.0, 6.0]),
+        }
+    )
+    out = pa.Table.from_pylist(
+        bucket_aggregate(
+            ray.data.from_arrow(t).repartition(3),
+            ["k"],
+            [("v", "sum", "sv"), ("v", "count", "n")],
+        ).take_all()
+    ).sort_by([("k", "ascending")])
+    want = oracle.execute(
+        "SELECT k, SUM(v) sv, COUNT(*) n FROM t GROUP BY 1 ORDER BY 1 NULLS LAST"
+    ).arrow()
+    assert out.column("k").to_pylist() == want.column("k").to_pylist()
+    assert out.column("sv").to_pylist() == want.column("sv").to_pylist()
+    assert out.column("n").to_pylist() == want.column("n").to_pylist()
+
+
+def test_run_change_mask_null_aware():
+    from geofileops_ray.stages.agg import run_change_mask
+
+    srt = pa.table(
+        {"k": pa.array(["a", "a", "b", None, None], pa.string())}
+    )
+    assert list(run_change_mask(srt, ["k"])) == [
+        True, False, True, True, False,
+    ]
+    # nullable int sorts nulls last too; boundary at value->null only
+    srt2 = pa.table({"k": pa.array([3, 3, None, None], pa.int64())})
+    assert list(run_change_mask(srt2, ["k"])) == [True, False, True, False]
+
+
+def test_events_allnull_window_sum_is_null(ray_session):
+    """SUM over an all-NULL window/session is NULL in SQL, not 0.0 —
+    tumbling, hopping and session windows all finalize the same way."""
+    import ray.data
+
+    from geofileops_ray.textops.events import (
+        hopping_window_agg,
+        sessionize,
+        tumbling_window_agg,
+    )
+    from geofileops_ray.util import collect
+
+    t = pa.table(
+        {
+            "user_id": pa.array([1, 1, 2, 2], pa.int64()),
+            "ts": pa.array([0, 1_000_000, 0, 1_000_000], pa.int64()),
+            "value": pa.array([None, None, 1.0, None], pa.float64()),
+            "event_type": pa.array(["a", "a", "a", "a"]),
+            "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(4)
+    tw = {
+        r["user_id"]: r["sum_value"]
+        for r in collect(tumbling_window_agg(ds, window_seconds=3600)).to_pylist()
+    }
+    assert tw[1] is None and tw[2] == 1.0
+    hw = {
+        (r["user_id"], r["window_id"]): r["sum_value"]
+        for r in collect(
+            hopping_window_agg(ds, window_seconds=3600, slide_seconds=1800)
+        ).to_pylist()
+    }
+    assert all(v is None for (u, _w), v in hw.items() if u == 1)
+    assert all(v == 1.0 for (u, _w), v in hw.items() if u == 2)
+    sw = {
+        r["user_id"]: r["sum_value"]
+        for r in collect(sessionize(ds, gap_seconds=1800)).to_pylist()
+    }
+    assert sw[1] is None and sw[2] == 1.0
+
+
+def test_read_layer_lance_bbox_raises(tmp_path):
+    """A bbox on a Lance layer must refuse loudly (no filter pushdown is
+    wired), never silently return unfiltered rows."""
+    from geofileops_ray.io.readwrite import read_layer
+
+    with pytest.raises(NotImplementedError, match="bbox"):
+        read_layer(str(tmp_path / "layer.lance"), bbox=(0.0, 0.0, 1.0, 1.0))

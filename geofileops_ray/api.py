@@ -69,10 +69,15 @@ from .io.readwrite import (  # noqa: F401
     read_file_nogeom,
     read_file_sql,
     remove,
+    unzip_geofile,
+    zip_geofile,
 )
 from .stages.catalog import (  # noqa: F401
     add_column,
     add_columns,
+    add_layerstyle,
+    get_layerstyles,
+    remove_layerstyle,
     cmp_layers as cmp,
     copy_layer,
     create_spatial_index,

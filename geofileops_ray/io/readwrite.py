@@ -135,8 +135,7 @@ def _first_fragment(path: str) -> str:
 
 
 # ------------------------------------------------- store-level file utils
-# (fileops.py:2706-3480 copy/move/remove/is_geofile; zip/unzip are
-# GPKG-transport specific and intentionally out of scope)
+# (fileops.py:2706-3480 copy/move/remove/is_geofile/zip/unzip)
 
 _LAYER_EXTS = (".parquet", ".lance")
 
@@ -180,3 +179,73 @@ def remove(path: str, missing_ok: bool = False) -> None:
         shutil.rmtree(path)
     elif os.path.exists(path) or not missing_ok:
         os.remove(path)
+
+
+def zip_geofile(input_path: str, output_path: str) -> None:
+    """Zip a layer store into one archive (fileops.py:3374-3433
+    zip_geofile — there a sozip of the geofile + sidecars; here the
+    store is a parquet file or a fragment directory, so the archive
+    holds the file, or the directory tree rooted at the store's name).
+
+    Entries are STORED (parquet pages are already compressed; STORED
+    keeps them byte-addressable) and written in sorted order so the
+    same store zips to the same archive bit-for-bit."""
+    import os
+    import zipfile
+
+    if not os.path.exists(input_path):
+        raise FileNotFoundError(input_path)
+    root = os.path.basename(input_path.rstrip("/"))
+    members: list[tuple[str, str]] = []  # (arcname, fs path)
+    if os.path.isdir(input_path):
+        for r, _dirs, files in os.walk(input_path):
+            rel = os.path.relpath(r, input_path)
+            for f in files:
+                arc = os.path.join(root, f) if rel == "." else os.path.join(
+                    root, rel, f
+                )
+                members.append((arc, os.path.join(r, f)))
+    else:
+        members.append((root, input_path))
+    members.sort()
+    # fixed timestamp: archive bytes depend on CONTENT only (resumable
+    # re-runs re-produce identical artifacts)
+    stamp = (1980, 1, 1, 0, 0, 0)
+    with zipfile.ZipFile(output_path, "w", zipfile.ZIP_STORED) as zf:
+        for arc, src in members:
+            with open(src, "rb") as fh:
+                data = fh.read()
+            info = zipfile.ZipInfo(arc, date_time=stamp)
+            info.external_attr = 0o644 << 16
+            zf.writestr(info, data)
+
+
+def unzip_geofile(input_path: str, output_path: str) -> str:
+    """Unzip an archived layer store and return the path of the store
+    inside the destination directory (fileops.py:3435-3480: single file
+    → that file; multiple files → the unique entry with a layer
+    extension / fragment root; several candidates → error)."""
+    import os
+    import zipfile
+
+    with zipfile.ZipFile(input_path, "r") as zf:
+        names = [n for n in zf.namelist() if not n.endswith("/")]
+        if not names:
+            raise ValueError(f"No files found in zip: {input_path}")
+        if len(names) == 1:
+            store = names[0]
+        else:
+            roots = sorted({n.split("/", 1)[0] for n in names})
+            candidates = [
+                r
+                for r in roots
+                if r.endswith(_LAYER_EXTS)
+                or any(n.startswith(r + "/") for n in names)
+            ]
+            if len(candidates) != 1:
+                raise ValueError(
+                    f"Expected a single layer store in zip, found {roots}"
+                )
+            store = candidates[0]
+        zf.extractall(output_path)
+    return os.path.join(output_path, store)

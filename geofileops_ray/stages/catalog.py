@@ -405,3 +405,121 @@ def has_spatial_index(ds: ray.data.Dataset) -> bool:
 def remove_spatial_index(ds: ray.data.Dataset) -> None:
     """No-op: nothing persistent to remove (see create_spatial_index)."""
     return None
+
+
+# ------------------------------------------------- layer styles
+#
+# QGIS layer_styles table analogue (reference helpers/layerstyles.py:
+# 15-137 get/add/remove over the Geopackage styling-extension table).
+# Presentation metadata is tiny and driver-side, so the store carries it
+# as a sidecar parquet table (`_layer_styles.parquet` in a store
+# directory, `<store>.styles.parquet` next to a single-file store) with
+# the extension's column layout.
+
+_STYLE_COLS = [
+    ("id", "int64"),
+    ("f_table_catalog", "string"),
+    ("f_table_schema", "string"),
+    ("f_table_name", "string"),
+    ("f_geometry_column", "string"),
+    ("styleName", "string"),
+    ("styleQML", "string"),
+    ("styleSLD", "string"),
+    ("useAsDefault", "int64"),
+    ("description", "string"),
+    ("owner", "string"),
+    ("ui", "string"),
+]
+
+
+def _styles_path(path: str) -> str:
+    import os
+
+    if os.path.isdir(path):
+        return os.path.join(path, "_layer_styles.parquet")
+    return path + ".styles.parquet"
+
+
+def _read_styles(path: str) -> pa.Table:
+    import os
+
+    import pyarrow.parquet as pq
+
+    sp = _styles_path(path)
+    if os.path.exists(sp):
+        return pq.read_table(sp)
+    return pa.table(
+        {name: pa.array([], type=getattr(pa, typ)()) for name, typ in _STYLE_COLS}
+    )
+
+
+def get_layerstyles(path: str, layer: str | None = None, name: str | None = None):
+    """Styles saved for a layer store, as a DataFrame indexed by ``id``
+    (layerstyles.py:15-41; same filter semantics)."""
+    df = _read_styles(path).to_pandas().set_index("id")
+    if layer is not None:
+        df = df.loc[df["f_table_name"] == layer]
+    if name is not None:
+        df = df.loc[df["styleName"] == name]
+    return df
+
+
+def add_layerstyle(
+    path: str,
+    layer: str,
+    name: str,
+    qml: str,
+    sld: str = "",
+    use_as_default: bool = False,
+    description: str = "",
+    owner: str = "",
+    ui: str = "",
+) -> None:
+    """Add a style; duplicate (layer, name) is an error
+    (layerstyles.py:44-111)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    existing = _read_styles(path)
+    if len(get_layerstyles(path, layer=layer, name=name)):
+        raise ValueError(f"layer style already exists: {layer}/{name}")
+    ids = existing.column("id").to_pylist()
+    row = {
+        "id": max(ids, default=0) + 1,
+        "f_table_catalog": "",
+        "f_table_schema": "",
+        "f_table_name": layer,
+        "f_geometry_column": "geom",
+        "styleName": name,
+        "styleQML": qml,
+        "styleSLD": sld,
+        "useAsDefault": 1 if use_as_default else 0,
+        "description": description,
+        "owner": owner,
+        "ui": ui,
+    }
+    merged = pa.concat_tables(
+        [existing, pa.table({k: pa.array([v]).cast(existing.schema.field(k).type)
+                             for k, v in row.items()})]
+    )
+    sp = _styles_path(path)
+    pq.write_table(merged, sp + ".tmp")
+    os.replace(sp + ".tmp", sp)  # atomic: readers never see a torn table
+
+
+def remove_layerstyle(path: str, id: int) -> None:
+    """Remove a style by id; silently a no-op when no styles table
+    exists (layerstyles.py:114-141)."""
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    sp = _styles_path(path)
+    if not os.path.exists(sp):
+        return
+    tbl = pq.read_table(sp)
+    kept = tbl.filter(pc.not_equal(tbl.column("id"), pa.scalar(id, pa.int64())))
+    pq.write_table(kept, sp + ".tmp")
+    os.replace(sp + ".tmp", sp)

@@ -154,11 +154,12 @@ def test_update_column_centroid_helpers(ray_session):
 
 def test_api_facade_resolves_reference_namespace():
     """A geofileops user switching imports must find every public
-    geoops.py / fileops.py name (zip/unzip GPKG transport excepted by
-    design) on the facade."""
+    geoops.py / fileops.py / helpers.layerstyles name on the facade."""
     from geofileops_ray import api
 
     names = [
+        "zip_geofile", "unzip_geofile",
+        "get_layerstyles", "add_layerstyle", "remove_layerstyle",
         "buffer", "convexhull", "simplify", "makevalid", "isvalid",
         "apply", "apply_vectorized", "warp", "warp_gcps", "reproject",
         "select", "select_two_layers", "clip_by_geometry",
@@ -179,3 +180,80 @@ def test_api_facade_resolves_reference_namespace():
     ]
     missing = [n for n in names if not hasattr(api, n)]
     assert missing == [], missing
+
+
+def test_zip_unzip_geofile_roundtrip(tmp_path):
+    """zip_geofile → unzip_geofile round-trips a fragment-directory
+    store byte-for-byte, and the archive is deterministic (fixed
+    timestamps, sorted entries — resumable runs reproduce it exactly)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from geofileops_ray.io.readwrite import unzip_geofile, zip_geofile
+
+    store = tmp_path / "parcels"
+    os.makedirs(store / "part_1")
+    pq.write_table(pa.table({"a": [1, 2]}), store / "part_0.parquet")
+    pq.write_table(pa.table({"a": [3]}), store / "part_1" / "frag.parquet")
+
+    z1, z2 = tmp_path / "s1.zip", tmp_path / "s2.zip"
+    zip_geofile(str(store), str(z1))
+    zip_geofile(str(store), str(z2))
+    assert z1.read_bytes() == z2.read_bytes()
+
+    out = unzip_geofile(str(z1), str(tmp_path / "restored"))
+    assert os.path.basename(out) == "parcels"
+    got = pq.read_table(os.path.join(out, "part_0.parquet"))
+    assert got.column("a").to_pylist() == [1, 2]
+    got2 = pq.read_table(os.path.join(out, "part_1", "frag.parquet"))
+    assert got2.column("a").to_pylist() == [3]
+
+    # single-file store round-trip
+    single = tmp_path / "zones.parquet"
+    pq.write_table(pa.table({"b": [9]}), single)
+    z3 = tmp_path / "s3.zip"
+    zip_geofile(str(single), str(z3))
+    out3 = unzip_geofile(str(z3), str(tmp_path / "restored3"))
+    assert out3.endswith("zones.parquet")
+    assert pq.read_table(out3).column("b").to_pylist() == [9]
+
+
+def test_layerstyles_add_get_remove(tmp_path):
+    """QGIS layer_styles analogue: add/get/remove with the extension's
+    column layout; duplicate (layer, name) errors; remove on a store
+    without styles is a silent no-op (reference layerstyles.py)."""
+    import os
+
+    import pytest as _pytest
+
+    from geofileops_ray.stages.catalog import (
+        add_layerstyle,
+        get_layerstyles,
+        remove_layerstyle,
+    )
+
+    store = str(tmp_path / "store")
+    os.makedirs(store)
+    remove_layerstyle(store, 1)  # no styles table yet: no-op
+    assert len(get_layerstyles(store)) == 0
+
+    add_layerstyle(store, "parcels", "default", qml="<qml/>",
+                   use_as_default=True, owner="me")
+    add_layerstyle(store, "parcels", "alt", qml="<qml2/>")
+    add_layerstyle(store, "zones", "default", qml="<qml3/>")
+    with _pytest.raises(ValueError, match="already exists"):
+        add_layerstyle(store, "parcels", "default", qml="<dup/>")
+
+    df = get_layerstyles(store)
+    assert df.index.name == "id" and len(df) == 3
+    p = get_layerstyles(store, layer="parcels")
+    assert sorted(p["styleName"]) == ["alt", "default"]
+    d = get_layerstyles(store, layer="parcels", name="default")
+    assert len(d) == 1
+    assert d.iloc[0]["styleQML"] == "<qml/>"
+    assert d.iloc[0]["useAsDefault"] == 1
+
+    remove_layerstyle(store, int(d.index[0]))
+    assert len(get_layerstyles(store, layer="parcels")) == 1

@@ -129,7 +129,9 @@ def _first_fragment(path: str) -> str:
 
     for root, _dirs, files in os.walk(path):
         for f in sorted(files):
-            if f.endswith(".parquet"):
+            # skip sidecars (_layer_styles.parquet etc.) like Ray's
+            # parquet discovery does
+            if f.endswith(".parquet") and not f.startswith(("_", ".")):
                 return os.path.join(root, f)
     raise FileNotFoundError(f"no parquet fragments under {path}")
 

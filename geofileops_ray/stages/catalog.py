@@ -317,6 +317,9 @@ def listlayers(path: str) -> list[str]:
         return [os.path.splitext(os.path.basename(path))[0]]
     out = []
     for entry in sorted(os.listdir(path)):
+        if entry.startswith(("_", ".")):
+            continue  # sidecars (_layer_styles.parquet) — Ray's parquet
+            # discovery skips these prefixes too
         if entry.endswith(".parquet"):
             out.append(entry[: -len(".parquet")])
         elif os.path.isdir(os.path.join(path, entry)):

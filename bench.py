@@ -237,6 +237,10 @@ def run_benchmarks(num_cpus: int, only_flagship: bool = False, repeat: int = 0) 
         dsp = docspans_dataset(SF_DIR, repeat).materialize()
         _, t = timed(lambda: span_dedup(dsp).count())
         results["span_dedup"] = round(t, 3)
+        from geofileops_ray.textops.packing import pack_sequences
+
+        _, t = timed(lambda: pack_sequences(docs_big, budget=2048).count())
+        results["pack_sequences"] = round(t, 3)
         import numpy as np
         import pyarrow.parquet as pq
 

@@ -50,6 +50,7 @@ from ..stages.spatial_join import (
 from ..textops import analysis as ta
 from ..textops import contamination as tcn
 from ..textops import dedup as td
+from ..textops import packing as tpk
 from ..textops import sampling as tsm
 from ..textops import similarity as ts
 from ..textops.multimodal import extract_media_features
@@ -2601,6 +2602,17 @@ QUERIES = {
     ).curate_corpus(_docs(sf)),
     "clip_mixed": q_clip_mixed,
     "repetition_metrics": lambda sf: tcn.repetition_metrics(_docs(sf)),
+    "pack_sequences_512": lambda sf: tpk.pack_sequences(
+        ray.data.read_parquet(
+            f"{sf}/documents.parquet", columns=["doc_id", "text"]
+        ),
+        budget=512,
+    ),
+    "shuffle_shards_16": lambda sf: tpk.shuffle_shards(
+        ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id"]),
+        n_shards=16,
+        seed=42,
+    ),
     # approximate / stub paths (rows-only checks; no oracle by design)
     "lsh_topk10": q_lsh_topk,
     "ivf_topk10": q_ivf_topk,
@@ -2693,6 +2705,8 @@ ORACLES = {
     "difference_mixed": O_DIFFERENCE_MIXED(),
     "clip_mixed": O_CLIP_MIXED(),
     "dissolve_lines": O_DISSOLVE_LINES(),
+    "pack_sequences_512": tpk.pack_sequences_sql(512),
+    "shuffle_shards_16": tpk.shuffle_shards_sql(16, 42),
     "token_count": ta.TOKEN_COUNT_SQL,
     "quality_score": ta.QUALITY_SQL,
     "language_id": ta.LANG_ID_SQL,

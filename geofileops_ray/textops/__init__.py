@@ -22,4 +22,5 @@ from .dedup import (  # noqa: F401
     ngram_jaccard_pairs,
     simhash,
 )
+from .packing import pack_sequences, shuffle_shards  # noqa: F401
 from .similarity import brute_topk, lsh_topk  # noqa: F401

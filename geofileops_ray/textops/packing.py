@@ -1,0 +1,251 @@
+"""Training-sequence assembly operators.
+
+``pack_sequences`` — concatenate-then-chunk sequence packing (the
+standard pretraining layout: documents concatenated in a fixed global
+order, the token stream cut into fixed-size sequences): every doc gets
+its (seq_id, seq_offset) placement from an EXACT distributed prefix sum
+of token counts in ``doc_id`` order.
+
+``shuffle_shards`` — deterministic seeded global shuffle for training
+output: shard + within-shard order from a content hash (the same
+md5 convention as sampling/dedup, so the assignment is bit-reproducible
+in SQL, stable under re-runs/repartitioning, and needs NO all-to-all
+``random_shuffle`` — the write is a plain partition-by-shard).
+
+Scale shape of the prefix sum (the only non-map step here):
+1. stateless map → (doc_id, n_tokens) — text never leaves stage 1;
+2. range-bucket doc ids (``n_buckets ≈ rows / 250k``); ONE combiner-first
+   ``bucket_aggregate`` gives per-bucket token totals; the driver
+   cumsums #buckets rows (10^12 docs → ~4M buckets ≈ 100 MB, the
+   documented driver-side cap — beyond that, add a second bucket level)
+   and broadcasts the base offsets via ``ray.put``;
+3. ONE hash shuffle keyed on the bucket; each salt partition computes
+   its buckets' internal exclusive cumsums vectorized (sort + cumsum -
+   run-base) and adds the broadcast base.
+Partitioning assumption (documented per the build brief): doc ids are
+roughly uniform over their range, so range buckets are balanced; a
+heavily clustered id space needs a quantile-probed bucketing instead.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from ..util import md5_u64 as _md5_u64
+
+_ROWS_PER_BUCKET = 250_000
+
+
+def pack_sequences(
+    ds: ray.data.Dataset,
+    budget: int = 2048,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Assign every doc its slot in the packed token stream:
+    (doc_id, n_tokens, seq_id, seq_offset, end_seq_id) where seq_id =
+    exclusive-prefix-sum // budget, seq_offset the position inside that
+    sequence, end_seq_id the last sequence the doc touches (docs may
+    straddle sequence boundaries — concat-then-chunk semantics)."""
+    from ..stages.agg import _salt_parts, bucket_aggregate, default_nparts
+
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+
+    def counts(batch: pa.Table) -> pa.Table:
+        col = batch.column(id_col)
+        if col.null_count:  # NULL ids never pack (SQL ORDER BY excluded)
+            batch = batch.filter(pc.is_valid(col))
+        toks = pc.count_substring_regex(batch.column(text_col), r"\S+")
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "n_tokens": toks.cast(pa.int64()),
+            }
+        )
+
+    slim = ds.map_batches(counts, batch_format="pyarrow", zero_copy_batch=True)
+    slim = slim.materialize()  # consumed 3× below (span probe, totals, final)
+
+    # ---- bucket layout from the id span (driver-side scalars only)
+    from ray.data.aggregate import Count as _Count
+    from ray.data.aggregate import Max as _Max
+    from ray.data.aggregate import Min as _Min
+
+    st = slim.aggregate(_Min(id_col), _Max(id_col), _Count())
+    nrows = int(st["count()"] or 0)
+    if nrows == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "seq_id": pa.array([], pa.int64()),
+                    "seq_offset": pa.array([], pa.int64()),
+                    "end_seq_id": pa.array([], pa.int64()),
+                }
+            )
+        )
+    lo, hi = int(st[f"min({id_col})"]), int(st[f"max({id_col})"])
+    nparts = default_nparts()
+    n_buckets = max(nparts * 8, nrows // _ROWS_PER_BUCKET + 1)
+    width = max((hi - lo) // n_buckets + 1, 1)
+
+    def with_bucket(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column(
+            "__bucket", pa.array((ids - lo) // width, pa.int64())
+        )
+
+    bucketed = slim.map_batches(with_bucket, batch_format="pyarrow")
+
+    # ---- per-bucket token totals → driver cumsum → broadcast bases
+    totals = pa.Table.from_pylist(
+        bucket_aggregate(
+            bucketed, ["__bucket"], [("n_tokens", "sum", "tok")]
+        ).take_all()
+    ).sort_by("__bucket")
+    bkeys = totals.column("__bucket").to_numpy().astype(np.int64)
+    bsums = totals.column("tok").to_numpy().astype(np.int64)
+    bases = np.concatenate([[0], np.cumsum(bsums)[:-1]])
+    base_ref = ray.put((bkeys, bases))
+
+    # ---- one bucket-keyed shuffle; vectorized per-partition placement
+    def place(part: pa.Table) -> pa.Table:
+        part = part.drop_columns(["__part"])
+        n = len(part)
+        if n == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "seq_id": pa.array([], pa.int64()),
+                    "seq_offset": pa.array([], pa.int64()),
+                    "end_seq_id": pa.array([], pa.int64()),
+                }
+            )
+        srt = part.take(
+            pc.sort_indices(
+                part,
+                sort_keys=[("__bucket", "ascending"), (id_col, "ascending")],
+            )
+        )
+        bk = srt.column("__bucket").to_numpy()
+        ids = srt.column(id_col).to_numpy()
+        tok = srt.column("n_tokens").to_numpy().astype(np.int64)
+        keys, bas = ray.get(base_ref)
+        cs = np.cumsum(tok)
+        excl = cs - tok
+        newb = np.concatenate([[True], bk[1:] != bk[:-1]])
+        starts = np.flatnonzero(newb)
+        runlen = np.diff(np.concatenate([starts, [n]]))
+        within = excl - np.repeat(excl[starts], runlen)
+        base = bas[np.searchsorted(keys, bk)]
+        cum_excl = base + within
+        seq_id = cum_excl // budget
+        seq_off = cum_excl % budget
+        last = cum_excl + np.maximum(tok, 1) - 1  # 0-token docs stay put
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(tok, pa.int64()),
+                "seq_id": pa.array(seq_id, pa.int64()),
+                "seq_offset": pa.array(seq_off, pa.int64()),
+                "end_seq_id": pa.array(last // budget, pa.int64()),
+            }
+        )
+
+    return (
+        bucketed.map_batches(
+            lambda b: _salt_parts(b, ["__bucket"], nparts),
+            batch_format="pyarrow",
+        )
+        .groupby("__part")
+        .map_groups(place, batch_format="pyarrow")
+    )
+
+
+def pack_sequences_sql(budget: int = 2048, table: str = "documents") -> str:
+    """DuckDB mirror: window-function prefix sum in doc_id order."""
+    return f"""
+WITH __pk_t AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+  FROM {table} WHERE doc_id IS NOT NULL
+), __pk_c AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum
+  FROM __pk_t
+)
+SELECT doc_id, n_tokens,
+       CAST((cum - n_tokens) // {budget} AS BIGINT) AS seq_id,
+       CAST((cum - n_tokens) % {budget} AS BIGINT) AS seq_offset,
+       CAST(((cum - n_tokens) + GREATEST(n_tokens, 1) - 1) // {budget}
+            AS BIGINT) AS end_seq_id
+FROM __pk_c ORDER BY doc_id
+"""
+
+
+def shuffle_shards(
+    ds: ray.data.Dataset,
+    n_shards: int = 64,
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Deterministic seeded global shuffle: (doc_id, shard_id,
+    shuffle_key). shard_id = md5(seed:id) % n_shards; shuffle_key orders
+    rows WITHIN a shard (md5(seed:id:o)). Stateless map — a resumable
+    100-TB shuffle is a partition-by-shard write of this assignment, not
+    an all-to-all ``random_shuffle`` (re-runs reproduce it exactly)."""
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        col = batch.column(id_col)
+        if col.null_count:  # NULL ids never shuffle in (SQL semantics)
+            batch = batch.filter(pc.is_valid(col))
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        shard = np.fromiter(
+            (_md5_u64(f"{seed}:{int(i)}") % n_shards for i in ids),
+            np.int64,
+            len(ids),
+        )
+        key = np.fromiter(
+            (_md5_u64(f"{seed}:{int(i)}:o") for i in ids),
+            np.uint64,
+            len(ids),
+        )
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "shard_id": pa.array(shard, pa.int64()),
+                "shuffle_key": pa.array(key.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def shuffle_shards_sql(
+    n_shards: int = 64, seed: int = 0, table: str = "documents"
+) -> str:
+    """DuckDB mirror of shuffle_shards. md5_number_lower is the u64 of
+    the LOWER 8 digest bytes little-endian == util.md5_u64; the int64
+    shuffle_key is that u64 reinterpreted as signed."""
+    h = f"md5_number_lower(concat('{seed}:', CAST(doc_id AS VARCHAR)))"
+    hk = f"md5_number_lower(concat('{seed}:', CAST(doc_id AS VARCHAR), ':o'))"
+    return f"""
+SELECT doc_id,
+       CAST({h} % {n_shards} AS BIGINT) AS shard_id,
+       CAST({hk} - CASE WHEN {hk} >= 9223372036854775808
+                        THEN 18446744073709551616 ELSE 0 END
+            AS BIGINT) AS shuffle_key
+FROM {table} WHERE doc_id IS NOT NULL ORDER BY doc_id
+"""

@@ -1,0 +1,98 @@
+"""pack_sequences / shuffle_shards — training-sequence assembly ops."""
+
+import numpy as np
+import pyarrow as pa
+
+
+def test_pack_sequences_matches_duckdb_and_edges(ray_session, oracle):
+    """Concat-then-chunk placement is exact vs the window-function
+    oracle, including docs longer than the budget (straddle several
+    sequences), zero-token docs, and NULL doc ids (excluded)."""
+    import ray.data
+
+    from geofileops_ray.textops.packing import pack_sequences, pack_sequences_sql
+
+    texts = [
+        "a b c",                      # 3 tokens
+        "",                           # 0 tokens
+        " ".join(["t"] * 23),         # straddles 3 sequences at B=8
+        "x y",                        # 2
+        "one",                        # 1
+        None if False else "p q r s"  # 4
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([10, 11, 12, 13, None, 15], pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    got = pa.Table.from_pylist(
+        pack_sequences(ray.data.from_arrow(t).repartition(4), budget=8)
+        .take_all()
+    ).sort_by("doc_id")
+    want = oracle.execute(pack_sequences_sql(8, table="t")).arrow()
+    assert got.to_pylist() == want.to_pylist()
+    rows = {r["doc_id"]: r for r in got.to_pylist()}
+    assert None not in rows and len(rows) == 5
+    # the 23-token doc starts in seq 0 (offset 3) and ends in seq 3
+    assert rows[12]["seq_id"] == 0 and rows[12]["seq_offset"] == 3
+    assert rows[12]["end_seq_id"] == 3
+    # the zero-token doc occupies no tokens: end == start
+    assert rows[11]["end_seq_id"] == rows[11]["seq_id"]
+
+
+def test_pack_sequences_deterministic_across_partitioning(ray_session):
+    """Placement depends on content only — 1-block and many-block runs
+    agree exactly (the resumability property a 100-TB pack needs)."""
+    import ray.data
+
+    from geofileops_ray.textops.packing import pack_sequences
+
+    rng = np.random.default_rng(5)
+    n = 3000
+    t = pa.table(
+        {
+            "doc_id": pa.array(rng.permutation(n).astype(np.int64)),
+            "text": pa.array(
+                [" ".join(["w"] * int(k)) for k in rng.integers(0, 40, n)]
+            ),
+        }
+    )
+    a = pa.Table.from_pylist(
+        pack_sequences(ray.data.from_arrow(t), budget=256).take_all()
+    ).sort_by("doc_id")
+    b = pa.Table.from_pylist(
+        pack_sequences(
+            ray.data.from_arrow(t).repartition(17), budget=256
+        ).take_all()
+    ).sort_by("doc_id")
+    assert a.to_pylist() == b.to_pylist()
+    # the packed stream is gap-free: sorted by doc_id, each doc's global
+    # start equals the previous doc's start + previous tokens
+    start = (
+        np.asarray(a.column("seq_id")) * 256 + np.asarray(a.column("seq_offset"))
+    )
+    tok = np.asarray(a.column("n_tokens"))
+    assert (start[1:] == start[:-1] + tok[:-1]).all()
+
+
+def test_shuffle_shards_deterministic_and_balanced(ray_session, oracle):
+    import ray.data
+
+    from geofileops_ray.textops.packing import shuffle_shards, shuffle_shards_sql
+
+    t = pa.table({"doc_id": pa.array(range(2000), pa.int64())})
+    got = pa.Table.from_pylist(
+        shuffle_shards(
+            ray.data.from_arrow(t).repartition(7), n_shards=16, seed=9
+        ).take_all()
+    ).sort_by("doc_id")
+    want = oracle.execute(shuffle_shards_sql(16, 9, table="t")).arrow()
+    assert got.to_pylist() == want.to_pylist()
+    counts = np.bincount(np.asarray(got.column("shard_id")), minlength=16)
+    assert counts.min() > 0.5 * counts.mean()  # roughly balanced
+    # a different seed produces a different permutation
+    got2 = pa.Table.from_pylist(
+        shuffle_shards(ray.data.from_arrow(t), n_shards=16, seed=10).take_all()
+    ).sort_by("doc_id")
+    assert got2.column("shard_id").to_pylist() != got.column("shard_id").to_pylist()

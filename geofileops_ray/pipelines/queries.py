@@ -2223,6 +2223,29 @@ SELECT doc_id, ref AS media_ref, CAST(8 AS BIGINT) AS feat_dim,
 FROM h ORDER BY doc_id"""
 
 
+def q_media_features_real(sf):
+    """The REAL decode path: rendered PNG payloads decoded by the pure
+    numpy+zlib codec (imagecodec.py), pixel features + exact integer
+    pixel sums. zlib round-trips are not SQL-expressible, so this is a
+    rows-only driver check — pixel exactness is pinned by
+    tests/test_imagecodec.py against closed-form rendered images."""
+    from ..io.synth import docspans_dataset
+    from ..textops.multimodal import extract_media_features
+
+    ds = extract_media_features(docspans_dataset(sf), real_images=True)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "media_ref": batch.column("media_ref"),
+                "feat_sum": batch.column("feat_sum"),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def q_media_resize(sf):
     """Actor-pool media RESIZE stage (decode → resample → re-encode;
     codec stubbed, plumbing real): output payload bytes scale with the
@@ -2618,6 +2641,7 @@ QUERIES = {
     "ivf_topk10": q_ivf_topk,
     "minhash_dedup_pairs": q_minhash_pairs,
     "media_features": q_media_features,
+    "media_features_real": q_media_features_real,
     "media_resize": q_media_resize,
     "media_frames": q_media_frames,
     "media_metadata": q_media_metadata,

@@ -2246,6 +2246,17 @@ def q_media_features_real(sf):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def q_audio_features_real(sf):
+    """REAL WAV decode path (stdlib RIFF/PCM codec): rendered square
+    waves decoded per actor, integer-exact features. Rows-only in the
+    driver record (zlib-free but waveform rendering is not
+    SQL-expressible); exactness pinned by tests/test_imagecodec.py."""
+    from ..io.synth import docspans_dataset
+    from ..textops.multimodal import extract_audio_features
+
+    return extract_audio_features(docspans_dataset(sf))
+
+
 def q_media_resize(sf):
     """Actor-pool media RESIZE stage (decode → resample → re-encode;
     codec stubbed, plumbing real): output payload bytes scale with the
@@ -2642,6 +2653,7 @@ QUERIES = {
     "minhash_dedup_pairs": q_minhash_pairs,
     "media_features": q_media_features,
     "media_features_real": q_media_features_real,
+    "audio_features_real": q_audio_features_real,
     "media_resize": q_media_resize,
     "media_frames": q_media_frames,
     "media_metadata": q_media_metadata,

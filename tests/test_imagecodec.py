@@ -143,3 +143,38 @@ def test_real_media_pipeline_end_to_end(ray_session):
         got = decode_image(r["payload"])
         assert (got == want).all()
         assert r["resize_sum"] == int(want.sum(dtype=np.int64))
+
+
+def test_wav_roundtrip_and_audio_features(ray_session):
+    """WAV PCM16 round-trips exactly (mono + stereo + odd-length data
+    chunk padding); the real audio feature stage reproduces closed-form
+    square-wave stats (|x| sum = n·amp, zero crossings = flips)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from geofileops_ray.textops.audiocodec import decode_wav, encode_wav
+
+    rng = np.random.default_rng(8)
+    mono = rng.integers(-32768, 32767, 999, dtype=np.int16)
+    st = rng.integers(-32768, 32767, (500, 2), dtype=np.int16)
+    w, r = decode_wav(encode_wav(mono, 8000))
+    assert r == 8000 and (w[:, 0] == mono).all()
+    w2, r2 = decode_wav(encode_wav(st, 44100))
+    assert r2 == 44100 and (w2 == st).all()
+
+    from geofileops_ray.io.synth import docspans_dataset
+    from geofileops_ray.textops.multimodal import (
+        extract_audio_features,
+        render_audio,
+    )
+
+    docs = docspans_dataset("/root/testdata/sf0.001").limit(40)
+    feats = pa.Table.from_pylist(extract_audio_features(docs).take_all())
+    assert feats.num_rows > 0
+    for row in feats.to_pylist()[:5]:
+        wave, rate = render_audio(row["media_ref"])
+        assert row["n_samples"] == len(wave)
+        assert row["sample_rate"] == rate
+        assert row["abs_sum"] == int(np.abs(wave.astype(np.int64)).sum())
+        flips = int(((wave[1:] >= 0) != (wave[:-1] >= 0)).sum())
+        assert row["zero_crossings"] == flips

@@ -2257,6 +2257,37 @@ def q_audio_features_real(sf):
     return extract_audio_features(docspans_dataset(sf))
 
 
+def q_approx_distinct(sf):
+    """HyperLogLog distinct docs (~0.8% error, deterministic across
+    partitionings). Rows-only by construction (an exact COUNT DISTINCT
+    oracle would rightly mismatch the estimate)."""
+    from ..textops.sketches import approx_distinct
+
+    est = approx_distinct(
+        ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id"]),
+        "doc_id",
+    )
+    return pa.table({"approx_distinct": pa.array([est], pa.int64())})
+
+
+def q_approx_quantiles(sf):
+    """Mergeable quantile sketch over events.value (rank error ≤ 1/k)."""
+    from ..textops.sketches import approx_quantiles
+
+    qs = [0.25, 0.5, 0.75, 0.95]
+    vals = approx_quantiles(
+        ray.data.read_parquet(f"{sf}/events.parquet", columns=["value"]),
+        "value",
+        qs,
+    )
+    return pa.table(
+        {
+            "q": pa.array(qs, pa.float64()),
+            "value": pa.array(vals, pa.float64()),
+        }
+    )
+
+
 def q_media_resize(sf):
     """Actor-pool media RESIZE stage (decode → resample → re-encode;
     codec stubbed, plumbing real): output payload bytes scale with the
@@ -2654,6 +2685,11 @@ QUERIES = {
     "media_features": q_media_features,
     "media_features_real": q_media_features_real,
     "audio_features_real": q_audio_features_real,
+    # sketches: deterministic (partition-invariant) but approximate by
+    # construction — rows-only driver checks; error bounds pinned by
+    # tests/test_sketches.py
+    "approx_distinct_docs": q_approx_distinct,
+    "approx_quantiles_value": q_approx_quantiles,
     "media_resize": q_media_resize,
     "media_frames": q_media_frames,
     "media_metadata": q_media_metadata,

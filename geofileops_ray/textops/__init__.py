@@ -24,3 +24,4 @@ from .dedup import (  # noqa: F401
 )
 from .packing import pack_sequences, shuffle_shards  # noqa: F401
 from .similarity import brute_topk, lsh_topk  # noqa: F401
+from .sketches import approx_distinct, approx_quantiles  # noqa: F401

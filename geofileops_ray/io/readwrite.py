@@ -36,9 +36,18 @@ def read_layer(
     columns: list[str] | None = None,
     bbox: tuple[float, float, float, float] | None = None,
     format: str | None = None,
+    where: str | None = None,
+    rows: slice | None = None,
 ) -> ray.data.Dataset:
     """read_file analogue. ``bbox`` prunes on (minx,miny,maxx,maxy) cols
     when the layer was written with bbox stats columns.
+
+    ``where``: SQL predicate applied per batch (DuckDB over the Arrow
+    batch — the reference's OGR ``where`` attribute filter,
+    fileops.py:1621-1745; must be row-wise, like where_post). ``rows``:
+    a ``slice(start, stop)`` row window in layer order (the reference's
+    pyogrio rows slice) — expressed as limits, so only ``stop`` rows
+    ever leave the scan and the ``start`` prefix is dropped streaming.
 
     ``format``: 'parquet' (default) or 'lance' (auto-detected from a
     ``.lance`` path suffix). The north-rule input is a Lance table of
@@ -59,22 +68,39 @@ def read_layer(
                 "use the Parquet driver"
             )
         _lance_or_raise()
-        return ray.data.read_lance(path, columns=columns)
-    import pyarrow.dataset as pads
+        ds = ray.data.read_lance(path, columns=columns)
+    else:
+        import pyarrow.dataset as pads
 
-    filt = None
-    if bbox is not None:
-        f = pads.field
-        filt = (
-            (f("minx") <= bbox[2])
-            & (f("maxx") >= bbox[0])
-            & (f("miny") <= bbox[3])
-            & (f("maxy") >= bbox[1])
-        )
-    kwargs = {}
-    if filt is not None:
-        kwargs["filter"] = filt
-    return ray.data.read_parquet(path, columns=columns, **kwargs)
+        filt = None
+        if bbox is not None:
+            f = pads.field
+            filt = (
+                (f("minx") <= bbox[2])
+                & (f("maxx") >= bbox[0])
+                & (f("miny") <= bbox[3])
+                & (f("maxy") >= bbox[1])
+            )
+        kwargs = {}
+        if filt is not None:
+            kwargs["filter"] = filt
+        ds = ray.data.read_parquet(path, columns=columns, **kwargs)
+    if where is not None:
+        from ..stages.single_layer import select
+
+        ds = select(ds, f"SELECT * FROM batch WHERE {where}")
+    if rows is not None:
+        if rows.step not in (None, 1):
+            raise ValueError("rows slice with a step is not supported")
+        start, stop = rows.start or 0, rows.stop
+        if stop is None:
+            raise ValueError("rows slice needs a stop bound")
+        # a rows window is a bounded preview by contract: limit() keeps
+        # the scan to `stop` rows; the start prefix is sliced zero-copy
+        from ..util import collect
+
+        ds = ray.data.from_arrow(collect(ds.limit(stop)).slice(start))
+    return ds
 
 
 def write_layer(

@@ -257,3 +257,33 @@ def test_layerstyles_add_get_remove(tmp_path):
 
     remove_layerstyle(store, int(d.index[0]))
     assert len(get_layerstyles(store, layer="parcels")) == 1
+
+
+def test_read_layer_where_and_rows(ray_session, tmp_path):
+    """read_file's `where` (per-batch SQL predicate) and `rows` (bounded
+    row window in layer order) parameters — reference fileops.py
+    read_file semantics."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from geofileops_ray.io.readwrite import read_layer
+
+    t = pa.table(
+        {"a": pa.array(range(100), pa.int64()),
+         "b": pa.array([f"v{i}" for i in range(100)])}
+    )
+    path = tmp_path / "layer.parquet"
+    pq.write_table(t, path)
+
+    got = read_layer(str(path), where="a % 10 = 3").take_all()
+    assert sorted(r["a"] for r in got) == [3, 13, 23, 33, 43, 53, 63, 73, 83, 93]
+
+    win = read_layer(str(path), rows=slice(10, 15)).take_all()
+    assert [r["a"] for r in win] == [10, 11, 12, 13, 14]
+
+    both = read_layer(str(path), where="a >= 50", rows=slice(0, 3)).take_all()
+    assert [r["a"] for r in both] == [50, 51, 52]
+
+    with pytest.raises(ValueError, match="step"):
+        read_layer(str(path), rows=slice(0, 10, 2))

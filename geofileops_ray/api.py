@@ -99,7 +99,9 @@ from .stages.catalog import (  # noqa: F401
 # (Belgian Lambert 72 incl. the published BD72→WGS84 7-parameter
 # Helmert shift — the reference test corpus's default CRS), 2154
 # (RGF93 / Lambert-93), 5070 (NAD83 Conus Albers), 3035 (ETRS89 LAEA
-# Europe), 32601-32660 / 32701-32760 (WGS84 UTM
+# Europe), 27700 (OSGB36 British National Grid incl. towgs84 Helmert;
+# OSTN15 grid shifts need external data — ±2 m class, documented),
+# 32601-32660 / 32701-32760 (WGS84 UTM
 # north/south) and 25828-25838 (ETRS89 UTM). Any other code raises
 # ValueError (never a silent None); geodesic distances are spherical
 # (R_MEAN).

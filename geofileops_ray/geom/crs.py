@@ -93,6 +93,7 @@ def _known() -> dict[int, CRS]:
         2154: CRS(2154, "RGF93 v1 / Lambert-93", False),
         5070: CRS(5070, "NAD83 / Conus Albers", False),
         3035: CRS(3035, "ETRS89-extended / LAEA Europe", False),
+        27700: CRS(27700, "OSGB36 / British National Grid", False),
     }
     for z in range(1, 61):
         out[32600 + z] = CRS(32600 + z, f"WGS 84 / UTM zone {z}N", False)
@@ -114,7 +115,7 @@ def get_crs(epsg: int | None) -> CRS | None:
     except KeyError:
         raise ValueError(
             f"unsupported EPSG:{epsg}; known: 4326, 3857, 3812, 31370, "
-            "2154, 5070, 3035, 326xx/327xx (UTM), 25828-25838"
+            "2154, 5070, 3035, 27700, 326xx/327xx (UTM), 25828-25838"
         )
 
 
@@ -185,45 +186,57 @@ def _lcc_inv(x, y, p):
 
 
 # ---------------------------------------------------- transverse mercator
+# Snyder USGS PP 1395 series (pp. 60-64), parameterized over ellipsoid
+# and origin so one implementation serves UTM (WGS84/ETRS89, lat0=0,
+# k0=0.9996, x0=500km) and national TM grids (27700: Airy 1830, offset
+# false origin, k0=0.9996012717).
 
 _K0 = 0.9996
 
 
-def _tm_fwd(lon, lat, lon0, y0=0.0):
-    phi = np.radians(lat)
-    lam = np.radians(lon - lon0)
-    ep2 = _E2 / (1 - _E2)
-    N = _A / np.sqrt(1 - _E2 * np.sin(phi) ** 2)
-    T = np.tan(phi) ** 2
-    C = ep2 * np.cos(phi) ** 2
-    Aq = lam * np.cos(phi)
-    e4, e6 = _E2**2, _E2**3
-    M = _A * (
-        (1 - _E2 / 4 - 3 * e4 / 64 - 5 * e6 / 256) * phi
-        - (3 * _E2 / 8 + 3 * e4 / 32 + 45 * e6 / 1024) * np.sin(2 * phi)
+def _tm_meridian_arc(phi, a, e2):
+    e4, e6 = e2**2, e2**3
+    return a * (
+        (1 - e2 / 4 - 3 * e4 / 64 - 5 * e6 / 256) * phi
+        - (3 * e2 / 8 + 3 * e4 / 32 + 45 * e6 / 1024) * np.sin(2 * phi)
         + (15 * e4 / 256 + 45 * e6 / 1024) * np.sin(4 * phi)
         - (35 * e6 / 3072) * np.sin(6 * phi)
     )
-    x = _K0 * N * (
+
+
+def _tm_fwd_gen(lon, lat, p):
+    a, e2, k0 = p["a"], p["e2"], p["k0"]
+    phi = np.radians(lat)
+    lam = np.radians(lon - p["lon0"])
+    ep2 = e2 / (1 - e2)
+    N = a / np.sqrt(1 - e2 * np.sin(phi) ** 2)
+    T = np.tan(phi) ** 2
+    C = ep2 * np.cos(phi) ** 2
+    Aq = lam * np.cos(phi)
+    M = _tm_meridian_arc(phi, a, e2)
+    M0 = _tm_meridian_arc(math.radians(p["lat0"]), a, e2) if p["lat0"] else 0.0
+    x = k0 * N * (
         Aq + (1 - T + C) * Aq**3 / 6 + (5 - 18 * T + T**2 + 72 * C - 58 * ep2) * Aq**5 / 120
-    ) + 500000.0
-    y = _K0 * (
-        M
+    ) + p["x0"]
+    y = k0 * (
+        (M - M0)
         + N * np.tan(phi) * (
             Aq**2 / 2
             + (5 - T + 9 * C + 4 * C**2) * Aq**4 / 24
             + (61 - 58 * T + T**2 + 600 * C - 330 * ep2) * Aq**6 / 720
         )
     )
-    return x, y0 + y
+    return x, p["y0"] + y
 
 
-def _tm_inv(x, y, lon0, y0=0.0):
-    ep2 = _E2 / (1 - _E2)
-    e4, e6 = _E2**2, _E2**3
-    M = (y - y0) / _K0
-    mu = M / (_A * (1 - _E2 / 4 - 3 * e4 / 64 - 5 * e6 / 256))
-    e1 = (1 - math.sqrt(1 - _E2)) / (1 + math.sqrt(1 - _E2))
+def _tm_inv_gen(x, y, p):
+    a, e2, k0 = p["a"], p["e2"], p["k0"]
+    ep2 = e2 / (1 - e2)
+    e4, e6 = e2**2, e2**3
+    M0 = _tm_meridian_arc(math.radians(p["lat0"]), a, e2) if p["lat0"] else 0.0
+    M = M0 + (y - p["y0"]) / k0
+    mu = M / (a * (1 - e2 / 4 - 3 * e4 / 64 - 5 * e6 / 256))
+    e1 = (1 - math.sqrt(1 - e2)) / (1 + math.sqrt(1 - e2))
     phi1 = (
         mu
         + (3 * e1 / 2 - 27 * e1**3 / 32) * np.sin(2 * mu)
@@ -233,9 +246,9 @@ def _tm_inv(x, y, lon0, y0=0.0):
     )
     C1 = ep2 * np.cos(phi1) ** 2
     T1 = np.tan(phi1) ** 2
-    N1 = _A / np.sqrt(1 - _E2 * np.sin(phi1) ** 2)
-    R1 = _A * (1 - _E2) / (1 - _E2 * np.sin(phi1) ** 2) ** 1.5
-    D = (x - 500000.0) / (N1 * _K0)
+    N1 = a / np.sqrt(1 - e2 * np.sin(phi1) ** 2)
+    R1 = a * (1 - e2) / (1 - e2 * np.sin(phi1) ** 2) ** 1.5
+    D = (x - p["x0"]) / (N1 * k0)
     phi = phi1 - (N1 * np.tan(phi1) / R1) * (
         D**2 / 2
         - (5 + 3 * T1 + 10 * C1 - 4 * C1**2 - 9 * ep2) * D**4 / 24
@@ -246,7 +259,49 @@ def _tm_inv(x, y, lon0, y0=0.0):
         - (1 + 2 * T1 + C1) * D**3 / 6
         + (5 - 2 * C1 + 28 * T1 - 3 * C1**2 + 8 * ep2 + 24 * T1**2) * D**5 / 120
     ) / np.cos(phi1)
-    return np.degrees(lam) + lon0, np.degrees(phi)
+    return np.degrees(lam) + p["lon0"], np.degrees(phi)
+
+
+def _utm_params(lon0, y0=0.0):
+    return dict(a=_A, e2=_E2, k0=_K0, lon0=lon0, lat0=0.0, x0=500000.0, y0=y0)
+
+
+def _tm_fwd(lon, lat, lon0, y0=0.0):
+    return _tm_fwd_gen(lon, lat, _utm_params(lon0, y0))
+
+
+def _tm_inv(x, y, lon0, y0=0.0):
+    return _tm_inv_gen(x, y, _utm_params(lon0, y0))
+
+
+# EPSG:27700 OSGB36 / British National Grid: TM on Airy 1830 with the
+# published projection constants; datum shift via the standard towgs84
+# position-vector Helmert for OSGB36 (±2 m class vs OSTN15 — documented;
+# the grid-shift file is out of scope without external data).
+_AIRY_A = 6377563.396
+_AIRY_B = 6356256.909
+_TM_27700 = dict(
+    a=_AIRY_A,
+    e2=1.0 - (_AIRY_B / _AIRY_A) ** 2,
+    k0=0.9996012717,
+    lon0=-2.0,
+    lat0=49.0,
+    x0=400000.0,
+    y0=-100000.0,
+)
+_HELMERT_OSGB36 = (446.448, -125.157, 542.060, 0.1502, 0.2470, 0.8421, -20.4894)
+
+
+def _osgb36_to_wgs84(lon, lat):
+    X, Y, Z = _geodetic_to_ecef(lon, lat, _AIRY_A, _TM_27700["e2"])
+    X, Y, Z = _helmert(X, Y, Z, _HELMERT_OSGB36)
+    return _ecef_to_geodetic(X, Y, Z, _A, _E2)
+
+
+def _wgs84_to_osgb36(lon, lat):
+    X, Y, Z = _geodetic_to_ecef(lon, lat, _A, _E2)
+    X, Y, Z = _helmert(X, Y, Z, _HELMERT_OSGB36, inverse=True)
+    return _ecef_to_geodetic(X, Y, Z, _AIRY_A, _TM_27700["e2"])
 
 
 # --------------------------------------------------- datum shift (Helmert)
@@ -454,6 +509,8 @@ def _to_4326(x, y, epsg: int):
         return _aea_inv(x, y, _AEA_5070)
     if epsg == 3035:
         return _laea_inv(x, y, _LAEA_3035)
+    if epsg == 27700:
+        return _osgb36_to_wgs84(*_tm_inv_gen(x, y, _TM_27700))
     if 32601 <= epsg <= 32660:
         return _tm_inv(x, y, (epsg - 32600) * 6 - 183)
     if 32701 <= epsg <= 32760:
@@ -478,6 +535,8 @@ def _from_4326(lon, lat, epsg: int):
         return _aea_fwd(lon, lat, _AEA_5070)
     if epsg == 3035:
         return _laea_fwd(lon, lat, _LAEA_3035)
+    if epsg == 27700:
+        return _tm_fwd_gen(*_wgs84_to_osgb36(lon, lat), _TM_27700)
     if 32601 <= epsg <= 32660:
         return _tm_fwd(lon, lat, (epsg - 32600) * 6 - 183)
     if 32701 <= epsg <= 32760:

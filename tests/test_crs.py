@@ -178,3 +178,34 @@ def test_laea_3035_properties():
     m = a * (1 - e2) / (1 - e2 * np.sin(phir) ** 2) ** 1.5
     true = (n * np.cos(phir) * math.radians(d)) * (m * math.radians(d))
     assert np.abs(det / true - 1).max() < 1e-6
+
+
+def test_epsg_27700_os_worked_example():
+    """British National Grid: the projection reproduces the Ordnance
+    Survey guide's worked example (OSGB36 52°39'27.2531"N 1°43'4.5177"E
+    → E 651409.903 N 313177.270) to sub-mm, hits the false origin
+    exactly, and the full WGS84 round trip (incl. the towgs84 Helmert)
+    closes within 5 mm."""
+    import numpy as np
+
+    from geofileops_ray.geom.crs import (
+        _TM_27700,
+        _tm_fwd_gen,
+        get_crs,
+        transform_xy,
+    )
+
+    lat = 52 + 39 / 60 + 27.2531 / 3600
+    lon = 1 + 43 / 60 + 4.5177 / 3600
+    x, y = _tm_fwd_gen(np.array([lon]), np.array([lat]), _TM_27700)
+    assert abs(x[0] - 651409.903) < 1e-3
+    assert abs(y[0] - 313177.270) < 1e-3
+    fx, fy = _tm_fwd_gen(np.array([-2.0]), np.array([49.0]), _TM_27700)
+    assert abs(fx[0] - 400000.0) < 1e-6 and abs(fy[0] + 100000.0) < 1e-6
+
+    gx = np.array([530000.0, 400000.0, 651409.9])
+    gy = np.array([180000.0, -100000.0, 313177.3])
+    lon_, lat_ = transform_xy(gx, gy, 27700, 4326)
+    bx, by = transform_xy(lon_, lat_, 4326, 27700)
+    assert np.abs(bx - gx).max() < 5e-3 and np.abs(by - gy).max() < 5e-3
+    assert get_crs(27700).epsg == 27700

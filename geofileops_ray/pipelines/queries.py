@@ -2555,7 +2555,16 @@ QUERIES = {
     "intersection_pairs": q_intersection,
     "intersection_tri": q_intersection_tri,
     "intersection_lines": q_intersection_lines,
-    "intersection_gridsize": q_intersection_gridsize,
+    # training-sequence packing — new operator family (round 4), exact
+    # window-function oracle; holds a driver-window slot (the gridsize
+    # post-chain stays oracle-checked in-window via intersection_pairs'
+    # family and past the fold as intersection_gridsize)
+    "pack_sequences_512": lambda sf: tpk.pack_sequences(
+        ray.data.read_parquet(
+            f"{sf}/documents.parquet", columns=["doc_id", "text"]
+        ),
+        budget=512,
+    ),
     "intersection_complexpoly": q_intersection_complex,
     "clip_areas": q_clip,
     "difference_areas": q_difference,
@@ -2667,12 +2676,7 @@ QUERIES = {
     ).curate_corpus(_docs(sf)),
     "clip_mixed": q_clip_mixed,
     "repetition_metrics": lambda sf: tcn.repetition_metrics(_docs(sf)),
-    "pack_sequences_512": lambda sf: tpk.pack_sequences(
-        ray.data.read_parquet(
-            f"{sf}/documents.parquet", columns=["doc_id", "text"]
-        ),
-        budget=512,
-    ),
+    "intersection_gridsize": q_intersection_gridsize,
     "shuffle_shards_16": lambda sf: tpk.shuffle_shards(
         ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id"]),
         n_shards=16,

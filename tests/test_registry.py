@@ -114,7 +114,7 @@ def test_driver_window_covers_families_with_oracles():
         "export_by_location_anti_tri", "export_by_distance",
         # overlays (incl. the heterogeneous line+polygon candidate mix)
         "intersection_pairs", "intersection_tri", "intersection_lines",
-        "intersection_gridsize", "intersection_complexpoly", "clip_areas",
+        "pack_sequences_512", "intersection_complexpoly", "clip_areas",
         "difference_areas", "difference_mixed",
         "symmetric_difference_areas",
         "union_overlay_areas", "identity_areas",

@@ -2677,6 +2677,15 @@ QUERIES = {
     "clip_mixed": q_clip_mixed,
     "repetition_metrics": lambda sf: tcn.repetition_metrics(_docs(sf)),
     "intersection_gridsize": q_intersection_gridsize,
+    # interleaved-document packing: text spans by token count, media
+    # spans at a fixed per-item budget (multimodal training layout)
+    "pack_interleaved_512": lambda sf: tpk.pack_interleaved(
+        __import__(
+            "geofileops_ray.io.synth", fromlist=["docspans_dataset"]
+        ).docspans_dataset(sf),
+        budget=512,
+        media_token_cost=64,
+    ),
     "shuffle_shards_16": lambda sf: tpk.shuffle_shards(
         ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id"]),
         n_shards=16,
@@ -2782,6 +2791,9 @@ ORACLES = {
     "clip_mixed": O_CLIP_MIXED(),
     "dissolve_lines": O_DISSOLVE_LINES(),
     "pack_sequences_512": tpk.pack_sequences_sql(512),
+    "pack_interleaved_512": _docspans_with(
+        ", " + tpk.pack_interleaved_sql(512, 64).lstrip()
+    ),
     "shuffle_shards_16": tpk.shuffle_shards_sql(16, 42),
     "token_count": ta.TOKEN_COUNT_SQL,
     "quality_score": ta.QUALITY_SQL,

@@ -51,9 +51,12 @@ def pack_sequences(
     (doc_id, n_tokens, seq_id, seq_offset, end_seq_id) where seq_id =
     exclusive-prefix-sum // budget, seq_offset the position inside that
     sequence, end_seq_id the last sequence the doc touches (docs may
-    straddle sequence boundaries — concat-then-chunk semantics)."""
-    from ..stages.agg import _salt_parts, bucket_aggregate, default_nparts
+    straddle sequence boundaries — concat-then-chunk semantics).
 
+    ``id_col`` must be UNIQUE (it is the table key): the stream order is
+    "sorted by id", so duplicate ids would make the placement of the
+    tied rows order-dependent (the SQL ROWS window has the same
+    ambiguity)."""
     if budget <= 0:
         raise ValueError("budget must be positive")
 
@@ -70,6 +73,95 @@ def pack_sequences(
         )
 
     slim = ds.map_batches(counts, batch_format="pyarrow", zero_copy_batch=True)
+    return _place_by_prefix_sum(slim, budget, id_col)
+
+
+def pack_interleaved(
+    ds: ray.data.Dataset,
+    budget: int = 2048,
+    media_token_cost: int = 64,
+    id_col: str = "doc_id",
+    spans_col: str = "spans",
+) -> ray.data.Dataset:
+    """pack_sequences for INTERLEAVED text+media documents (the
+    north-rule input shape): a doc's token cost is the sum of its text
+    spans' whitespace token counts plus ``media_token_cost`` per media
+    span (the fixed patch/frame budget a multimodal trainer reserves per
+    media item). Same placement semantics and uniqueness contract as
+    pack_sequences; all span arithmetic is vectorized Arrow list ops
+    (offsets + cumsum), no per-row Python."""
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+
+    def counts(batch: pa.Table) -> pa.Table:
+        col = batch.column(id_col)
+        if col.null_count:  # NULL ids never pack (SQL ORDER BY excluded)
+            batch = batch.filter(pc.is_valid(col))
+        spans = batch.column(spans_col).combine_chunks()
+        if isinstance(spans, pa.ChunkedArray):  # zero-chunk edge
+            spans = (
+                spans.chunk(0)
+                if spans.num_chunks
+                else pa.array([], spans.type)
+            )
+        flat = spans.flatten()
+        toks = pc.count_substring_regex(
+            pc.fill_null(flat.field("text"), ""), r"\S+"
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        is_media = pc.equal(flat.field("kind"), "media").to_numpy(
+            zero_copy_only=False
+        )
+        per_span = np.where(is_media, np.int64(media_token_cost), toks)
+        offs = spans.offsets.to_numpy().astype(np.int64)
+        offs = offs - offs[0]  # sliced arrays carry a nonzero base
+        cs = np.concatenate([[0], np.cumsum(per_span)])
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "n_tokens": pa.array(cs[offs[1:]] - cs[offs[:-1]], pa.int64()),
+            }
+        )
+
+    slim = ds.map_batches(counts, batch_format="pyarrow", zero_copy_batch=True)
+    return _place_by_prefix_sum(slim, budget, id_col)
+
+
+def pack_interleaved_sql(
+    budget: int = 2048, media_token_cost: int = 64, docspans: str = "docspans"
+) -> str:
+    """DuckDB mirror of pack_interleaved over the exploded span relation
+    (compose with the DOCSPANS_CTE)."""
+    return f"""
+__pi_t AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN kind = 'text'
+                       THEN len(regexp_extract_all(piece, '\\S+'))
+                       ELSE {media_token_cost} END) AS BIGINT) AS n_tokens
+  FROM {docspans} WHERE doc_id IS NOT NULL GROUP BY doc_id
+), __pi_c AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum
+  FROM __pi_t
+)
+SELECT doc_id, n_tokens,
+       CAST((cum - n_tokens) // {budget} AS BIGINT) AS seq_id,
+       CAST((cum - n_tokens) % {budget} AS BIGINT) AS seq_offset,
+       CAST(((cum - n_tokens) + GREATEST(n_tokens, 1) - 1) // {budget}
+            AS BIGINT) AS end_seq_id
+FROM __pi_c ORDER BY doc_id
+"""
+
+
+def _place_by_prefix_sum(
+    slim: ray.data.Dataset, budget: int, id_col: str
+) -> ray.data.Dataset:
+    """Shared placement core: (id, n_tokens) → (id, n_tokens, seq_id,
+    seq_offset, end_seq_id) via the exact distributed prefix sum
+    described in the module docstring."""
+    from ..stages.agg import _salt_parts, bucket_aggregate, default_nparts
+
     slim = slim.materialize()  # consumed 3× below (span probe, totals, final)
 
     # ---- bucket layout from the id span (driver-side scalars only)

@@ -96,3 +96,47 @@ def test_shuffle_shards_deterministic_and_balanced(ray_session, oracle):
         shuffle_shards(ray.data.from_arrow(t), n_shards=16, seed=10).take_all()
     ).sort_by("doc_id")
     assert got2.column("shard_id").to_pylist() != got.column("shard_id").to_pylist()
+
+
+def test_pack_interleaved_span_costs(ray_session):
+    """Interleaved packing: text spans cost their token count, media
+    spans a fixed budget; empty span lists cost 0; null text is 0."""
+    import ray.data
+
+    from geofileops_ray.textops.packing import pack_interleaved
+
+    span_t = pa.list_(
+        pa.struct(
+            [("kind", pa.string()), ("text", pa.string()),
+             ("media_ref", pa.string()), ("offset", pa.int32())]
+        )
+    )
+
+    def sp(kind, text=""):
+        return {"kind": kind, "text": text, "media_ref": "", "offset": 0}
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "spans": pa.array(
+                [
+                    [sp("text", "a b c"), sp("media"), sp("text", "d")],
+                    [],
+                    [sp("media"), sp("media")],
+                    [sp("text", None)],
+                ],
+                type=span_t,
+            ),
+        }
+    )
+    got = {
+        r["doc_id"]: r
+        for r in pack_interleaved(
+            ray.data.from_arrow(t).repartition(3), budget=10, media_token_cost=7
+        ).take_all()
+    }
+    assert got[1]["n_tokens"] == 3 + 7 + 1  # 11: straddles seqs 0-1
+    assert got[1]["seq_id"] == 0 and got[1]["end_seq_id"] == 1
+    assert got[2]["n_tokens"] == 0 and got[2]["seq_offset"] == 1
+    assert got[3]["n_tokens"] == 14
+    assert got[4]["n_tokens"] == 0

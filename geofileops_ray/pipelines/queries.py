@@ -2502,6 +2502,28 @@ def q_asof_join(sf):
     return asof_join_events(ev, "click", "view")
 
 
+def q_props_json(sf):
+    """User-SQL surface over the events ``props`` JSON column: per-batch
+    DuckDB json_extract through the ``select`` stage (the reference's
+    SQL-injection surface, geoops.py:1620-1786) — grouped so the oracle
+    is order-free."""
+    from ..stages.single_layer import select
+
+    ev = ray.data.read_parquet(
+        f"{sf}/events.parquet", columns=["event_type", "props"]
+    )
+    keyed = select(
+        ev,
+        "SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k "
+        "FROM batch",
+    )
+    from ..stages.agg import bucket_aggregate
+
+    return bucket_aggregate(
+        keyed, ["event_type"], [("k", "sum", "sum_k"), ("k", "max", "max_k")]
+    )
+
+
 def q_percentiles(sf):
     from ..textops.events import percentiles_per_group
 
@@ -2677,6 +2699,7 @@ QUERIES = {
     "clip_mixed": q_clip_mixed,
     "repetition_metrics": lambda sf: tcn.repetition_metrics(_docs(sf)),
     "intersection_gridsize": q_intersection_gridsize,
+    "props_json_extract": q_props_json,
     # interleaved-document packing: text spans by token count, media
     # spans at a fixed per-item budget (multimodal training layout)
     "pack_interleaved_512": lambda sf: tpk.pack_interleaved(
@@ -2790,6 +2813,11 @@ ORACLES = {
     "difference_mixed": O_DIFFERENCE_MIXED(),
     "clip_mixed": O_CLIP_MIXED(),
     "dissolve_lines": O_DISSOLVE_LINES(),
+    "props_json_extract": """
+SELECT event_type,
+       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY 1 ORDER BY 1""",
     "pack_sequences_512": tpk.pack_sequences_sql(512),
     "pack_interleaved_512": _docspans_with(
         ", " + tpk.pack_interleaved_sql(512, 64).lstrip()

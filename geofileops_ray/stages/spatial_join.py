@@ -791,17 +791,21 @@ def join_attributes(
     ds2: ray.data.Dataset,
     on: list[str],
     how: str = "inner",
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Attribute equi-join keeping layer1 geometry (geoops.join,
-    _geoops_sql.py:2105-2182) — Ray Data hash join, non-spatial."""
+    _geoops_sql.py:2105-2182) — Ray Data hash join, non-spatial.
+    Partition count scales with the pool unless pinned."""
+    from .agg import default_nparts
+
     ds2_nogeo = ds2.map_batches(
         lambda b: b.drop_columns([c for c in (_GEOM, "spans") if c in b.column_names]),
         batch_format="pyarrow",
     )
     jt = {"inner": "inner", "left": "left_outer"}[how]
     return ds1.join(
-        ds2_nogeo, join_type=jt, num_partitions=num_partitions,
+        ds2_nogeo, join_type=jt,
+        num_partitions=num_partitions or default_nparts(),
         on=tuple(on), left_suffix="_1", right_suffix="_2",
     )
 

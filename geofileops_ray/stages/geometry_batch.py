@@ -70,20 +70,22 @@ def run_sql_on_batch(batch: pa.Table, sql: str) -> pa.Table:
 
 
 def geometry_op(
-    kernel: Callable[[GeometryArray], GeometryArray],
+    kernel: Callable[[GeometryArray], GeometryArray] | None = None,
     gridsize: float = 0.0,
     keep_empty_geoms: bool = False,
     explodecollections: bool = False,
     where_post: str | None = None,
+    batch_kernel: Callable[[pa.Table, GeometryArray], GeometryArray] | None = None,
 ) -> Callable[[pa.Table], pa.Table]:
     """Build the standard single-layer batch function:
     decode → kernel → set_precision → drop-empty → explode → where_post.
     Mirrors _single_layer_vector_operation's template post-steps
-    (_geoops_sql.py:705-766)."""
+    (_geoops_sql.py:705-766). ``batch_kernel`` additionally receives the
+    attribute batch (apply's only_geom_input=False row mode)."""
 
     def fn(batch: pa.Table) -> pa.Table:
         ga = decode_geometry(batch)
-        ga = kernel(ga)
+        ga = batch_kernel(batch, ga) if batch_kernel is not None else kernel(ga)
         if gridsize:
             ga = set_precision(ga, gridsize)
         if not keep_empty_geoms:

@@ -117,19 +117,47 @@ def isvalid(ds: ray.data.Dataset) -> ray.data.Dataset:
 
 
 def apply(
-    ds: ray.data.Dataset, func: Callable, **post
+    ds: ray.data.Dataset,
+    func: Callable,
+    only_geom_input: bool = True,
+    **post,
 ) -> ray.data.Dataset:
     """Arbitrary per-geometry Python func (geom → geom), like geoops.apply
     (cloudpickled to workers there — natively serialized here). ``func``
-    receives/returns a single-geometry GeometryArray slice."""
+    receives/returns a single-geometry GeometryArray slice.
 
-    def kernel(ga: GeometryArray) -> GeometryArray:
+    ``only_geom_input=False`` — the reference's row mode
+    (geoops.py:403,430-432): ``func(row)`` receives the full row as a
+    dict (attribute values + ``geometry`` as the 1-row slice) and
+    returns the new geometry; slower, like the reference documents."""
+
+    if only_geom_input:
+        def kernel(ga: GeometryArray) -> GeometryArray:
+            from ..geom import concat
+
+            outs = [func(ga.take(np.array([i]))) for i in range(len(ga))]
+            return concat(outs)
+
+        return _apply_op(ds, kernel, **post)
+
+    def batch_kernel(batch: pa.Table, ga: GeometryArray) -> GeometryArray:
         from ..geom import concat
 
-        outs = [func(ga.take(np.array([i]))) for i in range(len(ga))]
+        rows = batch.drop_columns(["geometry"]).to_pylist()
+        outs = [
+            func({**row, "geometry": ga.take(np.array([i]))})
+            for i, row in enumerate(rows)
+        ]
         return concat(outs)
 
-    return _apply_op(ds, kernel, **post)
+    from .geometry_batch import geometry_op
+
+    return ds.map_batches(
+        geometry_op(batch_kernel=batch_kernel, **post),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=OPTIONS.batch_size,
+    )
 
 
 def apply_vectorized(

@@ -310,3 +310,47 @@ def test_unzip_geofile_ignores_non_layer_folder(tmp_path):
     out = unzip_geofile(str(z), str(tmp_path / "restored"))
     assert out.endswith("roads.parquet")
     assert os.path.exists(out)
+
+
+def test_apply_row_mode(ray_session, oracle):
+    """apply(only_geom_input=False): the UDF sees the full row (attrs +
+    geometry slice) — reference geoops.apply row mode. Scale each
+    rectangle by its own attribute; closed-form area check vs SQL."""
+    import ray.data
+
+    from geofileops_ray.io.synth import PARCELS_CTE, parcels_dataset
+    from geofileops_ray.stages.single_layer import apply as gfo_apply
+
+    SF = "/root/testdata/sf0.001"
+
+    def row_func(row):
+        ga = row["geometry"]
+        f = 1.0 + (row["doc_id"] % 3)  # attribute-dependent transform
+        import numpy as np
+
+        out = ga.copy() if hasattr(ga, "copy") else ga
+        # scale coords about the origin by f
+        out = ga.take(np.array([0]))
+        out.coords[:] = out.coords * f
+        return out
+
+    res = gfo_apply(parcels_dataset(SF).limit(60), row_func,
+                    only_geom_input=False).take_all()
+    from geofileops_ray.geom import from_wkb
+    from geofileops_ray.geom.measure import area
+
+    got = sorted(
+        (r["doc_id"], round(float(area(from_wkb([r["geometry"]]))[0]), 6))
+        for r in res
+    )
+    want = [
+        (r[0], round(r[1], 6))
+        for r in oracle.execute(
+            f"""WITH {PARCELS_CTE.strip()}
+            SELECT doc_id,
+                   (maxx - minx) * (maxy - miny)
+                   * POWER(1.0 + doc_id % 3, 2) AS a
+            FROM parcels ORDER BY doc_id LIMIT 60"""
+        ).fetchall()
+    ]
+    assert got == want

@@ -101,6 +101,7 @@ from .stages.catalog import (  # noqa: F401
 # (RGF93 / Lambert-93), 5070 (NAD83 Conus Albers), 3035 (ETRS89 LAEA
 # Europe), 27700 (OSGB36 British National Grid incl. towgs84 Helmert;
 # OSTN15 grid shifts need external data — ±2 m class, documented),
+# 28992 (Amersfoort / RD New oblique stereographic + towgs84),
 # 32601-32660 / 32701-32760 (WGS84 UTM
 # north/south) and 25828-25838 (ETRS89 UTM). Any other code raises
 # ValueError (never a silent None); geodesic distances are spherical

@@ -24,6 +24,10 @@ This module provides the same surface from public projection formulas
   conic, Snyder pp. 98-103; NAD83 treated as WGS84, ~1-2 m)
 * EPSG:3035 — ETRS89-extended / LAEA Europe (ellipsoidal Lambert
   azimuthal equal-area, oblique form, Snyder pp. 182-190)
+* EPSG:27700 — OSGB36 / British National Grid (TM on Airy 1830 +
+  towgs84 Helmert; OSTN15 grid shifts need external data)
+* EPSG:28992 — Amersfoort / RD New (oblique stereographic, EPSG
+  method 9809, Bessel 1841 + Amersfoort towgs84 Helmert)
 
 All transforms go through 4326 as the hub and are vectorized numpy over
 the coordinate slab (one pass per batch — no per-geometry python).
@@ -94,6 +98,7 @@ def _known() -> dict[int, CRS]:
         5070: CRS(5070, "NAD83 / Conus Albers", False),
         3035: CRS(3035, "ETRS89-extended / LAEA Europe", False),
         27700: CRS(27700, "OSGB36 / British National Grid", False),
+        28992: CRS(28992, "Amersfoort / RD New", False),
     }
     for z in range(1, 61):
         out[32600 + z] = CRS(32600 + z, f"WGS 84 / UTM zone {z}N", False)
@@ -115,7 +120,7 @@ def get_crs(epsg: int | None) -> CRS | None:
     except KeyError:
         raise ValueError(
             f"unsupported EPSG:{epsg}; known: 4326, 3857, 3812, 31370, "
-            "2154, 5070, 3035, 27700, 326xx/327xx (UTM), 25828-25838"
+            "2154, 5070, 3035, 27700, 28992, 326xx/327xx (UTM), 25828-25838"
         )
 
 
@@ -302,6 +307,104 @@ def _wgs84_to_osgb36(lon, lat):
     X, Y, Z = _geodetic_to_ecef(lon, lat, _A, _E2)
     X, Y, Z = _helmert(X, Y, Z, _HELMERT_OSGB36, inverse=True)
     return _ecef_to_geodetic(X, Y, Z, _AIRY_A, _TM_27700["e2"])
+
+
+# ------------------------------------------------ oblique stereographic
+# EPSG method 9809 (Guidance Note 7-2): conformal-sphere double
+# stereographic — EPSG:28992 Amersfoort / RD New on Bessel 1841, the
+# Netherlands' national grid. Datum shift: the published towgs84
+# position-vector Helmert for Amersfoort.
+
+_BESSEL_A = 6377397.155
+_BESSEL_F = 1.0 / 299.1528128
+_BESSEL_E2 = _BESSEL_F * (2 - _BESSEL_F)
+_STEREO_28992 = dict(
+    a=_BESSEL_A,
+    e2=_BESSEL_E2,
+    lat0=52.0 + 9.0 / 60 + 22.178 / 3600,
+    lon0=5.0 + 23.0 / 60 + 15.500 / 3600,
+    k0=0.9999079,
+    x0=155000.0,
+    y0=463000.0,
+)
+_HELMERT_AMERSFOORT = (
+    565.417, 50.3319, 465.552, -0.398957, 0.343988, -1.87740, 4.0725
+)
+
+
+def _sterea_consts(p):
+    a, e2 = p["a"], p["e2"]
+    e = math.sqrt(e2)
+    phi0 = math.radians(p["lat0"])
+    s0 = math.sin(phi0)
+    rho0 = a * (1 - e2) / (1 - e2 * s0 * s0) ** 1.5
+    nu0 = a / math.sqrt(1 - e2 * s0 * s0)
+    R = math.sqrt(rho0 * nu0)
+    n = math.sqrt(1 + e2 * math.cos(phi0) ** 4 / (1 - e2))
+    S1 = (1 + s0) / (1 - s0)
+    S2 = (1 - e * s0) / (1 + e * s0)
+    w1 = (S1 * S2**e) ** n
+    sin_chi0 = (w1 - 1) / (w1 + 1)
+    c = (n + s0) * (1 - sin_chi0) / ((n - s0) * (1 + sin_chi0))
+    w2 = c * w1
+    chi0 = math.asin((w2 - 1) / (w2 + 1))
+    return a, e2, e, R, n, c, chi0, math.radians(p["lon0"])
+
+
+def _sterea_fwd(lon, lat, p):
+    a, e2, e, R, n, c, chi0, lam0 = _sterea_consts(p)
+    k0, x0, y0 = p["k0"], p["x0"], p["y0"]
+    phi = np.radians(lat)
+    lam = np.radians(lon)
+    Lam = n * (lam - lam0) + lam0
+    s = np.sin(phi)
+    Sa = (1 + s) / (1 - s)
+    Sb = (1 - e * s) / (1 + e * s)
+    w = c * (Sa * Sb**e) ** n
+    chi = np.arcsin((w - 1) / (w + 1))
+    dl = Lam - lam0
+    B = 1 + np.sin(chi) * math.sin(chi0) + np.cos(chi) * math.cos(chi0) * np.cos(dl)
+    x = x0 + 2 * R * k0 * np.cos(chi) * np.sin(dl) / B
+    y = y0 + 2 * R * k0 * (
+        np.sin(chi) * math.cos(chi0) - np.cos(chi) * math.sin(chi0) * np.cos(dl)
+    ) / B
+    return x, y
+
+
+def _sterea_inv(x, y, p):
+    a, e2, e, R, n, c, chi0, lam0 = _sterea_consts(p)
+    k0, x0, y0 = p["k0"], p["x0"], p["y0"]
+    Ep = np.asarray(x, np.float64) - x0
+    Np = np.asarray(y, np.float64) - y0
+    g = 2 * R * k0 * math.tan(math.pi / 4 - chi0 / 2)
+    h = 4 * R * k0 * math.tan(chi0) + g
+    i = np.arctan2(Ep, h + Np)
+    j = np.arctan2(Ep, g - Np) - i
+    chi = chi0 + 2 * np.arctan((Np - Ep * np.tan(j / 2)) / (2 * R * k0))
+    Lam = j + 2 * i + lam0
+    lam = (Lam - lam0) / n + lam0
+    # isometric latitude on the conformal sphere → ellipsoidal phi
+    psi = 0.5 * np.log((1 + np.sin(chi)) / (c * (1 - np.sin(chi)))) / n
+    phi = 2 * np.arctan(np.exp(psi)) - math.pi / 2
+    for _ in range(6):
+        s = np.sin(phi)
+        psi_i = np.log(
+            np.tan(phi / 2 + math.pi / 4) * ((1 - e * s) / (1 + e * s)) ** (e / 2)
+        )
+        phi = phi - (psi_i - psi) * np.cos(phi) * (1 - e2 * s * s) / (1 - e2)
+    return np.degrees(lam), np.degrees(phi)
+
+
+def _rd_to_wgs84(lon, lat):
+    X, Y, Z = _geodetic_to_ecef(lon, lat, _BESSEL_A, _BESSEL_E2)
+    X, Y, Z = _helmert(X, Y, Z, _HELMERT_AMERSFOORT)
+    return _ecef_to_geodetic(X, Y, Z, _A, _E2)
+
+
+def _wgs84_to_rd(lon, lat):
+    X, Y, Z = _geodetic_to_ecef(lon, lat, _A, _E2)
+    X, Y, Z = _helmert(X, Y, Z, _HELMERT_AMERSFOORT, inverse=True)
+    return _ecef_to_geodetic(X, Y, Z, _BESSEL_A, _BESSEL_E2)
 
 
 # --------------------------------------------------- datum shift (Helmert)
@@ -511,6 +614,8 @@ def _to_4326(x, y, epsg: int):
         return _laea_inv(x, y, _LAEA_3035)
     if epsg == 27700:
         return _osgb36_to_wgs84(*_tm_inv_gen(x, y, _TM_27700))
+    if epsg == 28992:
+        return _rd_to_wgs84(*_sterea_inv(x, y, _STEREO_28992))
     if 32601 <= epsg <= 32660:
         return _tm_inv(x, y, (epsg - 32600) * 6 - 183)
     if 32701 <= epsg <= 32760:
@@ -537,6 +642,8 @@ def _from_4326(lon, lat, epsg: int):
         return _laea_fwd(lon, lat, _LAEA_3035)
     if epsg == 27700:
         return _tm_fwd_gen(*_wgs84_to_osgb36(lon, lat), _TM_27700)
+    if epsg == 28992:
+        return _sterea_fwd(*_wgs84_to_rd(lon, lat), _STEREO_28992)
     if 32601 <= epsg <= 32660:
         return _tm_fwd(lon, lat, (epsg - 32600) * 6 - 183)
     if 32701 <= epsg <= 32760:

@@ -209,3 +209,35 @@ def test_epsg_27700_os_worked_example():
     bx, by = transform_xy(lon_, lat_, 4326, 27700)
     assert np.abs(bx - gx).max() < 5e-3 and np.abs(by - gy).max() < 5e-3
     assert get_crs(27700).epsg == 27700
+
+
+def test_epsg_28992_epsg_worked_example():
+    """Amersfoort / RD New (oblique stereographic, EPSG method 9809):
+    reproduces the EPSG Guidance Note 7-2 worked example (53°N 6°E on
+    the Amersfoort datum → E 196105.283 N 557057.739) to sub-mm, hits
+    the false origin exactly, and WGS84 round trips close within 5 mm."""
+    import numpy as np
+
+    from geofileops_ray.geom.crs import (
+        _STEREO_28992,
+        _sterea_fwd,
+        get_crs,
+        transform_xy,
+    )
+
+    x, y = _sterea_fwd(np.array([6.0]), np.array([53.0]), _STEREO_28992)
+    assert abs(x[0] - 196105.283) < 1e-3
+    assert abs(y[0] - 557057.739) < 1e-3
+    fx, fy = _sterea_fwd(
+        np.array([_STEREO_28992["lon0"]]),
+        np.array([_STEREO_28992["lat0"]]),
+        _STEREO_28992,
+    )
+    assert abs(fx[0] - 155000.0) < 1e-6 and abs(fy[0] - 463000.0) < 1e-6
+
+    gx = np.array([155000.0, 196105.283, 80000.0])
+    gy = np.array([463000.0, 557057.739, 400000.0])
+    lon, lat = transform_xy(gx, gy, 28992, 4326)
+    bx, by = transform_xy(lon, lat, 4326, 28992)
+    assert np.abs(bx - gx).max() < 5e-3 and np.abs(by - gy).max() < 5e-3
+    assert get_crs(28992).epsg == 28992

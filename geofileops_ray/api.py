@@ -105,8 +105,11 @@ from .stages.catalog import (  # noqa: F401
 # 32601-32660 / 32701-32760 (WGS84 UTM
 # north/south) and 25828-25838 (ETRS89 UTM). Any other code raises
 # ValueError (never a silent None); geodesic distances are spherical
-# (R_MEAN).
-from .geom.crs import get_crs  # noqa: F401
+# (R_MEAN). Additionally, ANY CRS expressible in the implemented
+# projection engines (lcc / tm / sterea / longlat + towgs84 Helmert)
+# can be registered at runtime with register_crs(epsg, name, proj,
+# params, ellps, towgs84) and then used everywhere a builtin can.
+from .geom.crs import get_crs, register_crs  # noqa: F401
 
 # deprecated aliases kept by the reference (geoops.py:2267, :2683, :2917)
 erase = difference

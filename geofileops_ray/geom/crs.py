@@ -597,7 +597,89 @@ def _laea_inv(x, y, p):
 # ------------------------------------------------------------ public API
 
 
+# ------------------------------------------------- user-registered CRS
+# The sandbox has no pyproj, so "arbitrary EPSG" cannot resolve from a
+# parameter database — but any CRS expressible in the implemented
+# projection engines CAN be registered at runtime with its proj-style
+# parameters. This turns the curated builtin list into an open surface:
+# the builtins themselves are just pre-registered parameter sets.
+
+_USER_CRS: dict[int, dict] = {}
+
+
+def register_crs(
+    epsg: int,
+    name: str,
+    proj: str,
+    params: dict | None = None,
+    ellps: tuple[float, float] | None = None,
+    towgs84: tuple | None = None,
+) -> CRS:
+    """Register a CRS from projection parameters (copy_layer/reproject
+    accept it immediately). ``proj``: 'lcc' (2SP: lat1/lat2/lat0/lon0/
+    x0/y0), 'tm' (k0/lon0/lat0/x0/y0), 'sterea' (k0/lat0/lon0/x0/y0) or
+    'longlat'. ``ellps`` = (a, f) — defaults to GRS80/WGS84.
+    ``towgs84`` = the 7-parameter position-vector Helmert to WGS84
+    (tx ty tz [m], rx ry rz [arc-sec], ds [ppm]) when the datum is not
+    WGS84-equivalent."""
+    if proj not in ("lcc", "tm", "sterea", "longlat"):
+        raise ValueError(
+            f"unsupported projection engine {proj!r}; available: "
+            "lcc, tm, sterea, longlat"
+        )
+    a, f = ellps if ellps is not None else (_A, _F)
+    e2 = f * (2.0 - f)
+    p = dict(params or {})
+    p["a"], p["e2"] = a, e2
+    p.setdefault("x0", 0.0)
+    p.setdefault("y0", 0.0)
+    p.setdefault("lat0", 0.0)
+    entry = dict(
+        name=name, proj=proj, p=p, a=a, e2=e2,
+        towgs84=tuple(towgs84) if towgs84 else None,
+    )
+    _USER_CRS[int(epsg)] = entry
+    crs = CRS(int(epsg), name, proj == "longlat")
+    KNOWN_CRS[int(epsg)] = crs
+    return crs
+
+
+def _user_to_4326(x, y, u):
+    proj, p = u["proj"], u["p"]
+    if proj == "lcc":
+        lon, lat = _lcc_inv(x, y, p)
+    elif proj == "tm":
+        lon, lat = _tm_inv_gen(x, y, p)
+    elif proj == "sterea":
+        lon, lat = _sterea_inv(x, y, p)
+    else:  # longlat
+        lon, lat = np.asarray(x, np.float64), np.asarray(y, np.float64)
+    if u["towgs84"]:
+        X, Y, Z = _geodetic_to_ecef(lon, lat, u["a"], u["e2"])
+        X, Y, Z = _helmert(X, Y, Z, u["towgs84"])
+        lon, lat = _ecef_to_geodetic(X, Y, Z, _A, _E2)
+    return lon, lat
+
+
+def _user_from_4326(lon, lat, u):
+    if u["towgs84"]:
+        X, Y, Z = _geodetic_to_ecef(lon, lat, _A, _E2)
+        X, Y, Z = _helmert(X, Y, Z, u["towgs84"], inverse=True)
+        lon, lat = _ecef_to_geodetic(X, Y, Z, u["a"], u["e2"])
+    proj, p = u["proj"], u["p"]
+    if proj == "lcc":
+        return _lcc_fwd(lon, lat, p)
+    if proj == "tm":
+        return _tm_fwd_gen(lon, lat, p)
+    if proj == "sterea":
+        return _sterea_fwd(lon, lat, p)
+    return lon, lat
+
+
 def _to_4326(x, y, epsg: int):
+    u = _USER_CRS.get(epsg)
+    if u is not None:
+        return _user_to_4326(x, y, u)
     if epsg == 4326:
         return x, y
     if epsg == 3857:
@@ -626,6 +708,9 @@ def _to_4326(x, y, epsg: int):
 
 
 def _from_4326(lon, lat, epsg: int):
+    u = _USER_CRS.get(epsg)
+    if u is not None:
+        return _user_from_4326(lon, lat, u)
     if epsg == 4326:
         return lon, lat
     if epsg == 3857:

@@ -241,3 +241,39 @@ def test_epsg_28992_epsg_worked_example():
     bx, by = transform_xy(lon, lat, 4326, 28992)
     assert np.abs(bx - gx).max() < 5e-3 and np.abs(by - gy).max() < 5e-3
     assert get_crs(28992).epsg == 28992
+
+
+def test_register_crs_matches_builtins_and_validates():
+    """register_crs: a user-registered parameter set must behave exactly
+    like the curated builtin it mirrors (Lambert 72 incl. the Helmert),
+    and unknown projection engines must refuse."""
+    import numpy as np
+    import pytest
+
+    from geofileops_ray.geom.crs import (
+        _HELMERT_BD72,
+        _INTL_A,
+        _INTL_F,
+        get_crs,
+        register_crs,
+        transform_xy,
+    )
+
+    register_crs(
+        990101, "user Lambert 72", "lcc",
+        dict(lat1=51.16666723333333, lat2=49.8333339, lat0=90.0,
+             lon0=4.367486666666666, x0=150000.013256, y0=5400088.4378),
+        ellps=(_INTL_A, _INTL_F), towgs84=_HELMERT_BD72,
+    )
+    gx = np.array([150000.0, 200000.0, 120000.0])
+    gy = np.array([150000.0, 120000.0, 200000.0])
+    lon_b, lat_b = transform_xy(gx, gy, 31370, 4326)
+    lon_u, lat_u = transform_xy(gx, gy, 990101, 4326)
+    assert np.abs(lon_b - lon_u).max() == 0.0
+    assert np.abs(lat_b - lat_u).max() == 0.0
+    bx, by = transform_xy(lon_u, lat_u, 4326, 990101)
+    assert np.abs(bx - gx).max() < 1e-6
+    assert get_crs(990101).name == "user Lambert 72"
+
+    with pytest.raises(ValueError, match="projection engine"):
+        register_crs(990102, "bad", "omerc", {})

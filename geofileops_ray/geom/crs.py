@@ -622,10 +622,26 @@ def register_crs(
     ``towgs84`` = the 7-parameter position-vector Helmert to WGS84
     (tx ty tz [m], rx ry rz [arc-sec], ds [ppm]) when the datum is not
     WGS84-equivalent."""
-    if proj not in ("lcc", "tm", "sterea", "longlat"):
+    _REQUIRED = {
+        "lcc": ("lat1", "lat2", "lat0", "lon0"),
+        "tm": ("k0", "lon0"),
+        "sterea": ("k0", "lat0", "lon0"),
+        "longlat": (),
+    }
+    if proj not in _REQUIRED:
         raise ValueError(
             f"unsupported projection engine {proj!r}; available: "
             "lcc, tm, sterea, longlat"
+        )
+    missing = [k for k in _REQUIRED[proj] if k not in (params or {})]
+    if missing:
+        # fail at the call site, not as a KeyError inside a Ray worker
+        raise ValueError(f"{proj} registration missing parameters: {missing}")
+    if int(epsg) in KNOWN_CRS and int(epsg) not in _USER_CRS:
+        # never shadow a builtin (registering 4326 would corrupt the
+        # hub itself); re-registering one's OWN code is allowed
+        raise ValueError(
+            f"EPSG:{epsg} is a builtin CRS and cannot be overridden"
         )
     a, f = ellps if ellps is not None else (_A, _F)
     e2 = f * (2.0 - f)
@@ -642,6 +658,22 @@ def register_crs(
     crs = CRS(int(epsg), name, proj == "longlat")
     KNOWN_CRS[int(epsg)] = crs
     return crs
+
+
+def user_crs_snapshot() -> dict:
+    """Driver-side snapshot of the user CRS registry — ship it into
+    worker closures and re-install with ``install_user_crs`` (module
+    state does NOT travel to Ray workers on its own)."""
+    return {k: dict(v) for k, v in _USER_CRS.items()}
+
+
+def install_user_crs(snapshot: dict) -> None:
+    """Install a driver-captured registry in this process (idempotent;
+    called at the top of worker kernels that may see user CRS)."""
+    for k, v in snapshot.items():
+        if k not in _USER_CRS:
+            _USER_CRS[k] = v
+            KNOWN_CRS[k] = CRS(int(k), v["name"], v["proj"] == "longlat")
 
 
 def _user_to_4326(x, y, u):

@@ -82,6 +82,9 @@ def geometry_op(
     Mirrors _single_layer_vector_operation's template post-steps
     (_geoops_sql.py:705-766). ``batch_kernel`` additionally receives the
     attribute batch (apply's only_geom_input=False row mode)."""
+    if (kernel is None) == (batch_kernel is None):
+        # fail at construction, not as a NoneType call inside a worker
+        raise ValueError("geometry_op needs exactly one of kernel/batch_kernel")
 
     def fn(batch: pa.Table) -> pa.Table:
         ga = decode_geometry(batch)

@@ -36,8 +36,13 @@ from .geometry_batch import (
 
 
 def _apply_op(
-    ds: ray.data.Dataset, kernel: Callable[[GeometryArray], GeometryArray], **post
+    ds: ray.data.Dataset,
+    kernel: Callable[[GeometryArray], GeometryArray] | None = None,
+    **post,
 ) -> ray.data.Dataset:
+    """THE single place the single-layer map_batches knobs are set
+    (batch format / zero-copy / batch size); ``post`` passes through to
+    geometry_op, including its batch_kernel row-mode hook."""
     return ds.map_batches(
         geometry_op(kernel, **post),
         batch_format="pyarrow",
@@ -150,14 +155,7 @@ def apply(
         ]
         return concat(outs)
 
-    from .geometry_batch import geometry_op
-
-    return ds.map_batches(
-        geometry_op(batch_kernel=batch_kernel, **post),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=OPTIONS.batch_size,
-    )
+    return _apply_op(ds, batch_kernel=batch_kernel, **post)
 
 
 def apply_vectorized(
@@ -289,10 +287,16 @@ def reproject(
     """Reproject every geometry src→dst CRS (the copy_layer(dst_crs=...)
     path of the reference, fileops.py:3043-3373) — vectorized transform
     over the batch coordinate slab (geom/crs.py, built-in projection
-    math: 4326 / 3857 / 3812 LCC / UTM)."""
-    from ..geom.crs import transform_xy
+    math + any register_crs()-registered CRS)."""
+    from ..geom.crs import install_user_crs, transform_xy, user_crs_snapshot
+
+    # snapshot at the DRIVER: register_crs state is process-local and
+    # would otherwise be empty in the Ray workers running the kernel
+    user_snap = user_crs_snapshot()
 
     def kernel(ga: GeometryArray) -> GeometryArray:
+        if user_snap:
+            install_user_crs(user_snap)
         x, y = transform_xy(ga.coords[:, 0], ga.coords[:, 1], src_epsg, dst_epsg)
         return ga.with_coords(np.stack([x, y], axis=1))
 

@@ -279,3 +279,41 @@ def test_register_crs_matches_builtins_and_validates():
 
     with pytest.raises(ValueError, match="projection engine"):
         register_crs(990102, "bad", "omerc", {})
+
+
+def test_register_crs_works_inside_ray_workers(ray_session):
+    """The user registry is driver-process-local; reproject must ship a
+    snapshot into its worker kernels so a registered CRS works
+    end-to-end (review finding: it previously raised in the worker)."""
+    import numpy as np
+
+    from geofileops_ray.geom import from_wkb
+    from geofileops_ray.geom.crs import register_crs
+    from geofileops_ray.io.synth import points_dataset
+    from geofileops_ray.stages.single_layer import reproject, warp
+
+    register_crs(
+        990201, "user UTM31-like", "tm",
+        dict(k0=0.9996, lon0=3.0, x0=500000.0, y0=0.0),
+    )
+    SF = "/root/testdata/sf0.001"
+    ds = warp(points_dataset(SF), (0.01, 0.0, 4.0, 0.0, 0.01, 50.0))
+    out = reproject(ds, 4326, 990201).take_all()
+    ga = from_wkb([r["geometry"] for r in out])
+    assert (np.abs(ga.coords[:, 0]) > 1e5).all()  # projected meters
+
+
+def test_register_crs_guards():
+    import pytest
+
+    from geofileops_ray.geom.crs import register_crs
+
+    with pytest.raises(ValueError, match="builtin"):
+        register_crs(4326, "evil", "lcc",
+                     dict(lat1=1, lat2=2, lat0=0, lon0=0))
+    with pytest.raises(ValueError, match="missing parameters"):
+        register_crs(990202, "incomplete", "tm", {})
+    from geofileops_ray.stages.geometry_batch import geometry_op
+
+    with pytest.raises(ValueError, match="exactly one"):
+        geometry_op(gridsize=0.01)  # neither kernel nor batch_kernel

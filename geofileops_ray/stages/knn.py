@@ -159,19 +159,23 @@ def _exact_knn(
     return order.astype(np.int64), d[order]
 
 
-def _dist_cols(ga1, rows1, ga2, rows2, dists, crs_epsg):
+def _dist_cols(ga1, rows1, ga2, rows2, dists, crs_epsg, user_snap=None):
     """distance_crs = planar CRS-unit distance (the kNN metric);
     distance = great-circle meters between the planar nearest points,
     inverse-projected to lon/lat (reference emits both — ST_Distance +
     knn2 distance_crs, _geoops_sql.py:2652-2671; here the geodesic is
     spherical, geom/crs.py R_MEAN, documented). Without a CRS the two
-    columns are equal (planar)."""
+    columns are equal (planar). ``user_snap`` re-installs any
+    register_crs() registrations in this worker process."""
     cols = {"distance_crs": pa.array(dists, pa.float64())}
     if crs_epsg is None:
         cols["distance"] = pa.array(dists, pa.float64())
     else:
-        from ..geom.crs import geodesic_xy
+        from ..geom.crs import geodesic_xy, install_user_crs
         from .relation import pair_nearest_points_batch
+
+        if user_snap:
+            install_user_crs(user_snap)
 
         pts = pair_nearest_points_batch(ga1, rows1, ga2, rows2, dists)
         cols["distance"] = pa.array(
@@ -203,6 +207,9 @@ def _broadcast_knn(
     ids2 = tbl2.column("doc_id").to_numpy()
     ga2.bounds()  # precompute cache before broadcast
     ref = _ray.put((tbl2, ga2, rects2, ids2))
+    from ..geom.crs import user_crs_snapshot
+
+    user_snap = user_crs_snapshot() if crs_epsg is not None else None
 
     def fn(batch: pa.Table) -> pa.Table:
         t2, ga2_local, r2, i2 = _ray.get(ref)
@@ -218,7 +225,9 @@ def _broadcast_knn(
         cols = {"l1_" + c: left.column(c) for c in ordered1}
         cols.update({"l2_" + c: right.column(c) for c in ordered2})
         cols["pos"] = pa.array(poss.astype(np.int64), pa.int64())
-        cols.update(_dist_cols(ga1, rows1, ga2_local, rows2, dists, crs_epsg))
+        cols.update(
+            _dist_cols(ga1, rows1, ga2_local, rows2, dists, crs_epsg, user_snap)
+        )
         return pa.table(cols)
 
     return ds1.map_batches(
@@ -248,6 +257,11 @@ def join_nearest(
     to distance_crs."""
     size = size or OPTIONS.cell_size
     radius = radius or size
+    from ..geom.crs import user_crs_snapshot
+
+    # driver-side snapshot: register_crs state must travel into the
+    # worker kernels that compute the geodesic distance column
+    user_snap = user_crs_snapshot() if crs_epsg is not None else None
     cols1 = list(cols1 or _attr_cols(ds1))
     cols2 = list(cols2 or _attr_cols(ds2))
     ordered1 = list(dict.fromkeys(["doc_id", *cols1, _GEOM]))
@@ -357,7 +371,9 @@ def join_nearest(
             cols = {c: out1.column(c) for c in out1.column_names}
             cols.update({c: out2.column(c) for c in out2.column_names})
             cols["pos"] = pa.array(poss, pa.int64())
-            cols.update(_dist_cols(ga1, rows1, ga2, rows2, dists, crs_epsg))
+            cols.update(
+                _dist_cols(ga1, rows1, ga2, rows2, dists, crs_epsg, user_snap)
+            )
             cols["__done"] = pa.array(
                 [True] * len(rows1), pa.bool_()
             )

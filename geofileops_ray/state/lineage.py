@@ -52,14 +52,29 @@ class LineageWriter:
     partition group. Use via ``checkpointed_write`` (groupby partition →
     map_groups(LineageWriter))."""
 
-    def __init__(self, checkpoint_dir: str, partition_col: str):
+    def __init__(
+        self,
+        checkpoint_dir: str,
+        partition_col: str,
+        sort_cols: list[str] | None = None,
+    ):
         self.dir = checkpoint_dir
         self.col = partition_col
+        self.sort_cols = list(sort_cols or [])
         os.makedirs(os.path.join(checkpoint_dir, "data"), exist_ok=True)
         os.makedirs(os.path.join(checkpoint_dir, "lineage"), exist_ok=True)
 
     def __call__(self, group: pa.Table) -> pa.Table:
         key = int(group.column(self.col)[0].as_py())
+        if self.sort_cols:
+            import pyarrow.compute as pc
+
+            group = group.take(
+                pc.sort_indices(
+                    group,
+                    sort_keys=[(c, "ascending") for c in self.sort_cols],
+                )
+            )
         # fault-injection hook for the kill/resume e2e test: slow each
         # partition write so a SIGKILL can land between commits
         delay = float(os.environ.get("GFR_LINEAGE_WRITE_DELAY", "0") or 0)
@@ -94,10 +109,13 @@ def checkpointed_write(
     ds: ray.data.Dataset,
     checkpoint_dir: str,
     partition_col: str = "__cell",
+    sort_cols: list[str] | None = None,
 ) -> list[dict]:
     """Write ``ds`` partitioned by ``partition_col`` with per-partition
     lineage commit; partitions already committed are SKIPPED before the
-    shuffle (resume). Returns the lineage summaries of this run."""
+    shuffle (resume). ``sort_cols`` orders rows WITHIN each partition
+    file (deterministic shard layout). Returns this run's lineage
+    summaries."""
     done = finished_partitions(checkpoint_dir)
     if done:
         done_arr = np.array(sorted(done), dtype=np.int64)
@@ -108,7 +126,7 @@ def checkpointed_write(
             return batch.filter(pa.array(keep))
 
         ds = ds.map_batches(skip, batch_format="pyarrow", zero_copy_batch=True)
-    writer = LineageWriter(checkpoint_dir, partition_col)
+    writer = LineageWriter(checkpoint_dir, partition_col, sort_cols=sort_cols)
 
     def write_group(group: pa.Table) -> pa.Table:
         return writer(group)

@@ -313,42 +313,85 @@ def shuffle_shards(
         raise ValueError("n_shards must be positive")
 
     def fn(batch: pa.Table) -> pa.Table:
-        col = batch.column(id_col)
-        if col.null_count:  # NULL ids never shuffle in (SQL semantics)
-            batch = batch.filter(pc.is_valid(col))
-        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        if exact_oracle:
-            shard = np.fromiter(
-                (_md5_u64(f"{seed}:{int(i)}") % n_shards for i in ids),
-                np.int64,
-                len(ids),
-            )
-            key = np.fromiter(
-                (_md5_u64(f"{seed}:{int(i)}:o") for i in ids),
-                np.uint64,
-                len(ids),
-            ).astype(np.int64)
-        else:
-            import pandas as pd
-
-            h = pd.util.hash_array(
-                np.ascontiguousarray(ids.astype(np.int64))
-            )
-            with np.errstate(over="ignore"):
-                h = h * np.uint64(0x9E3779B97F4A7C15) ^ np.uint64(
-                    (seed * 0x2545F4914F6CDD1D) & 0xFFFFFFFFFFFFFFFF
-                )
-                shard = (h % np.uint64(n_shards)).astype(np.int64)
-                key = (h * np.uint64(0xBF58476D1CE4E5B9)).astype(np.int64)
-        return pa.table(
-            {
-                id_col: batch.column(id_col),
-                "shard_id": pa.array(shard, pa.int64()),
-                "shuffle_key": pa.array(key, pa.int64()),
-            }
-        )
+        return _assign_batch(batch, n_shards, seed, id_col, exact_oracle)
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def write_training_shards(
+    ds: ray.data.Dataset,
+    out_dir: str,
+    n_shards: int = 64,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    exact_oracle: bool = False,
+) -> list[dict]:
+    """The composed training-output writer: seeded content-hash shard +
+    within-shard order (``shuffle_shards`` columns appended to the FULL
+    rows), written partition-per-shard through the per-partition lineage
+    checkpoint — a killed run resumes by skipping committed shards, and
+    the shard files' row order is content-deterministic (re-runs produce
+    the same layout). This is the 100-TB global shuffle without a
+    ``random_shuffle`` all-to-all: ONE hash-partition exchange.
+    Returns this run's per-shard lineage summaries."""
+    from ..state.lineage import checkpointed_write
+
+    def with_shards(batch: pa.Table) -> pa.Table:
+        col = batch.column(id_col)
+        if col.null_count:  # NULL ids never shuffle in
+            batch = batch.filter(pc.is_valid(col))
+        asg = _assign_batch(batch, n_shards, seed, id_col, exact_oracle)
+        out = batch
+        for name in ("shard_id", "shuffle_key"):
+            out = out.append_column(name, asg.column(name))
+        return out
+
+    tagged = ds.map_batches(
+        with_shards, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return checkpointed_write(
+        tagged, out_dir, partition_col="shard_id",
+        sort_cols=["shuffle_key", id_col],
+    )
+
+
+def _assign_batch(
+    batch: pa.Table, n_shards: int, seed: int, id_col: str, exact_oracle: bool
+) -> pa.Table:
+    """One batch of shuffle_shards assignments (shared by the dataset op
+    and the composed writer)."""
+    col = batch.column(id_col)
+    if col.null_count:
+        batch = batch.filter(pc.is_valid(col))
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    if exact_oracle:
+        shard = np.fromiter(
+            (_md5_u64(f"{seed}:{int(i)}") % n_shards for i in ids),
+            np.int64,
+            len(ids),
+        )
+        key = np.fromiter(
+            (_md5_u64(f"{seed}:{int(i)}:o") for i in ids),
+            np.uint64,
+            len(ids),
+        ).astype(np.int64)
+    else:
+        import pandas as pd
+
+        h = pd.util.hash_array(np.ascontiguousarray(ids.astype(np.int64)))
+        with np.errstate(over="ignore"):
+            h = h * np.uint64(0x9E3779B97F4A7C15) ^ np.uint64(
+                (seed * 0x2545F4914F6CDD1D) & 0xFFFFFFFFFFFFFFFF
+            )
+            shard = (h % np.uint64(n_shards)).astype(np.int64)
+            key = (h * np.uint64(0xBF58476D1CE4E5B9)).astype(np.int64)
+    return pa.table(
+        {
+            id_col: batch.column(id_col),
+            "shard_id": pa.array(shard, pa.int64()),
+            "shuffle_key": pa.array(key, pa.int64()),
+        }
+    )
 
 
 def shuffle_shards_sql(

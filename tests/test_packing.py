@@ -169,3 +169,49 @@ def test_shuffle_shards_fast_hash_path(ray_session):
         ).take_all()
     ).sort_by("doc_id")
     assert c.column("shard_id").to_pylist() != a.column("shard_id").to_pylist()
+
+
+def test_write_training_shards_resumable_and_ordered(ray_session, tmp_path):
+    """The composed shard writer: every row lands in exactly one shard
+    file, each file is sorted by shuffle_key, a rerun skips everything
+    (lineage resume), and two fresh writes produce identical content."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from geofileops_ray.textops.packing import write_training_shards
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(300), pa.int64()),
+            "text": pa.array([f"doc {i}" for i in range(300)]),
+        }
+    )
+    out = str(tmp_path / "shards")
+    s1 = write_training_shards(
+        ray.data.from_arrow(t).repartition(5), out, n_shards=8, seed=3
+    )
+    assert sum(r["rows_out"] for r in s1) == 300
+    assert len(s1) == 8
+    seen = []
+    for part in sorted(os.listdir(os.path.join(out, "data"))):
+        f = pq.read_table(os.path.join(out, "data", part, "part.parquet"))
+        keys = f.column("shuffle_key").to_pylist()
+        assert keys == sorted(keys), part  # within-shard order
+        seen += f.column("doc_id").to_pylist()
+    assert sorted(seen) == list(range(300))
+
+    # rerun: all shards committed → nothing written
+    s2 = write_training_shards(
+        ray.data.from_arrow(t).repartition(5), out, n_shards=8, seed=3
+    )
+    assert s2 == []
+
+    # fresh write elsewhere: identical per-shard content (determinism)
+    out2 = str(tmp_path / "shards2")
+    write_training_shards(ray.data.from_arrow(t), out2, n_shards=8, seed=3)
+    for part in sorted(os.listdir(os.path.join(out, "data"))):
+        a = pq.read_table(os.path.join(out, "data", part, "part.parquet"))
+        b = pq.read_table(os.path.join(out2, "data", part, "part.parquet"))
+        assert a.equals(b), part

@@ -22,6 +22,11 @@ from .dedup import (  # noqa: F401
     ngram_jaccard_pairs,
     simhash,
 )
-from .packing import pack_sequences, shuffle_shards  # noqa: F401
+from .packing import (  # noqa: F401
+    pack_interleaved,
+    pack_sequences,
+    shuffle_shards,
+    write_training_shards,
+)
 from .similarity import brute_topk, lsh_topk  # noqa: F401
 from .sketches import approx_distinct, approx_quantiles  # noqa: F401

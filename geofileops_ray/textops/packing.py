@@ -169,13 +169,9 @@ def _place_by_prefix_sum(
 
     slim = slim.materialize()  # consumed 3× below (span probe, totals, final)
 
-    # ---- bucket layout from the id span (driver-side scalars only)
-    from ray.data.aggregate import Count as _Count
-    from ray.data.aggregate import Max as _Max
-    from ray.data.aggregate import Min as _Min
-
-    st = slim.aggregate(_Min(id_col), _Max(id_col), _Count())
-    nrows = int(st["count()"] or 0)
+    # ---- bucket layout (driver-side scalars only; metadata count —
+    # a bare ray.data Count() aggregate returns 0 on some versions)
+    nrows = int(slim.count() or 0)
     if nrows == 0:
         return ray.data.from_arrow(
             pa.table(
@@ -188,15 +184,42 @@ def _place_by_prefix_sum(
                 }
             )
         )
-    lo, hi = int(st[f"min({id_col})"]), int(st[f"max({id_col})"])
     nparts = default_nparts()
     n_buckets = max(nparts * 8, nrows // _ROWS_PER_BUCKET + 1)
-    width = max((hi - lo) // n_buckets + 1, 1)
+    # balanced bucket boundaries from an id SAMPLE (quantile bucketing):
+    # value-range buckets would overload under clustered id spaces; the
+    # sample is bounded by #blocks × 256 rows on the driver, and ANY
+    # monotone id→bucket map gives an exact prefix sum — balance only
+    # affects task sizing, never placement correctness.
+
+    def sample_ids(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) > 256:
+            pos = ((np.arange(256) + 0.5) * len(ids) / 256).astype(np.int64)
+            ids = np.sort(ids)[pos]
+        return pa.table({id_col: pa.array(ids, pa.int64())})
+
+    samp = np.array(
+        [
+            r[id_col]
+            for r in slim.map_batches(
+                sample_ids, batch_format="pyarrow"
+            ).take_all()
+        ],
+        dtype=np.int64,
+    )
+    samp.sort()
+    edges = np.unique(
+        samp[((np.arange(1, n_buckets) * len(samp)) // n_buckets).clip(0, len(samp) - 1)]
+    )
+    edges_ref = ray.put(edges)
 
     def with_bucket(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        bounds = ray.get(edges_ref)
         return batch.append_column(
-            "__bucket", pa.array((ids - lo) // width, pa.int64())
+            "__bucket",
+            pa.array(np.searchsorted(bounds, ids, side="right"), pa.int64()),
         )
 
     bucketed = slim.map_batches(with_bucket, batch_format="pyarrow")

@@ -215,3 +215,33 @@ def test_write_training_shards_resumable_and_ordered(ray_session, tmp_path):
         a = pq.read_table(os.path.join(out, "data", part, "part.parquet"))
         b = pq.read_table(os.path.join(out2, "data", part, "part.parquet"))
         assert a.equals(b), part
+
+
+def test_pack_sequences_clustered_id_space(ray_session, oracle):
+    """Quantile (sample-based) bucketing: a heavily clustered id space
+    (99% of ids in a tiny range + a far 10^17 cluster) still places
+    exactly — value-range buckets would have put nearly all rows in one
+    bucket; balance never affects placement correctness, only task
+    sizing."""
+    import ray.data
+
+    from geofileops_ray.textops.packing import pack_sequences, pack_sequences_sql
+
+    rng = np.random.default_rng(2)
+    ids = np.concatenate(
+        [np.arange(5000), np.array([10**17 + i * 999 for i in range(50)])]
+    )
+    t = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(
+                [" ".join(["w"] * int(k)) for k in rng.integers(0, 30, len(ids))]
+            ),
+        }
+    )
+    got = pa.Table.from_pylist(
+        pack_sequences(ray.data.from_arrow(t).repartition(7), budget=64)
+        .take_all()
+    ).sort_by("doc_id")
+    want = oracle.execute(pack_sequences_sql(64, table="t")).arrow()
+    assert got.to_pylist() == want.to_pylist()

@@ -34,6 +34,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--resume", action="store_true",
                     help="checkpointed write: skip partitions a previous "
                          "run already committed (needs --partition-col)")
+    ap.add_argument("--range-col", default=None,
+                    help="id column whose min/max/count is recorded per "
+                         "partition in the lineage records (provenance)")
     ap.add_argument("--partition-col", default=None,
                     help="partition column for --resume lineage commits")
     ap.add_argument("--list", action="store_true", help="list pipelines")
@@ -73,7 +76,8 @@ def main(argv: list[str] | None = None) -> int:
         from .state.lineage import checkpointed_write
 
         summaries = checkpointed_write(
-            res, args.output, partition_col=args.partition_col
+            res, args.output, partition_col=args.partition_col,
+            range_col=args.range_col,
         )
         rows = int(sum(s["rows_out"] for s in summaries))
         partitions = len(summaries)

@@ -2288,6 +2288,73 @@ def q_approx_quantiles(sf):
     )
 
 
+def q_bloom_blocklist(sf):
+    """Bloom-filter blocklist membership (textops/sketches.py): the bit
+    array is built over the ``doc_id % 97 == 0`` slice's texts (the same
+    deterministic "benchmark set" convention as ngram_decontaminate),
+    OR-merged from per-block partials, broadcast once, probed per batch
+    per DISTINCT text. EXACT oracle: bloom_sql reproduces the identical
+    md5 double-hash bit positions in DuckDB, so the verdict matches
+    false positives and all."""
+    from ..textops.sketches import bloom_membership, build_bloom
+
+    docs = ray.data.read_parquet(
+        f"{sf}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def blockside(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(np.asarray(ids, np.int64) % 97 == 0))
+
+    bloom = build_bloom(
+        docs.map_batches(blockside, batch_format="pyarrow"),
+        "text",
+        n_bits=256,
+        n_hashes=2,
+    )
+    out = bloom_membership(docs, bloom, "text", n_bits=256, n_hashes=2)
+    return _select(out, ["doc_id", "bloom_hit"])
+
+
+def _o_bloom_blocklist() -> str:
+    from ..textops.sketches import bloom_sql
+
+    cte = bloom_sql(
+        build_from=(
+            "SELECT DISTINCT text FROM documents WHERE doc_id % 97 = 0"
+        ),
+        probe="SELECT doc_id, text FROM documents",
+        key_expr="text",
+        n_bits=256,
+        n_hashes=2,
+    )
+    return (
+        f"WITH {cte.strip()} "
+        "SELECT doc_id, bloom_hit FROM bloom ORDER BY doc_id"
+    )
+
+
+def q_heavy_hitters(sf):
+    """Misra-Gries heavy hitters over events.event_type. Capacity 64 ≥
+    the column's distinct count → the SATURATED regime where every
+    counter is exact and the merged summary equals GROUP BY COUNT(*);
+    the approximate regime's N/(capacity+1) bound is pinned by
+    tests/test_sketches.py."""
+    from ..textops.sketches import approx_topk_values
+
+    return approx_topk_values(
+        ray.data.read_parquet(f"{sf}/events.parquet", columns=["event_type"]),
+        "event_type",
+        k=100,
+        capacity=64,
+    )
+
+
+O_HEAVY_HITTERS = """
+SELECT event_type AS value, COUNT(*) AS est_count
+FROM events GROUP BY 1 ORDER BY est_count DESC, value"""
+
+
 def q_media_resize(sf):
     """Actor-pool media RESIZE stage (decode → resample → re-encode;
     codec stubbed, plumbing real): output payload bytes scale with the
@@ -2714,6 +2781,11 @@ QUERIES = {
         n_shards=16,
         seed=42,
     ),
+    # constant-memory membership + frequent-values sketches — both with
+    # EXACT oracles (bloom bit positions are md5-reproducible in SQL;
+    # Misra-Gries at capacity ≥ distinct is exact GROUP BY)
+    "bloom_blocklist": q_bloom_blocklist,
+    "heavy_hitters_event_type": q_heavy_hitters,
     # approximate / stub paths (rows-only checks; no oracle by design)
     "lsh_topk10": q_lsh_topk,
     "ivf_topk10": q_ivf_topk,
@@ -2825,6 +2897,8 @@ FROM events GROUP BY 1 ORDER BY 1""",
         ", " + tpk.pack_interleaved_sql(512, 64).lstrip()
     ),
     "shuffle_shards_16": tpk.shuffle_shards_sql(16, 42),
+    "bloom_blocklist": _o_bloom_blocklist(),
+    "heavy_hitters_event_type": O_HEAVY_HITTERS,
     "token_count": ta.TOKEN_COUNT_SQL,
     "quality_score": ta.QUALITY_SQL,
     "language_id": ta.LANG_ID_SQL,

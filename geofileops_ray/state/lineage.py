@@ -57,10 +57,12 @@ class LineageWriter:
         checkpoint_dir: str,
         partition_col: str,
         sort_cols: list[str] | None = None,
+        range_col: str | None = None,
     ):
         self.dir = checkpoint_dir
         self.col = partition_col
         self.sort_cols = list(sort_cols or [])
+        self.range_col = range_col
         os.makedirs(os.path.join(checkpoint_dir, "data"), exist_ok=True)
         os.makedirs(os.path.join(checkpoint_dir, "lineage"), exist_ok=True)
 
@@ -93,6 +95,20 @@ class LineageWriter:
             "columns": group.column_names,
             "committed_at": time.time(),
         }
+        if self.range_col and self.range_col in group.column_names:
+            # the north rule's "input batch range": which slice of the
+            # input keyspace this partition covers, so an auditor can
+            # map any output partition back to its input rows without
+            # replaying the shuffle
+            import pyarrow.compute as pc
+
+            c = group.column(self.range_col)
+            record["input_range"] = {
+                "col": self.range_col,
+                "min": pc.min(c).as_py(),
+                "max": pc.max(c).as_py(),
+                "count": len(c) - c.null_count,
+            }
         tmp = os.path.join(self.dir, "lineage", f".{key}.json.tmp")
         with open(tmp, "w") as f:
             json.dump(record, f)
@@ -110,11 +126,14 @@ def checkpointed_write(
     checkpoint_dir: str,
     partition_col: str = "__cell",
     sort_cols: list[str] | None = None,
+    range_col: str | None = None,
 ) -> list[dict]:
     """Write ``ds`` partitioned by ``partition_col`` with per-partition
     lineage commit; partitions already committed are SKIPPED before the
     shuffle (resume). ``sort_cols`` orders rows WITHIN each partition
-    file (deterministic shard layout). Returns this run's lineage
+    file (deterministic shard layout); ``range_col`` names an input id
+    column whose per-partition min/max/count is recorded in the lineage
+    record (input-range provenance). Returns this run's lineage
     summaries."""
     done = finished_partitions(checkpoint_dir)
     if done:
@@ -126,7 +145,9 @@ def checkpointed_write(
             return batch.filter(pa.array(keep))
 
         ds = ds.map_batches(skip, batch_format="pyarrow", zero_copy_batch=True)
-    writer = LineageWriter(checkpoint_dir, partition_col, sort_cols=sort_cols)
+    writer = LineageWriter(
+        checkpoint_dir, partition_col, sort_cols=sort_cols, range_col=range_col
+    )
 
     def write_group(group: pa.Table) -> pa.Table:
         return writer(group)

@@ -29,4 +29,11 @@ from .packing import (  # noqa: F401
     write_training_shards,
 )
 from .similarity import brute_topk, lsh_topk  # noqa: F401
-from .sketches import approx_distinct, approx_quantiles  # noqa: F401
+from .sketches import (  # noqa: F401
+    approx_distinct,
+    approx_quantiles,
+    approx_topk_values,
+    bloom_membership,
+    build_bloom,
+    filter_by_bloom,
+)

@@ -374,7 +374,7 @@ def write_training_shards(
     )
     return checkpointed_write(
         tagged, out_dir, partition_col="shard_id",
-        sort_cols=["shuffle_key", id_col],
+        sort_cols=["shuffle_key", id_col], range_col=id_col,
     )
 
 

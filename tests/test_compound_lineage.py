@@ -283,3 +283,25 @@ ray.shutdown()
         open(sorted(glob.glob(os.path.join(ckpt, "lineage", "*.json")))[0])
     )
     assert {"partition", "rows_out", "bytes_out", "write_seconds"} <= set(rec)
+
+
+def test_lineage_input_range_provenance(ray_session, tmp_path):
+    """range_col records the input id slice each partition covers
+    (the north rule's "input batch range" lineage field)."""
+    import json
+
+    ckpt = str(tmp_path / "ckpt_range")
+    ds = parcels_dataset(SF).map_batches(
+        lambda b: b.append_column(
+            "__cell", pa.array((b.column("doc_id").to_numpy() % 3), pa.int64())
+        ).select(["doc_id", "__cell"]),
+        batch_format="pyarrow",
+    )
+    checkpointed_write(ds, ckpt, range_col="doc_id")
+    for k in range(3):
+        with open(os.path.join(ckpt, "lineage", f"{k}.json")) as f:
+            rec = json.load(f)
+        rng = rec["input_range"]
+        assert rng["col"] == "doc_id"
+        assert rng["min"] % 3 == k and rng["max"] % 3 == k
+        assert rng["count"] == rec["rows_out"]

@@ -2334,6 +2334,56 @@ def _o_bloom_blocklist() -> str:
     )
 
 
+def q_kmeans_assign(sf):
+    """Nearest-centroid assignment over the embeddings table with the
+    deterministic first-k-ids init (kmeans_fit at iters=0 — the
+    SQL-expressible stage of the k-means family; the iterated fit is
+    pinned by tests/test_textops.py). Centroids broadcast once; argmin
+    via the no-intermediate dot trick, reported distance recomputed
+    directly so it matches DuckDB list_distance at round-6."""
+    from ..textops.similarity import kmeans_assign, kmeans_fit
+
+    ds = ray.data.read_parquet(
+        f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    cent = kmeans_fit(ds, k=8, iters=0)
+    return kmeans_assign(ds, cent)
+
+
+def q_kmeans_sizes(sf):
+    """Full distributed Lloyd fit (5 iterations, per-block combiner
+    partials) → per-cluster member counts. Rows-only: float summation
+    order across blocks makes the centroid coordinates (and thus
+    borderline assignments) partition-dependent in the last ulp; the
+    invariants are pytest-pinned instead."""
+    from ..textops.similarity import kmeans_assign, kmeans_fit
+
+    ds = ray.data.read_parquet(
+        f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    cent = kmeans_fit(ds, k=8, iters=5)
+    asg = kmeans_assign(ds, cent)
+
+    # per-block combiner → tiny k-row groupby (no data-sized take_all)
+    def sizes(batch: pa.Table) -> pa.Table:
+        cl = batch.column("cluster").to_numpy(zero_copy_only=False)
+        cnt = np.bincount(cl.astype(np.int64), minlength=8)
+        return pa.table(
+            {
+                "cluster": pa.array(np.arange(8), pa.int64()),
+                "n": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    agg = (
+        asg.map_batches(sizes, batch_format="pyarrow")
+        .groupby("cluster")
+        .sum("n")
+    )
+    t = pa.Table.from_pylist(agg.take_all()).sort_by("cluster")
+    return t.rename_columns(["cluster", "n_members"])
+
+
 def q_heavy_hitters(sf):
     """Misra-Gries heavy hitters over events.event_type. Capacity 64 ≥
     the column's distinct count → the SATURATED regime where every
@@ -2786,6 +2836,10 @@ QUERIES = {
     # Misra-Gries at capacity ≥ distinct is exact GROUP BY)
     "bloom_blocklist": q_bloom_blocklist,
     "heavy_hitters_event_type": q_heavy_hitters,
+    # distributed k-means: exact-oracle assignment (fixed first-k-ids
+    # centroids) + rows-only iterated-fit cluster sizes
+    "kmeans_assign_8": q_kmeans_assign,
+    "kmeans_fit_sizes": q_kmeans_sizes,
     # approximate / stub paths (rows-only checks; no oracle by design)
     "lsh_topk10": q_lsh_topk,
     "ivf_topk10": q_ivf_topk,
@@ -2899,6 +2953,7 @@ FROM events GROUP BY 1 ORDER BY 1""",
     "shuffle_shards_16": tpk.shuffle_shards_sql(16, 42),
     "bloom_blocklist": _o_bloom_blocklist(),
     "heavy_hitters_event_type": O_HEAVY_HITTERS,
+    "kmeans_assign_8": ts.kmeans_assign_sql(8),
     "token_count": ta.TOKEN_COUNT_SQL,
     "quality_score": ta.QUALITY_SQL,
     "language_id": ta.LANG_ID_SQL,

@@ -28,7 +28,12 @@ from .packing import (  # noqa: F401
     shuffle_shards,
     write_training_shards,
 )
-from .similarity import brute_topk, lsh_topk  # noqa: F401
+from .similarity import (  # noqa: F401
+    brute_topk,
+    kmeans_assign,
+    kmeans_fit,
+    lsh_topk,
+)
 from .sketches import (  # noqa: F401
     approx_distinct,
     approx_quantiles,

@@ -268,6 +268,155 @@ def ivf_topk(
     )
 
 
+def kmeans_fit(
+    ds: ray.data.Dataset,
+    k: int = 8,
+    iters: int = 5,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Distributed Lloyd k-means over the FULL dataset (unlike ivf_topk's
+    driver-sample quantizer): each iteration broadcasts the centroid
+    matrix (``ray.put``) and every batch emits ONE partial row per
+    centroid (count + coordinate sum, computed with a vectorized
+    argmin), so the driver reduction is k rows per block — bounded by
+    block count, never data size. Init is the k smallest-id embeddings
+    (deterministic, no RNG). Empty clusters keep their previous
+    centroid. Returns the (k, d) float64 centroid matrix."""
+
+    def head_partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        v = _batch_vecs(batch, emb_col)
+        kk = min(k, len(ids))
+        if kk == 0:
+            return pa.table(
+                {
+                    "id": pa.array([], pa.int64()),
+                    "vec": pa.array([], pa.list_(pa.float64())),
+                }
+            )
+        part = (
+            np.argpartition(ids, kk - 1)[:kk] if len(ids) > kk
+            else np.arange(len(ids))
+        )
+        return pa.table(
+            {
+                "id": pa.array(ids[part], pa.int64()),
+                "vec": pa.array([v[i].tolist() for i in part],
+                                pa.list_(pa.float64())),
+            }
+        )
+
+    heads = ds.map_batches(
+        head_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    heads.sort(key=lambda r: r["id"])
+    if len(heads) < k:
+        raise ValueError(f"kmeans_fit: need >= {k} rows, got {len(heads)}")
+    cent = np.asarray([r["vec"] for r in heads[:k]], dtype=np.float64)
+    d = cent.shape[1]
+
+    for _ in range(iters):
+        cref = ray.put(cent)
+
+        def assign_partial(batch: pa.Table) -> pa.Table:
+            c = ray.get(cref)
+            v = _batch_vecs(batch, emb_col)
+            # argmin over squared distance via the dot trick (no n×k×d
+            # intermediate); ties go to the lowest centroid id
+            d2 = (
+                (v * v).sum(axis=1)[:, None]
+                - 2.0 * (v @ c.T)
+                + (c * c).sum(axis=1)[None, :]
+            )
+            a = d2.argmin(axis=1)
+            sums = np.zeros_like(c)
+            np.add.at(sums, a, v)
+            cnts = np.bincount(a, minlength=len(c)).astype(np.int64)
+            return pa.table(
+                {
+                    "cluster": pa.array(np.arange(len(c)), pa.int64()),
+                    "count": pa.array(cnts, pa.int64()),
+                    "sum": pa.array([s.tolist() for s in sums],
+                                    pa.list_(pa.float64())),
+                }
+            )
+
+        parts = ds.map_batches(
+            assign_partial, batch_format="pyarrow", zero_copy_batch=True
+        ).take_all()
+        sums = np.zeros((k, d), dtype=np.float64)
+        cnts = np.zeros(k, dtype=np.int64)
+        for r in parts:
+            sums[r["cluster"]] += np.asarray(r["sum"], dtype=np.float64)
+            cnts[r["cluster"]] += r["count"]
+        nz = cnts > 0
+        cent = np.where(nz[:, None], sums / np.maximum(cnts, 1)[:, None], cent)
+    return cent
+
+
+def kmeans_assign(
+    ds: ray.data.Dataset,
+    centroids: np.ndarray,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 6,
+) -> ray.data.Dataset:
+    """Assign every vector to its nearest centroid (euclidean) →
+    (id_col, cluster, dist). Centroids broadcast once; the chosen
+    centroid's distance is recomputed DIRECTLY (sqrt(Σ(x−c)²) in
+    float64) so it matches DuckDB ``list_distance`` to round-6 — the
+    argmin itself uses the no-intermediate dot trick. Ties break to the
+    lowest cluster id (= SQL ORDER BY dist, cid)."""
+    c = np.asarray(centroids, dtype=np.float64)
+    cref = ray.put(c)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        cm = ray.get(cref)
+        v = _batch_vecs(batch, emb_col)
+        d2 = (
+            (v * v).sum(axis=1)[:, None]
+            - 2.0 * (v @ cm.T)
+            + (cm * cm).sum(axis=1)[None, :]
+        )
+        a = d2.argmin(axis=1)
+        diff = v - cm[a]
+        dist = np.sqrt((diff * diff).sum(axis=1))
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "cluster": pa.array(a.astype(np.int64), pa.int64()),
+                "dist": pa.array(np.round(dist, round_digits), pa.float64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def kmeans_assign_sql(k: int = 8, round_digits: int = 6) -> str:
+    """DuckDB mirror of kmeans_assign with the first-k-ids centroid
+    init (iteration 0 — fixed centroids are the SQL-expressible stage;
+    the iterated fit is checked by tests, not SQL)."""
+    return f"""
+WITH c AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cpos,
+         CAST(embedding AS DOUBLE[]) cv
+  FROM embeddings
+  WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})),
+d AS (
+  SELECT e.vec_id, c.cpos,
+         list_distance(CAST(e.embedding AS DOUBLE[]), c.cv) AS dist
+  FROM embeddings e, c),
+r AS (
+  SELECT vec_id, cpos, dist,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cpos) rn
+  FROM d)
+SELECT vec_id, CAST(cpos AS BIGINT) AS cluster,
+       ROUND(dist, {round_digits}) AS dist
+FROM r WHERE rn = 1 ORDER BY vec_id
+"""
+
+
 def embedding_neardup_pairs(
     ds: ray.data.Dataset,
     threshold: float = 0.95,

@@ -341,3 +341,67 @@ def test_curate_corpus_dedup_stage_bites(ray_session):
         rates_permille={"en": 1000}, benchmark_mod=10_000_019,
     ).take_all()
     assert sorted(r["doc_id"] for r in out) == [1, 10]
+
+
+def test_kmeans_fit_assign(ray_session):
+    """Distributed Lloyd k-means: deterministic first-k init, inertia
+    monotonically non-increasing with iterations, assignment matches a
+    single-process numpy reference, and the fit is reproducible across
+    partitionings (atol for cross-partition float summation order)."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+    from geofileops_ray.textops import similarity as ts
+
+    rng = np.random.default_rng(11)
+    # three well-separated blobs + noise
+    centers = np.array([[0.0] * 8, [10.0] * 8, [-10.0] * 8])
+    pts = np.concatenate(
+        [c + rng.normal(0, 0.5, (200, 8)) for c in centers]
+    )
+    order = rng.permutation(len(pts))
+    pts = pts[order]
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(pts), dtype=np.int64)),
+            "embedding": pa.array(
+                [p.tolist() for p in pts], pa.list_(pa.float32())
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(7)
+
+    def inertia(cent):
+        v = np.stack(
+            [np.asarray(x, np.float64) for x in t.column("embedding").to_pylist()]
+        )
+        d2 = ((v[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+        return float(d2.min(axis=1).sum())
+
+    c0 = ts.kmeans_fit(ds, k=3, iters=0)
+    c3 = ts.kmeans_fit(ds, k=3, iters=3)
+    c6 = ts.kmeans_fit(ds, k=3, iters=6)
+    assert inertia(c3) <= inertia(c0)
+    assert inertia(c6) <= inertia(c3) + 1e-9
+    # converged fit recovers the three blob centers (order-free match)
+    found = {tuple(np.round(c, 0)) for c in c6}
+    assert found == {tuple(c) for c in centers.astype(float)}
+
+    # partition invariance of the fit up to float-summation order
+    c6b = ts.kmeans_fit(ds.repartition(2), k=3, iters=6)
+    assert np.allclose(np.sort(c6, axis=0), np.sort(c6b, axis=0), atol=1e-8)
+
+    # assignment parity with the numpy reference (argmin, lowest-id ties)
+    asg = pa.Table.from_pylist(
+        ts.kmeans_assign(ds, c6).take_all()
+    ).sort_by("vec_id")
+    v = np.stack(
+        [np.asarray(x, np.float64) for x in t.column("embedding").to_pylist()]
+    )
+    d2 = ((v[:, None, :] - c6[None, :, :]) ** 2).sum(-1)
+    want = d2.argmin(axis=1)
+    assert (np.asarray(asg.column("cluster")) == want).all()
+    # every reported distance is the distance to the chosen centroid
+    dist = np.sqrt(d2[np.arange(len(v)), want])
+    assert np.allclose(np.asarray(asg.column("dist")), np.round(dist, 6))

@@ -241,6 +241,39 @@ def run_benchmarks(num_cpus: int, only_flagship: bool = False, repeat: int = 0) 
 
         _, t = timed(lambda: pack_sequences(docs_big, budget=2048).count())
         results["pack_sequences"] = round(t, 3)
+        # bloom blocklist over the expanded corpus (build on the %97
+        # slice, probe everything — the constant-memory decontamination
+        # scale path)
+        from geofileops_ray.textops.sketches import (
+            bloom_membership,
+            build_bloom,
+        )
+
+        def _bloom_run():
+            import pyarrow as _pa
+
+            def blockside(b):
+                ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+                return b.filter(_pa.array(ids % 97 == 0))
+
+            bl = build_bloom(
+                docs_big.map_batches(blockside, batch_format="pyarrow"),
+                "text", n_bits=1 << 20, n_hashes=4,
+            )
+            return bloom_membership(
+                docs_big, bl, "text", n_bits=1 << 20, n_hashes=4
+            ).count()
+
+        _, t = timed(_bloom_run)
+        results["bloom_blocklist"] = round(t, 3)
+        # BM25 scoring pass over the expanded corpus (stats combiner +
+        # stateless score, no shuffle)
+        from geofileops_ray.textops.retrieval import bm25_score
+
+        _, t = timed(
+            lambda: bm25_score(docs_big, "spark table join", k=10).num_rows
+        )
+        results["bm25_topk"] = round(t, 3)
         import numpy as np
         import pyarrow.parquet as pq
 
@@ -252,6 +285,27 @@ def run_benchmarks(num_cpus: int, only_flagship: bool = False, repeat: int = 0) 
         emb = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet")
         _, t = timed(lambda: ts.brute_topk(emb, np.array([qv]), k=10))
         results["embedding_topk"] = round(t, 3)
+
+        # distributed Lloyd k-means over the expanded vector table
+        # (repeat× rows, 64-dim) — 3 iterations, per-block combiner
+        def _expand_vec(b):
+            import pyarrow as _pa
+
+            n = len(b)
+            idx = np.repeat(np.arange(n, dtype=np.int64), repeat)
+            out = b.take(_pa.array(idx))
+            j = np.tile(np.arange(repeat, dtype=np.int64), n)
+            ids = out.column("vec_id").to_numpy() * repeat + j
+            return out.set_column(
+                out.schema.get_field_index("vec_id"), "vec_id",
+                _pa.array(ids, _pa.int64()),
+            )
+
+        emb_big = emb.map_batches(
+            _expand_vec, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
+        _, t = timed(lambda: ts.kmeans_fit(emb_big, k=16, iters=3).shape[0])
+        results["kmeans_fit"] = round(t, 3)
         from geofileops_ray.textops.events import asof_join_events, sessionize
         from geofileops_ray.tiling.grid import polygonize_covered
 

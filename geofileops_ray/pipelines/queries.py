@@ -2334,6 +2334,22 @@ def _o_bloom_blocklist() -> str:
     )
 
 
+def q_bm25(sf):
+    """BM25 full-text scoring (textops/retrieval.py): stats pass =
+    bounded per-block combiner (n_docs, Σdl, per-term df), score pass =
+    stateless vectorized tf + closed-form BM25 — no shuffle anywhere.
+    Exact oracle: bm25_sql mirrors tokenization, Lucene-robust idf and
+    the avgdl-over-all-docs convention at round-6."""
+    from ..textops.retrieval import bm25_score
+
+    return bm25_score(
+        ray.data.read_parquet(
+            f"{sf}/documents.parquet", columns=["doc_id", "text"]
+        ),
+        "spark table join",
+    )
+
+
 def q_kmeans_assign(sf):
     """Nearest-centroid assignment over the embeddings table with the
     deterministic first-k-ids init (kmeans_fit at iters=0 — the
@@ -2840,6 +2856,8 @@ QUERIES = {
     # centroids) + rows-only iterated-fit cluster sizes
     "kmeans_assign_8": q_kmeans_assign,
     "kmeans_fit_sizes": q_kmeans_sizes,
+    # BM25 retrieval: stats-combiner + stateless score pass, exact oracle
+    "bm25_spark_table_join": q_bm25,
     # approximate / stub paths (rows-only checks; no oracle by design)
     "lsh_topk10": q_lsh_topk,
     "ivf_topk10": q_ivf_topk,
@@ -2954,6 +2972,9 @@ FROM events GROUP BY 1 ORDER BY 1""",
     "bloom_blocklist": _o_bloom_blocklist(),
     "heavy_hitters_event_type": O_HEAVY_HITTERS,
     "kmeans_assign_8": ts.kmeans_assign_sql(8),
+    "bm25_spark_table_join": __import__(
+        "geofileops_ray.textops.retrieval", fromlist=["bm25_sql"]
+    ).bm25_sql("spark table join"),
     "token_count": ta.TOKEN_COUNT_SQL,
     "quality_score": ta.QUALITY_SQL,
     "language_id": ta.LANG_ID_SQL,

@@ -28,6 +28,7 @@ from .packing import (  # noqa: F401
     shuffle_shards,
     write_training_shards,
 )
+from .retrieval import bm25_score  # noqa: F401
 from .similarity import (  # noqa: F401
     brute_topk,
     kmeans_assign,

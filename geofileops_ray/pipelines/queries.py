@@ -2704,7 +2704,14 @@ QUERIES = {
     "join_nearest_k2": q_join_nearest,
     "export_by_location_semi": q_export_semi,
     "export_by_location_anti_tri": q_export_anti_tri,
-    "export_by_distance": q_export_by_distance,
+    # round-4 additions with exact oracles hold window slots (the same
+    # promotion pack_sequences_512 got): bloom membership, k-means
+    # assignment, BM25 — displacing rows whose FAMILY keeps another
+    # in-window representative (export_by_distance → semi+anti stay;
+    # isvalid → makevalid stays; dissolve_lines → 3 dissolve rows stay;
+    # all three displaced rows remain oracle-checked past the fold)
+    "bloom_blocklist": q_bloom_blocklist,
+    "kmeans_assign_8": q_kmeans_assign,
     # overlays (rect fast path / general tri / lines / post-chain /
     # auto-subdivide)
     "intersection_pairs": q_intersection,
@@ -2734,13 +2741,12 @@ QUERIES = {
     # dissolve family
     "dissolve_gewasgroep": q_dissolve,
     "dissolve_median_json": q_dissolve_median_json,
-    "dissolve_lines": q_dissolve_lines,
+    "bm25_spark_table_join": q_bm25,
     "dissolve_within_distance_bars": q_dissolve_within_distance_bars,
     # single-layer geometry
     "buffer_area": q_buffer,
     "simplify_counts": q_simplify,
     "makevalid_bowties": q_makevalid,
-    "isvalid_bowties": q_isvalid,
     "apply_scale2": q_apply_scale,
     "update_column_area": q_update_column,
     "warp_affine": q_warp,
@@ -2847,17 +2853,17 @@ QUERIES = {
         n_shards=16,
         seed=42,
     ),
-    # constant-memory membership + frequent-values sketches — both with
-    # EXACT oracles (bloom bit positions are md5-reproducible in SQL;
-    # Misra-Gries at capacity ≥ distinct is exact GROUP BY)
-    "bloom_blocklist": q_bloom_blocklist,
+    # rows displaced from the window by the round-4 promotions (their
+    # families keep an in-window representative; these stay
+    # oracle-checked here)
+    "export_by_distance": q_export_by_distance,
+    "isvalid_bowties": q_isvalid,
+    "dissolve_lines": q_dissolve_lines,
+    # Misra-Gries heavy hitters: exact GROUP BY in the saturated regime
     "heavy_hitters_event_type": q_heavy_hitters,
-    # distributed k-means: exact-oracle assignment (fixed first-k-ids
-    # centroids) + rows-only iterated-fit cluster sizes
-    "kmeans_assign_8": q_kmeans_assign,
+    # iterated k-means fit cluster sizes (rows-only; assignment is the
+    # in-window exact row)
     "kmeans_fit_sizes": q_kmeans_sizes,
-    # BM25 retrieval: stats-combiner + stateless score pass, exact oracle
-    "bm25_spark_table_join": q_bm25,
     # approximate / stub paths (rows-only checks; no oracle by design)
     "lsh_topk10": q_lsh_topk,
     "ivf_topk10": q_ivf_topk,

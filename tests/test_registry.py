@@ -111,7 +111,7 @@ def test_driver_window_covers_families_with_oracles():
         # two-layer joins
         "sjoin_intersects", "sjoin_relate_mask_tri", "join_attributes",
         "join_nearest_k2", "export_by_location_semi",
-        "export_by_location_anti_tri", "export_by_distance",
+        "export_by_location_anti_tri",
         # overlays (incl. the heterogeneous line+polygon candidate mix)
         "intersection_pairs", "intersection_tri", "intersection_lines",
         "pack_sequences_512", "intersection_complexpoly", "clip_areas",
@@ -121,12 +121,14 @@ def test_driver_window_covers_families_with_oracles():
         "select_two_layers", "union_full_self_invariants",
         "delete_duplicate_geometries", "concat_layers",
         # dissolve
-        "dissolve_gewasgroep", "dissolve_median_json", "dissolve_lines",
+        "dissolve_gewasgroep", "dissolve_median_json",
         "dissolve_within_distance_bars",
         # single-layer
         "buffer_area", "simplify_counts",
-        "makevalid_bowties", "isvalid_bowties", "apply_scale2",
+        "makevalid_bowties", "apply_scale2",
         "update_column_area", "warp_affine", "reproject_3857",
+        # round-4 promotions: bloom membership, k-means assignment, BM25
+        "bloom_blocklist", "kmeans_assign_8", "bm25_spark_table_join",
         # tiling
         "tile_assignments_16", "zonal_rasterize_16", "vector_tile_cut_16",
         "polygonize_mask_16",

@@ -760,6 +760,28 @@ O_UPDATE_COLUMN = f"""{CTE}
 SELECT doc_id, ROUND(OPPERVL, 4) AS computed_area FROM parcels ORDER BY 1"""
 
 
+def q_select_st(sf):
+    """User SQL through the ST_* scalar surface (stages/sqlfuncs.py):
+    vectorized DuckDB Python UDFs over WKB, registered once per select
+    actor — the reference's Spatialite-SQL-injection analogue
+    (SURVEY §2.7, fileops.py:1522-1620)."""
+    return sl.select(
+        parcels_dataset(sf),
+        """
+        SELECT doc_id, ROUND(st_area(geometry), 4) AS st_area_v,
+               st_npoints(geometry) AS npts,
+               st_minx(geometry) AS mnx,
+               ROUND(st_centroid_y(geometry), 6) AS cy
+        FROM batch""",
+    )
+
+
+O_SELECT_ST = f"""{CTE}
+SELECT doc_id, ROUND(OPPERVL, 4) AS st_area_v, CAST(5 AS BIGINT) AS npts,
+       minx AS mnx, ROUND((miny + maxy) / 2, 6) AS cy
+FROM parcels ORDER BY doc_id"""
+
+
 def q_warp(sf):
     ds = sl.warp(parcels_dataset(sf), (2.0, 0.0, 10.0, 0.0, 0.5, -3.0))
 
@@ -2861,6 +2883,8 @@ QUERIES = {
     "dissolve_lines": q_dissolve_lines,
     # Misra-Gries heavy hitters: exact GROUP BY in the saturated regime
     "heavy_hitters_event_type": q_heavy_hitters,
+    # ST_* scalar surface through user SQL (select stage UDFs)
+    "select_st_functions": q_select_st,
     # iterated k-means fit cluster sizes (rows-only; assignment is the
     # in-window exact row)
     "kmeans_fit_sizes": q_kmeans_sizes,
@@ -2977,6 +3001,7 @@ FROM events GROUP BY 1 ORDER BY 1""",
     "shuffle_shards_16": tpk.shuffle_shards_sql(16, 42),
     "bloom_blocklist": _o_bloom_blocklist(),
     "heavy_hitters_event_type": O_HEAVY_HITTERS,
+    "select_st_functions": O_SELECT_ST,
     "kmeans_assign_8": ts.kmeans_assign_sql(8),
     "bm25_spark_table_join": __import__(
         "geofileops_ray.textops.retrieval", fromlist=["bm25_sql"]

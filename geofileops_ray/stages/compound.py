@@ -714,6 +714,10 @@ def select_two_layers(
 
         con = duckdb.connect()
         try:
+            if "st_" in sql.lower():
+                from .sqlfuncs import register_st_functions
+
+                register_st_functions(con)
             l1 = g1.rename_columns([c[3:] for c in g1.column_names])
             l2 = g2.rename_columns([c[3:] for c in g2.column_names])
             con.register("layer1", l1)

@@ -63,6 +63,10 @@ def run_sql_on_batch(batch: pa.Table, sql: str) -> pa.Table:
 
     con = duckdb.connect()
     try:
+        if "st_" in sql.lower():
+            from .sqlfuncs import register_st_functions
+
+            register_st_functions(con)
         con.register("batch", batch)
         return con.execute(sql).arrow()
     finally:

@@ -177,7 +177,10 @@ def select(ds: ray.data.Dataset, sql: str, concurrency=None) -> ray.data.Dataset
         def __init__(self):
             import duckdb
 
-            self.con = duckdb.connect()
+            from .sqlfuncs import register_st_functions
+
+            # ST_* scalar surface (SURVEY §2.7) registered ONCE per actor
+            self.con = register_st_functions(duckdb.connect())
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             self.con.register("batch", batch)

@@ -1,0 +1,225 @@
+"""ST_* scalar functions for the user-SQL surface.
+
+The reference lets users embed Spatialite SQL in ``select`` /
+``select_two_layers`` / ``where_post`` / ``update_column`` with the
+ST_* scalar set (SURVEY.md §2.7, fileops.py:1522-1620). Our per-batch
+SQL engine is DuckDB, which has no spatial extension in this sandbox —
+so the subset of ST_* the reference itself exercises is registered as
+VECTORIZED DuckDB Python UDFs (``type='arrow'``: one call per chunk,
+the WKB column decodes once through the packed GeometryArray codec,
+the kernel is the same numpy code every pipeline stage uses).
+
+Registration is opt-in per connection (``register_st_functions``) and
+the hot-path helper ``run_sql_on_batch`` only pays for it when the SQL
+actually mentions an ``st_`` name.
+
+Scalar geometry→geometry functions with a parameter (buffer distance,
+simplify tolerance) accept per-row values but evaluate per DISTINCT
+parameter value (in user SQL the parameter is almost always a literal
+→ exactly one kernel call per chunk).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..geom import GeometryArray, from_wkb
+from ..geom import algorithms as alg
+from ..geom import measure as meas
+from ..geom import predicates as pred
+from ..geom.wkb import to_wkb_arrow
+
+_ST_MARKER = "st_"
+
+
+def _decode(chunked) -> tuple[GeometryArray, np.ndarray]:
+    """ChunkedArray[BLOB] → (GeometryArray of the non-null rows,
+    validity mask). Null WKB rows yield null outputs."""
+    arr = (
+        chunked.combine_chunks()
+        if isinstance(chunked, pa.ChunkedArray)
+        else chunked
+    )
+    valid = np.ones(len(arr), dtype=bool)
+    if arr.null_count:
+        import pyarrow.compute as pc
+
+        valid = pc.is_valid(arr).to_numpy(zero_copy_only=False).astype(bool)
+        arr = arr.filter(pa.array(valid))
+    return from_wkb(arr), valid
+
+
+def _scatter(vals: np.ndarray, valid: np.ndarray, typ) -> pa.Array:
+    out = np.empty(len(valid), dtype=vals.dtype if len(vals) else np.float64)
+    out[valid] = vals
+    return pa.array(out, typ, mask=~valid)
+
+
+def _geom_out(ga: GeometryArray, valid: np.ndarray) -> pa.Array:
+    wkb = to_wkb_arrow(ga)
+    if isinstance(wkb, pa.ChunkedArray):  # pragma: no cover
+        wkb = wkb.combine_chunks()
+    if valid.all():
+        return wkb
+    idx = np.full(len(valid), -1, dtype=np.int64)
+    idx[valid] = np.arange(int(valid.sum()))
+    return wkb.take(pa.array(np.where(valid, idx, None)))
+
+
+def _measure_fn(kernel):
+    def fn(g):
+        ga, valid = _decode(g)
+        return _scatter(kernel(ga).astype(np.float64), valid, pa.float64())
+
+    return fn
+
+
+def _unary_geom_fn(kernel):
+    def fn(g):
+        ga, valid = _decode(g)
+        return _geom_out(kernel(ga), valid)
+
+    return fn
+
+
+def _param_geom_fn(kernel):
+    """(geom, param) → geom, evaluated per distinct param value."""
+
+    def fn(g, p):
+        ga, valid = _decode(g)
+        pv = (
+            p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p
+        ).to_numpy(zero_copy_only=False).astype(np.float64)[valid]
+        if len(pv) == 0:
+            return _geom_out(ga, valid)
+        parts: list[GeometryArray] = []
+        # pos[i] = row i's position in the grouped concat, so
+        # concat.take(pos) restores row order
+        pos = np.empty(len(pv), dtype=np.int64)
+        n = 0
+        for val in np.unique(pv):
+            sel = np.flatnonzero(pv == val)
+            parts.append(kernel(ga.take(sel), float(val)))
+            pos[sel] = np.arange(n, n + len(sel))
+            n += len(sel)
+        from ..geom import concat
+
+        return _geom_out(concat(parts).take(pos), valid)
+
+    return fn
+
+
+def _pair_bool_fn(pair_kernel):
+    def fn(g1, g2):
+        ga, va = _decode(g1)
+        gb, vb = _decode(g2)
+        valid = va & vb
+        # per-row scalar predicate (user-SQL convenience surface — the
+        # engine's joins never route through SQL UDFs)
+        ia = np.cumsum(va) - 1
+        ib = np.cumsum(vb) - 1
+        out = np.zeros(len(valid), dtype=bool)
+        for k in np.flatnonzero(valid):
+            out[k] = bool(pair_kernel(ga, int(ia[k]), gb, int(ib[k])))
+        return pa.array(out, pa.bool_(), mask=~valid)
+
+    return fn
+
+
+def _pair_double_fn(pair_kernel):
+    def fn(g1, g2):
+        ga, va = _decode(g1)
+        gb, vb = _decode(g2)
+        valid = va & vb
+        ia = np.cumsum(va) - 1
+        ib = np.cumsum(vb) - 1
+        out = np.zeros(len(valid), dtype=np.float64)
+        for k in np.flatnonzero(valid):
+            out[k] = float(pair_kernel(ga, int(ia[k]), gb, int(ib[k])))
+        return pa.array(out, pa.float64(), mask=~valid)
+
+    return fn
+
+
+def register_st_functions(con):
+    """Register the ST_* scalar set on a DuckDB connection. Idempotent:
+    a connection that already has ``st_area`` is returned untouched
+    (DuckDBPyConnection forbids Python attributes, so the probe is a
+    catalog lookup)."""
+    already = con.execute(
+        "SELECT count(*) FROM duckdb_functions() WHERE function_name = 'st_area'"
+    ).fetchall()[0][0]  # fetchall releases the implicit transaction —
+    # fetchone leaves it open and create_function then refuses to run
+    if already:
+        return con
+    from duckdb.typing import BIGINT, BLOB, BOOLEAN, DOUBLE
+
+    def _bounds_fn(col):
+        def fn(g):
+            ga, valid = _decode(g)
+            return _scatter(ga.bounds()[:, col], valid, pa.float64())
+
+        return fn
+
+    def _centroid_fn(col):
+        def fn(g):
+            ga, valid = _decode(g)
+            return _scatter(meas.centroid(ga)[:, col], valid, pa.float64())
+
+        return fn
+
+    def _npoints(g):
+        ga, valid = _decode(g)
+        return _scatter(ga.num_coords().astype(np.int64), valid, pa.int64())
+
+    def _isvalid(g):
+        ga, valid = _decode(g)
+        ok, _reasons = alg.is_valid_detail(ga)
+        out = np.zeros(len(valid), dtype=bool)
+        out[valid] = ok
+        return pa.array(out, pa.bool_(), mask=~valid)
+
+    def _isempty(g):
+        ga, valid = _decode(g)
+        out = np.zeros(len(valid), dtype=bool)
+        out[valid] = ga.num_coords() == 0
+        return pa.array(out, pa.bool_(), mask=~valid)
+
+    funcs = [
+        ("st_area", _measure_fn(meas.area), [BLOB], DOUBLE),
+        ("st_length", _measure_fn(meas.length), [BLOB], DOUBLE),
+        ("st_perimeter", _measure_fn(meas.perimeter), [BLOB], DOUBLE),
+        ("st_npoints", _npoints, [BLOB], BIGINT),
+        ("st_minx", _bounds_fn(0), [BLOB], DOUBLE),
+        ("st_miny", _bounds_fn(1), [BLOB], DOUBLE),
+        ("st_maxx", _bounds_fn(2), [BLOB], DOUBLE),
+        ("st_maxy", _bounds_fn(3), [BLOB], DOUBLE),
+        ("st_centroid_x", _centroid_fn(0), [BLOB], DOUBLE),
+        ("st_centroid_y", _centroid_fn(1), [BLOB], DOUBLE),
+        ("st_isvalid", _isvalid, [BLOB], BOOLEAN),
+        ("st_isempty", _isempty, [BLOB], BOOLEAN),
+        ("st_makevalid", _unary_geom_fn(alg.make_valid), [BLOB], BLOB),
+        ("st_convexhull", _unary_geom_fn(alg.convex_hull), [BLOB], BLOB),
+        (
+            "st_buffer",
+            _param_geom_fn(lambda ga, d: alg.buffer(ga, d)),
+            [BLOB, DOUBLE],
+            BLOB,
+        ),
+        (
+            "st_simplify",
+            _param_geom_fn(lambda ga, t: alg.simplify(ga, t)),
+            [BLOB, DOUBLE],
+            BLOB,
+        ),
+        ("st_intersects", _pair_bool_fn(pred.pair_intersects), [BLOB, BLOB], BOOLEAN),
+        ("st_distance", _pair_double_fn(pred.pair_distance), [BLOB, BLOB], DOUBLE),
+    ]
+    for name, fn, args, ret in funcs:
+        con.create_function(name, fn, args, ret, type="arrow")
+    return con
+
+
+def wants_st(sql: str) -> bool:
+    return _ST_MARKER in sql.lower()

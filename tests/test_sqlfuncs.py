@@ -1,0 +1,87 @@
+"""ST_* scalar surface (stages/sqlfuncs.py): the DuckDB UDFs must agree
+with the geometry kernels they wrap, through both the raw connection
+and the Ray `select` stage."""
+
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+
+def _rect_wkb(x0, y0, x1, y1):
+    pts = [(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)]
+    b = struct.pack("<BI", 1, 3) + struct.pack("<I", 1)
+    b += struct.pack("<I", len(pts))
+    for x, y in pts:
+        b += struct.pack("<dd", x, y)
+    return b
+
+
+def test_st_udfs_match_kernels_and_handle_nulls():
+    import duckdb
+
+    from geofileops_ray.geom import from_wkb
+    from geofileops_ray.geom import measure as meas
+    from geofileops_ray.stages.sqlfuncs import register_st_functions
+
+    rows = [_rect_wkb(0, 0, 2, 3), _rect_wkb(1, 1, 4, 5), None,
+            _rect_wkb(-2, -2, -1, 0)]
+    t = pa.table({"geometry": pa.array(rows, pa.binary()),
+                  "d": pa.array([1.0, 2.0, 1.0, 1.0])})
+    con = register_st_functions(register_st_functions(duckdb.connect()))
+    con.register("batch", t)
+    r = con.execute(
+        "SELECT st_area(geometry) a, st_perimeter(geometry) p,"
+        " st_npoints(geometry) n, st_minx(geometry) mnx,"
+        " st_centroid_x(geometry) cx, st_isvalid(geometry) v,"
+        " st_isempty(geometry) ie,"
+        " st_area(st_buffer(geometry, d)) ba,"
+        " st_area(st_convexhull(geometry)) ch,"
+        " st_intersects(geometry, geometry) ii,"
+        " st_distance(geometry, geometry) dd FROM batch"
+    ).arrow()
+    ga = from_wkb(pa.array([w for w in rows if w is not None], pa.binary()))
+    want_a = meas.area(ga)
+    got_a = r.column("a").to_pylist()
+    assert got_a[2] is None  # null WKB → null out, everywhere
+    assert np.allclose([got_a[0], got_a[1], got_a[3]], want_a)
+    assert r.column("n").to_pylist() == [5, 5, None, 5]
+    assert r.column("v").to_pylist() == [True, True, None, True]
+    assert r.column("ii").to_pylist() == [True, True, None, True]
+    # st_buffer evaluates per DISTINCT distance (two groups here) and
+    # scatters back to row order: each buffered area strictly grows
+    # with its own rect + distance
+    ba = r.column("ba").to_pylist()
+    assert ba[2] is None and all(
+        b > a for a, b in [(got_a[0], ba[0]), (got_a[1], ba[1])]
+    )
+
+
+def test_select_stage_with_st_functions(ray_session):
+    """The `select` Ray stage exposes the ST surface (registered once
+    per actor in __init__); rect parcels give closed-form answers."""
+    from geofileops_ray.io.synth import parcels_dataset
+    from geofileops_ray.stages import single_layer as sl
+
+    sf = "/root/testdata/sf0.001"
+    out = pa.Table.from_pylist(
+        sl.select(
+            parcels_dataset(sf),
+            "SELECT doc_id, st_area(geometry) AS a,"
+            " st_npoints(geometry) AS n,"
+            " (st_maxx(geometry) - st_minx(geometry))"
+            " * (st_maxy(geometry) - st_miny(geometry)) AS bbox_area"
+            " FROM batch",
+        ).take_all()
+    ).sort_by("doc_id")
+    ref = pa.Table.from_pylist(
+        parcels_dataset(sf).take_all()
+    ).sort_by("doc_id")
+    # rect parcels: st_area == OPPERVL == bbox area, 5-point rings
+    assert np.allclose(
+        np.asarray(out.column("a")), np.asarray(ref.column("OPPERVL"))
+    )
+    assert np.allclose(
+        np.asarray(out.column("bbox_area")), np.asarray(out.column("a"))
+    )
+    assert set(out.column("n").to_pylist()) == {5}

@@ -760,6 +760,39 @@ O_UPDATE_COLUMN = f"""{CTE}
 SELECT doc_id, ROUND(OPPERVL, 4) AS computed_area FROM parcels ORDER BY 1"""
 
 
+def q_flagship_agg(sf):
+    """The composed headline pipeline (sjoin → dissolve) checked
+    end-to-end: attribute aggregates of flagship() per (GEWASGROEP,
+    naam). The geometry union itself is not SQL-expressible, but the
+    join row multiset and the dissolve aggregates are — one oracle
+    covers the composition of the two heaviest engine paths. Sums are
+    exact (OPPERVL is a quarter-integer lattice → f64 summation is
+    order-independent here)."""
+    ds = flagship(sf)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        s = _round_half_up(batch.column("sum_oppervl").to_numpy(
+            zero_copy_only=False
+        ), 4)
+        return pa.table(
+            {
+                "GEWASGROEP": batch.column("GEWASGROEP"),
+                "naam": batch.column("naam"),
+                "sum_oppervl": pa.array(s, pa.float64()),
+                "nb_rows": batch.column("nb_rows"),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+O_FLAGSHIP_AGG = f"""{CTE}
+SELECT p.GEWASGROEP, z.naam, ROUND(SUM(p.OPPERVL), 4) AS sum_oppervl,
+       COUNT(*) AS nb_rows
+FROM parcels p JOIN zones z ON {BBOX_ON}
+GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
 def q_select_st(sf):
     """User SQL through the ST_* scalar surface (stages/sqlfuncs.py):
     vectorized DuckDB Python UDFs over WKB, registered once per select
@@ -2885,6 +2918,9 @@ QUERIES = {
     "heavy_hitters_event_type": q_heavy_hitters,
     # ST_* scalar surface through user SQL (select stage UDFs)
     "select_st_functions": q_select_st,
+    # the composed flagship (sjoin → dissolve) with an exact
+    # aggregate oracle
+    "flagship_agg": q_flagship_agg,
     # iterated k-means fit cluster sizes (rows-only; assignment is the
     # in-window exact row)
     "kmeans_fit_sizes": q_kmeans_sizes,
@@ -3002,6 +3038,7 @@ FROM events GROUP BY 1 ORDER BY 1""",
     "bloom_blocklist": _o_bloom_blocklist(),
     "heavy_hitters_event_type": O_HEAVY_HITTERS,
     "select_st_functions": O_SELECT_ST,
+    "flagship_agg": O_FLAGSHIP_AGG,
     "kmeans_assign_8": ts.kmeans_assign_sql(8),
     "bm25_spark_table_join": __import__(
         "geofileops_ray.textops.retrieval", fromlist=["bm25_sql"]

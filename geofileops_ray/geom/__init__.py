@@ -41,3 +41,4 @@ from .predicates import (  # noqa: F401
 )
 from .strtree import BoxGrid, PackedRTree, bbox_join, bbox_join_auto  # noqa: F401
 from .wkb import from_wkb, to_wkb, to_wkb_arrow, to_wkt  # noqa: F401
+from .wkt import from_wkt  # noqa: F401  (full-array WKT codec: geom.wkt)

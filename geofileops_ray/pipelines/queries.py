@@ -815,6 +815,42 @@ SELECT doc_id, ROUND(OPPERVL, 4) AS st_area_v, CAST(5 AS BIGINT) AS npts,
 FROM parcels ORDER BY doc_id"""
 
 
+def _sql_num(c: str) -> str:
+    """Render a DOUBLE like the engine's WKT number formatter: integral
+    values without the '.0', otherwise the plain repr."""
+    return (
+        f"CASE WHEN {c} = floor({c}) THEN CAST(CAST({c} AS BIGINT) AS VARCHAR)"
+        f" ELSE CAST({c} AS VARCHAR) END"
+    )
+
+
+def q_select_wkt(sf):
+    """WKT codec through user SQL: st_astext emits the canonical WKT and
+    st_geomfromtext parses it back (round-trip area must survive) —
+    ST_AsText / ST_GeomFromText of SURVEY §2.7."""
+    return sl.select(
+        parcels_dataset(sf),
+        """
+        SELECT doc_id, st_astext(geometry) AS wkt,
+               ROUND(st_area(st_geomfromtext(st_astext(geometry))), 4)
+                 AS rt_area
+        FROM batch""",
+    )
+
+
+def _o_select_wkt() -> str:
+    x0, y0 = _sql_num("minx"), _sql_num("miny")
+    x1, y1 = _sql_num("maxx"), _sql_num("maxy")
+    wkt = (
+        f"'POLYGON ((' || {x0} || ' ' || {y0} || ', ' || {x1} || ' ' || {y0}"
+        f" || ', ' || {x1} || ' ' || {y1} || ', ' || {x0} || ' ' || {y1}"
+        f" || ', ' || {x0} || ' ' || {y0} || '))'"
+    )
+    return f"""{CTE}
+SELECT doc_id, {wkt} AS wkt, ROUND(OPPERVL, 4) AS rt_area
+FROM parcels ORDER BY doc_id"""
+
+
 def q_warp(sf):
     ds = sl.warp(parcels_dataset(sf), (2.0, 0.0, 10.0, 0.0, 0.5, -3.0))
 
@@ -2921,6 +2957,8 @@ QUERIES = {
     # the composed flagship (sjoin → dissolve) with an exact
     # aggregate oracle
     "flagship_agg": q_flagship_agg,
+    # WKT codec round-trip through the select stage
+    "select_wkt_roundtrip": q_select_wkt,
     # iterated k-means fit cluster sizes (rows-only; assignment is the
     # in-window exact row)
     "kmeans_fit_sizes": q_kmeans_sizes,
@@ -3039,6 +3077,7 @@ FROM events GROUP BY 1 ORDER BY 1""",
     "heavy_hitters_event_type": O_HEAVY_HITTERS,
     "select_st_functions": O_SELECT_ST,
     "flagship_agg": O_FLAGSHIP_AGG,
+    "select_wkt_roundtrip": _o_select_wkt(),
     "kmeans_assign_8": ts.kmeans_assign_sql(8),
     "bm25_spark_table_join": __import__(
         "geofileops_ray.textops.retrieval", fromlist=["bm25_sql"]

@@ -216,6 +216,31 @@ def register_st_functions(con):
         ("st_intersects", _pair_bool_fn(pred.pair_intersects), [BLOB, BLOB], BOOLEAN),
         ("st_distance", _pair_double_fn(pred.pair_distance), [BLOB, BLOB], DOUBLE),
     ]
+
+    from ..geom.wkt import from_wkt, to_wkt
+    from duckdb.typing import VARCHAR
+
+    def _geomfromtext(txt):
+        a = (
+            txt.combine_chunks()
+            if isinstance(txt, pa.ChunkedArray)
+            else txt
+        )
+        ga = from_wkt(a.to_pylist())
+        valid = np.array([v is not None for v in a.to_pylist()], dtype=bool)
+        return _geom_out(ga.take(np.flatnonzero(valid)), valid)
+
+    def _astext(g):
+        ga, valid = _decode(g)
+        txt = to_wkt(ga)
+        out = np.full(len(valid), None, dtype=object)
+        out[valid] = txt
+        return pa.array(out.tolist(), pa.string())
+
+    funcs += [
+        ("st_geomfromtext", _geomfromtext, [VARCHAR], BLOB),
+        ("st_astext", _astext, [BLOB], VARCHAR),
+    ]
     for name, fn, args, ret in funcs:
         con.create_function(name, fn, args, ret, type="arrow")
     return con

@@ -85,3 +85,72 @@ def test_select_stage_with_st_functions(ray_session):
         np.asarray(out.column("bbox_area")), np.asarray(out.column("a"))
     )
     assert set(out.column("n").to_pylist()) == {5}
+
+
+def test_wkt_codec_roundtrip_and_errors():
+    """geom/wkt.py: parse/emit round-trip across all types, WKB parity,
+    null/empty rows, Z/M and malformed inputs rejected."""
+    import numpy as np
+    import pyarrow as pa
+
+    from geofileops_ray.geom import from_wkb
+    from geofileops_ray.geom.wkb import to_wkb
+    from geofileops_ray.geom.wkt import WktError, from_wkt, to_wkt
+
+    wkts = [
+        "POINT (1 2)",
+        "LINESTRING (0 0, 1 1, 2 0)",
+        "POLYGON ((0 0, 4 0, 4 3, 0 3, 0 0))",
+        "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0),"
+        " (2 2, 4 2, 4 4, 2 4, 2 2))",
+        "MULTIPOINT ((1 2), (3 4))",
+        "MULTIPOINT (1 2, 3 4)",  # bare-pair variant normalizes
+        "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3))",
+        "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)),"
+        " ((5 5, 6 5, 6 6, 5 6, 5 5)))",
+        "GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (0 0, 1 1))",
+        "POLYGON EMPTY",
+        None,
+        "point(1.5 -2.25)",  # case-insensitive, fractional coords
+    ]
+    ga = from_wkt(wkts)
+    txt = to_wkt(ga)
+    assert txt[-2] is None and txt[-1] == "POINT (1.5 -2.25)"
+    assert txt[4] == txt[5]  # both MULTIPOINT spellings normalize
+    ga2 = from_wkt(txt)
+    assert (ga.types == ga2.types).all()
+    assert np.allclose(ga.coords, ga2.coords)
+    # parity with the WKB codec
+    ga3 = from_wkb(pa.array(to_wkb(ga), pa.binary()))
+    assert np.allclose(ga.coords, ga3.coords)
+
+    import pytest
+
+    for bad in ("POINT Z (1 2 3)", "FOO (1 2)", "POLYGON ((0 0, 1 1))",
+                "LINESTRING (1 1)"):
+        with pytest.raises(WktError):
+            from_wkt([bad])
+
+
+def test_st_wkt_udfs():
+    """st_astext / st_geomfromtext through DuckDB: text round-trips to
+    the same geometry."""
+    import duckdb
+    import pyarrow as pa
+
+    from geofileops_ray.stages.sqlfuncs import register_st_functions
+
+    t = pa.table(
+        {"geometry": pa.array([_rect_wkb(0, 0, 2, 3), None], pa.binary())}
+    )
+    con = register_st_functions(duckdb.connect())
+    con.register("batch", t)
+    r = con.execute(
+        "SELECT st_astext(geometry) w,"
+        " st_area(st_geomfromtext(st_astext(geometry))) a,"
+        " st_astext(st_geomfromtext('POINT (7 8)')) p FROM batch"
+    ).arrow()
+    assert r.column("w").to_pylist() == [
+        "POLYGON ((0 0, 2 0, 2 3, 0 3, 0 0))", None]
+    assert r.column("a").to_pylist() == [6.0, None]
+    assert r.column("p").to_pylist()[0] == "POINT (7 8)"

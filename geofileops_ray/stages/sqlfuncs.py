@@ -217,6 +217,69 @@ def register_st_functions(con):
         ("st_distance", _pair_double_fn(pred.pair_distance), [BLOB, BLOB], DOUBLE),
     ]
 
+    # relationship predicates + DE-9IM + validity reasons + precision
+    from ..geom.relate import relate_general
+
+    def _pair_varchar_fn(pair_kernel):
+        def fn(g1, g2):
+            ga, va = _decode(g1)
+            gb, vb = _decode(g2)
+            valid = va & vb
+            ia = np.cumsum(va) - 1
+            ib = np.cumsum(vb) - 1
+            out = np.full(len(valid), None, dtype=object)
+            for k in np.flatnonzero(valid):
+                out[k] = str(pair_kernel(ga, int(ia[k]), gb, int(ib[k])))
+            return pa.array(out.tolist(), pa.string())
+
+        return fn
+
+    def _isvalidreason(g):
+        ga, valid = _decode(g)
+        ok, reasons = alg.is_valid_detail(ga)
+        out = np.full(len(valid), None, dtype=object)
+        vi = np.flatnonzero(valid)
+        for k, o, r in zip(vi, ok, reasons):
+            out[k] = "Valid Geometry" if o else (r or "Invalid Geometry")
+        return pa.array(out.tolist(), pa.string())
+
+    def _collectionextract(g, p):
+        ga, valid = _decode(g)
+        pv = (
+            p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p
+        ).to_numpy(zero_copy_only=False)
+        prim = int(pv[0]) if len(pv) else 3
+        return _geom_out(alg.collection_extract(ga, prim), valid)
+
+    def _removerepeated(ga: GeometryArray) -> GeometryArray:
+        geoms = []
+        for i in range(len(ga)):
+            t = int(ga.types[i])
+            parts_out = []
+            for part in ga._parts_of(i):
+                rings = []
+                for ring in part:
+                    if len(ring) > 1:
+                        keep = np.ones(len(ring), dtype=bool)
+                        keep[1:] = (np.diff(ring, axis=0) != 0).any(axis=1)
+                        ring = ring[keep]
+                    rings.append(ring)
+                parts_out.append(rings)
+            geoms.append((t, parts_out))
+        return GeometryArray.from_parts(geoms)
+
+    def _swap(k):
+        return lambda a, i, b, j: k(b, j, a, i)
+
+    pred_pairs = [
+        ("st_touches", pred.pair_touches),
+        ("st_equals", pred.pair_equals),
+        ("st_crosses", pred.pair_crosses),
+        ("st_overlaps", pred.pair_overlaps),
+        ("st_contains", pred.pair_contains),
+        ("st_within", _swap(pred.pair_contains)),
+    ]
+
     from ..geom.wkt import from_wkt, to_wkt
     from duckdb.typing import VARCHAR
 
@@ -240,6 +303,19 @@ def register_st_functions(con):
     funcs += [
         ("st_geomfromtext", _geomfromtext, [VARCHAR], BLOB),
         ("st_astext", _astext, [BLOB], VARCHAR),
+        ("st_relate", _pair_varchar_fn(relate_general), [BLOB, BLOB], VARCHAR),
+        ("st_isvalidreason", _isvalidreason, [BLOB], VARCHAR),
+        ("st_collectionextract", _collectionextract, [BLOB, BIGINT], BLOB),
+        (
+            "st_reduceprecision",
+            _param_geom_fn(lambda ga, gs: alg.set_precision(ga, gs)),
+            [BLOB, DOUBLE],
+            BLOB,
+        ),
+        ("st_removerepeatedpoints", _unary_geom_fn(_removerepeated), [BLOB], BLOB),
+    ] + [
+        (name, _pair_bool_fn(k), [BLOB, BLOB], BOOLEAN)
+        for name, k in pred_pairs
     ]
     for name, fn, args, ret in funcs:
         con.create_function(name, fn, args, ret, type="arrow")

@@ -154,3 +154,45 @@ def test_st_wkt_udfs():
         "POLYGON ((0 0, 2 0, 2 3, 0 3, 0 0))", None]
     assert r.column("a").to_pylist() == [6.0, None]
     assert r.column("p").to_pylist()[0] == "POINT (7 8)"
+
+
+def test_st_relationship_and_precision_udfs():
+    """Second ST tranche: pair predicates, DE-9IM, validity reason,
+    collection extract, precision reduce, repeated-point removal."""
+    import duckdb
+    import pyarrow as pa
+
+    from geofileops_ray.stages.sqlfuncs import register_st_functions
+
+    a = _rect_wkb(0, 0, 4, 4)
+    t = pa.table(
+        {
+            "g1": pa.array([a, a, a, a], pa.binary()),
+            "g2": pa.array(
+                [_rect_wkb(1, 1, 2, 2), _rect_wkb(4, 0, 6, 4),
+                 _rect_wkb(10, 10, 12, 12), a],
+                pa.binary(),
+            ),
+        }
+    )
+    con = register_st_functions(duckdb.connect())
+    con.register("b", t)
+    r = con.execute(
+        "SELECT st_contains(g1,g2) c, st_within(g2,g1) w,"
+        " st_touches(g1,g2) tch, st_equals(g1,g2) eq,"
+        " st_relate(g1,g2) rel, st_isvalidreason(g1) vr,"
+        " st_astext(st_removerepeatedpoints(st_geomfromtext("
+        "'LINESTRING (0 0, 0 0, 1 1, 1 1, 2 2)'))) rr,"
+        " st_astext(st_reduceprecision(st_geomfromtext("
+        "'POINT (1.24 7.76)'), 0.5)) rp FROM b"
+    ).arrow().to_pylist()
+    assert [x["c"] for x in r] == [True, False, False, True]
+    assert [x["w"] for x in r] == [True, False, False, True]
+    assert [x["tch"] for x in r] == [False, True, False, False]
+    assert [x["eq"] for x in r] == [False, False, False, True]
+    # canonical DE-9IM matrices: contains / touches / disjoint / equals
+    assert [x["rel"] for x in r] == [
+        "212FF1FF2", "FF2F11212", "FF2FF1212", "2FFF1FFF2"]
+    assert r[0]["vr"] == "Valid Geometry"
+    assert r[0]["rr"] == "LINESTRING (0 0, 1 1, 2 2)"
+    assert r[0]["rp"] == "POINT (1 8)"

@@ -196,3 +196,25 @@ def test_st_relationship_and_precision_udfs():
     assert r[0]["vr"] == "Valid Geometry"
     assert r[0]["rr"] == "LINESTRING (0 0, 1 1, 2 2)"
     assert r[0]["rp"] == "POINT (1 8)"
+
+
+def test_where_post_with_st_functions(ray_session):
+    """where_post SQL can reference ST functions (run_sql_on_batch
+    registers them lazily when the SQL mentions st_)."""
+    import numpy as np
+
+    from geofileops_ray.io.synth import parcels_dataset
+    from geofileops_ray.stages import single_layer as sl
+
+    sf = "/root/testdata/sf0.001"
+    base = pa.Table.from_pylist(parcels_dataset(sf).take_all())
+    areas = np.asarray(base.column("OPPERVL"))
+    cut = float(np.median(areas))
+    out = pa.Table.from_pylist(
+        sl.buffer(
+            parcels_dataset(sf), 0.0,
+            where_post=f"st_area(geometry) > {cut}",
+        ).take_all()
+    )
+    assert out.num_rows == int((areas > cut).sum())
+    assert np.asarray(out.column("OPPERVL")).min() > cut

@@ -24,9 +24,20 @@ import ray.data
 
 def _batch_vecs(batch: pa.Table, col: str = "embedding") -> np.ndarray:
     arr = batch.column(col).combine_chunks()
-    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
     n = len(arr)
+    if n == 0:  # reshape(0, -1) raises on empty input
+        return np.empty((0, 0), dtype=np.float64)
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
     return flat.reshape(n, -1)
+
+
+_EMPTY_TOPK = pa.table(
+    {
+        "query_id": pa.array([], pa.int64()),
+        "vec_id": pa.array([], pa.int64()),
+        "cos": pa.array([], pa.float64()),
+    }
+)
 
 
 def brute_topk(
@@ -44,6 +55,8 @@ def brute_topk(
     qref = ray.put(qn)
 
     def fn(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:  # empty blocks occur after repartition/filter
+            return _EMPTY_TOPK
         qm = ray.get(qref)
         v = _batch_vecs(batch)
         vn = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-30)
@@ -124,6 +137,8 @@ def lsh_topk(
     probe_arr = np.array(sorted(probes), dtype=np.int64)
 
     def fn(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return _EMPTY_TOPK
         pl = ray.get(planes_ref)
         qm = ray.get(qref)
         v = _batch_vecs(batch)
@@ -195,9 +210,13 @@ def ivf_topk(
     centroid matrix is broadcast once; at 10^9-row scale the assignment
     is a cheap matmul per batch and the probe filter drops (1 −
     nprobe/n_lists) of the data before any exact scoring."""
-    sample = pa.concat_tables(
-        ray.get(ds.limit(sample_rows).to_arrow_refs())
-    ).combine_chunks()
+    tabs = [
+        t for t in ray.get(ds.limit(sample_rows).to_arrow_refs())
+        if t.num_rows
+    ]  # empty blocks carry divergent inferred schemas — drop before concat
+    if not tabs:
+        raise ValueError("ivf_topk: empty dataset")
+    sample = pa.concat_tables(tabs).combine_chunks()
     sv = _batch_vecs(sample)
     sv = sv / np.maximum(np.linalg.norm(sv, axis=1, keepdims=True), 1e-30)
     rng = np.random.default_rng(seed)
@@ -217,6 +236,8 @@ def ivf_topk(
     qref = ray.put(qn)
 
     def fn(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return _EMPTY_TOPK
         cm, pr = ray.get(cents_ref)
         qm = ray.get(qref)
         v = _batch_vecs(batch)
@@ -286,7 +307,6 @@ def kmeans_fit(
 
     def head_partial(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        v = _batch_vecs(batch, emb_col)
         kk = min(k, len(ids))
         if kk == 0:
             return pa.table(
@@ -295,6 +315,7 @@ def kmeans_fit(
                     "vec": pa.array([], pa.list_(pa.float64())),
                 }
             )
+        v = _batch_vecs(batch, emb_col)
         part = (
             np.argpartition(ids, kk - 1)[:kk] if len(ids) > kk
             else np.arange(len(ids))
@@ -321,6 +342,14 @@ def kmeans_fit(
 
         def assign_partial(batch: pa.Table) -> pa.Table:
             c = ray.get(cref)
+            if len(batch) == 0:
+                return pa.table(
+                    {
+                        "cluster": pa.array([], pa.int64()),
+                        "count": pa.array([], pa.int64()),
+                        "sum": pa.array([], pa.list_(pa.float64())),
+                    }
+                )
             v = _batch_vecs(batch, emb_col)
             # argmin over squared distance via the dot trick (no n×k×d
             # intermediate); ties go to the lowest centroid id
@@ -373,6 +402,14 @@ def kmeans_assign(
 
     def fn(batch: pa.Table) -> pa.Table:
         cm = ray.get(cref)
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "cluster": pa.array([], pa.int64()),
+                    "dist": pa.array([], pa.float64()),
+                }
+            )
         v = _batch_vecs(batch, emb_col)
         d2 = (
             (v * v).sum(axis=1)[:, None]
@@ -435,7 +472,7 @@ def embedding_neardup_pairs(
 
     if exact:
         tbl = pa.concat_tables(
-            ray.get([ref for ref in ds.to_arrow_refs()])
+            [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
         ).combine_chunks()
         v = _batch_vecs(tbl)
         ids = tbl.column(id_col).to_numpy()
@@ -443,6 +480,14 @@ def embedding_neardup_pairs(
         ref = ray.put((vn, ids))
 
         def fn(batch: pa.Table) -> pa.Table:
+            if len(batch) == 0:
+                return pa.table(
+                    {
+                        "vec_id_a": pa.array([], pa.int64()),
+                        "vec_id_b": pa.array([], pa.int64()),
+                        "cos": pa.array([], pa.float64()),
+                    }
+                )
             allv, allids = ray.get(ref)
             v2 = _batch_vecs(batch)
             my = batch.column(id_col).to_numpy()
@@ -462,12 +507,19 @@ def embedding_neardup_pairs(
         return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
     rng = np.random.default_rng(seed)
-    dim = _batch_vecs(pa.concat_tables([ray.get(ds.limit(1).to_arrow_refs()[0])])).shape[1]
+    _probe = [
+        t for t in ray.get(ds.limit(1).to_arrow_refs()) if t.num_rows
+    ]
+    if not _probe:
+        raise ValueError("embedding_neardup_pairs: empty dataset")
+    dim = _batch_vecs(_probe[0]).shape[1]
     planes = rng.standard_normal((dim, n_planes))
     planes_ref = ray.put(planes)
 
     def keyed(batch: pa.Table) -> pa.Table:
         pl = ray.get(planes_ref)
+        if len(batch) == 0:
+            return batch.append_column("__bucket", pa.array([], pa.int64()))
         v = _batch_vecs(batch)
         sig = (v @ pl > 0).astype(np.int64)
         bits = (sig * (1 << np.arange(pl.shape[1]))).sum(axis=1)

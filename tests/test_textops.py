@@ -451,3 +451,36 @@ def test_bm25_invariance_and_edge_cases(ray_session):
 
     assert bm25_score(ds7, ";;%%##").num_rows == 0
     assert bm25_score(ds7, "zzzmissing").num_rows == 0
+
+
+def test_similarity_ops_survive_empty_blocks(ray_session):
+    """Repartitioning past the row count creates empty blocks; every
+    embedding path must return schema-stable empties instead of
+    crashing in the (0, -1) reshape (regression: _batch_vecs)."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+    from geofileops_ray.textops import similarity as ts
+
+    rng = np.random.default_rng(5)
+    n, d = 40, 8
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(
+                [r.tolist() for r in rng.normal(0, 1, (n, d))],
+                pa.list_(pa.float32()),
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(90)  # > n → empty blocks
+    q = np.asarray(t.column("embedding")[0].as_py())[None, :]
+    assert len(ts.brute_topk(ds, q, k=5)) == 5
+    assert len(ts.lsh_topk(ds, q, k=5, hamming=2)) <= 5
+    assert len(ts.ivf_topk(ds, q, k=5, n_lists=4, nprobe=4)) == 5
+    cent = ts.kmeans_fit(ds, k=3, iters=2)
+    asg = pa.Table.from_pylist(ts.kmeans_assign(ds, cent).take_all())
+    assert asg.num_rows == n
+    pairs = ts.embedding_neardup_pairs(ds, threshold=0.99)
+    assert pairs.count() >= 0  # runs, no crash

@@ -51,7 +51,9 @@ def _decode(chunked) -> tuple[GeometryArray, np.ndarray]:
 
 
 def _scatter(vals: np.ndarray, valid: np.ndarray, typ) -> pa.Array:
-    out = np.empty(len(valid), dtype=vals.dtype if len(vals) else np.float64)
+    # zeros, not empty: masked slots are skipped by pyarrow but must not
+    # hold uninitialized floats (nan→int conversion would be flaky)
+    out = np.zeros(len(valid), dtype=vals.dtype if len(vals) else np.float64)
     out[valid] = vals
     return pa.array(out, typ, mask=~valid)
 
@@ -88,9 +90,16 @@ def _param_geom_fn(kernel):
 
     def fn(g, p):
         ga, valid = _decode(g)
-        pv = (
+        pv_full = (
             p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p
-        ).to_numpy(zero_copy_only=False).astype(np.float64)[valid]
+        ).to_numpy(zero_copy_only=False).astype(np.float64)
+        # a NULL parameter nulls the output row (SQL scalar semantics)
+        pnull = np.isnan(pv_full)
+        if pnull.any():
+            keep_of_valid = ~pnull[valid]
+            ga = ga.take(np.flatnonzero(keep_of_valid))
+            valid = valid & ~pnull
+        pv = pv_full[valid]
         if len(pv) == 0:
             return _geom_out(ga, valid)
         parts: list[GeometryArray] = []

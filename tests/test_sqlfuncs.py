@@ -218,3 +218,31 @@ def test_where_post_with_st_functions(ray_session):
     )
     assert out.num_rows == int((areas > cut).sum())
     assert np.asarray(out.column("OPPERVL")).min() > cut
+
+
+def test_st_param_null_semantics():
+    """NULL parameter → NULL output row (SQL scalar semantics) without
+    disturbing neighbouring rows."""
+    import duckdb
+    import pyarrow as pa
+
+    from geofileops_ray.stages.sqlfuncs import register_st_functions
+
+    t = pa.table(
+        {
+            "g": pa.array(
+                [_rect_wkb(0, 0, 2, 3), _rect_wkb(0, 0, 1, 1), None],
+                pa.binary(),
+            ),
+            "d": pa.array([1.0, None, 1.0], pa.float64()),
+        }
+    )
+    con = register_st_functions(duckdb.connect())
+    con.register("b", t)
+    r = con.execute(
+        "SELECT st_area(st_buffer(g, d)) a, st_npoints(g) n FROM b"
+    ).arrow()
+    assert r.column("a").to_pylist()[1] is None
+    assert r.column("a").to_pylist()[2] is None
+    assert r.column("a").to_pylist()[0] is not None
+    assert r.column("n").to_pylist() == [5, 5, None]

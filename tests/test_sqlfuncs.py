@@ -246,3 +246,23 @@ def test_st_param_null_semantics():
     assert r.column("a").to_pylist()[2] is None
     assert r.column("a").to_pylist()[0] is not None
     assert r.column("n").to_pylist() == [5, 5, None]
+
+
+def test_select_two_layers_with_st_functions(ray_session):
+    """select_two_layers' per-cell connection registers ST functions
+    when the SQL mentions them (lazy path, distinct from the select
+    actor's eager registration)."""
+    from geofileops_ray.io.synth import parcels_dataset, zones_dataset
+    from geofileops_ray.stages.compound import select_two_layers
+
+    sf = "/root/testdata/sf0.001"
+    out = pa.Table.from_pylist(
+        select_two_layers(
+            parcels_dataset(sf), zones_dataset(sf),
+            "SELECT count(*) AS n, ROUND(SUM(st_area(geometry)), 4) AS a"
+            " FROM layer1",
+        ).take_all()
+    )
+    assert out.num_rows >= 1
+    assert sum(r for r in out.column("n").to_pylist()) >= 500
+    assert all(a is None or a >= 0 for a in out.column("a").to_pylist())

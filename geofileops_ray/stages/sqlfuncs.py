@@ -289,6 +289,36 @@ def register_st_functions(con):
         ("st_within", _swap(pred.pair_contains)),
     ]
 
+    # scalar boolean overlays (ST_Intersection / ST_Difference /
+    # ST_Union — the reference's SQL templates call these per row pair,
+    # _geoops_sql.py; polygonal inputs, same sweep kernel as the
+    # pipeline overlay ops)
+    from ..geom.array import POLYGON
+    from ..geom.overlay import parts_to_geom, polygon_overlay
+
+    def _pair_overlay_fn(op):
+        def fn(g1, g2):
+            ga, va = _decode(g1)
+            gb, vb = _decode(g2)
+            valid = va & vb
+            ia = np.cumsum(va) - 1
+            ib = np.cumsum(vb) - 1
+            geoms = []
+            for kk in np.flatnonzero(valid):
+                i, j = int(ia[kk]), int(ib[kk])
+                if (
+                    ga.part_types(i) != POLYGON
+                    or gb.part_types(j) != POLYGON
+                ):
+                    raise ValueError(
+                        f"st_{op} supports polygonal inputs only"
+                    )
+                parts = polygon_overlay(ga._parts_of(i), gb._parts_of(j), op)
+                geoms.append(parts_to_geom(parts))
+            return _geom_out(GeometryArray.from_parts(geoms), valid)
+
+        return fn
+
     from ..geom.wkt import from_wkt, to_wkt
     from duckdb.typing import VARCHAR
 
@@ -325,6 +355,10 @@ def register_st_functions(con):
     ] + [
         (name, _pair_bool_fn(k), [BLOB, BLOB], BOOLEAN)
         for name, k in pred_pairs
+    ] + [
+        (f"st_{op}", _pair_overlay_fn(op), [BLOB, BLOB], BLOB)
+        for op in ("intersection", "difference", "union",
+                   "symmetric_difference")
     ]
     for name, fn, args, ret in funcs:
         con.create_function(name, fn, args, ret, type="arrow")

@@ -266,3 +266,41 @@ def test_select_two_layers_with_st_functions(ray_session):
     assert out.num_rows >= 1
     assert sum(r for r in out.column("n").to_pylist()) >= 500
     assert all(a is None or a >= 0 for a in out.column("a").to_pylist())
+
+
+def test_st_scalar_overlays():
+    """st_intersection/difference/union/symmetric_difference as scalar
+    pair functions — closed-form areas on rect pairs, EMPTY on disjoint
+    intersection, and inclusion–exclusion consistency."""
+    import duckdb
+    import pyarrow as pa
+
+    from geofileops_ray.stages.sqlfuncs import register_st_functions
+
+    a = _rect_wkb(0, 0, 4, 4)
+    t = pa.table(
+        {
+            "g1": pa.array([a, a, a], pa.binary()),
+            "g2": pa.array(
+                [_rect_wkb(2, 2, 6, 6), _rect_wkb(10, 10, 11, 11), a],
+                pa.binary(),
+            ),
+        }
+    )
+    con = register_st_functions(duckdb.connect())
+    con.register("b", t)
+    r = con.execute(
+        "SELECT st_area(st_intersection(g1,g2)) i,"
+        " st_area(st_difference(g1,g2)) d,"
+        " st_area(st_union(g1,g2)) u,"
+        " st_area(st_symmetric_difference(g1,g2)) s,"
+        " st_astext(st_intersection(g1,g2)) it FROM b"
+    ).arrow().to_pylist()
+    assert [x["i"] for x in r] == [4.0, 0.0, 16.0]
+    assert [x["d"] for x in r] == [12.0, 16.0, 0.0]
+    assert [x["u"] for x in r] == [28.0, 17.0, 16.0]
+    assert [x["s"] for x in r] == [24.0, 17.0, 0.0]
+    assert r[1]["it"] == "POLYGON EMPTY"
+    # u = i + s and u = a1 + a2 - i on every row
+    for x in r:
+        assert abs(x["u"] - (x["i"] + x["s"])) < 1e-9

@@ -260,6 +260,65 @@ def register_st_functions(con):
         prim = int(pv[0]) if len(pv) else 3
         return _geom_out(alg.collection_extract(ga, prim), valid)
 
+    def _linemerge(ga: GeometryArray) -> GeometryArray:
+        """ST_LineMerge: greedily chain line parts that share endpoints
+        (each endpoint used once — branch points break chains, matching
+        the GEOS contract of only merging degree-2 connections)."""
+        from ..geom.array import LINESTRING, MULTILINESTRING
+
+        geoms = []
+        for i in range(len(ga)):
+            t = int(ga.types[i])
+            parts = ga._parts_of(i)
+            if t not in (LINESTRING, MULTILINESTRING) or len(parts) <= 1:
+                geoms.append((t, parts))
+                continue
+            lines = [p[0] for p in parts if len(p) and len(p[0]) >= 2]
+            # endpoint index: key → list of (line_idx, is_start)
+            from collections import defaultdict
+
+            ends: dict = defaultdict(list)
+            for li, ln in enumerate(lines):
+                ends[tuple(ln[0])].append((li, True))
+                ends[tuple(ln[-1])].append((li, False))
+            used = [False] * len(lines)
+            merged = []
+            for li in range(len(lines)):
+                if used[li]:
+                    continue
+                used[li] = True
+                chain = [lines[li]]
+                # extend forward from the tail, then backward from head
+                for forward in (True, False):
+                    while True:
+                        tip = tuple(chain[-1][-1]) if forward else tuple(
+                            chain[0][0]
+                        )
+                        incident = ends.get(tip, [])
+                        cands = [
+                            (lj, at_start)
+                            for lj, at_start in incident
+                            if not used[lj]
+                        ]
+                        # merge only true degree-2 nodes: the chain's own
+                        # endpoint + exactly one continuation (a branch
+                        # point never merges, even with consumed arms)
+                        if len(incident) != 2 or len(cands) != 1:
+                            break
+                        lj, at_start = cands[0]
+                        used[lj] = True
+                        nxt = lines[lj] if at_start else lines[lj][::-1]
+                        if forward:
+                            chain.append(nxt[1:])
+                        else:
+                            chain.insert(0, nxt[::-1][:-1])
+                merged.append(np.concatenate(chain, axis=0))
+            if len(merged) == 1:
+                geoms.append((LINESTRING, [[merged[0]]]))
+            else:
+                geoms.append((MULTILINESTRING, [[m] for m in merged]))
+        return GeometryArray.from_parts(geoms)
+
     def _removerepeated(ga: GeometryArray) -> GeometryArray:
         geoms = []
         for i in range(len(ga)):
@@ -352,6 +411,10 @@ def register_st_functions(con):
             BLOB,
         ),
         ("st_removerepeatedpoints", _unary_geom_fn(_removerepeated), [BLOB], BLOB),
+        ("st_linemerge", _unary_geom_fn(_linemerge), [BLOB], BLOB),
+        # the engine's coordinate model is 2D: CastToXYZ's Z-strip is an
+        # identity here (registered so reference SQL ports run unchanged)
+        ("casttoxy", _unary_geom_fn(lambda ga: ga), [BLOB], BLOB),
     ] + [
         (name, _pair_bool_fn(k), [BLOB, BLOB], BOOLEAN)
         for name, k in pred_pairs

@@ -304,3 +304,43 @@ def test_st_scalar_overlays():
     # u = i + s and u = a1 + a2 - i on every row
     for x in r:
         assert abs(x["u"] - (x["i"] + x["s"])) < 1e-9
+
+
+def test_st_linemerge_and_casttoxy():
+    """st_linemerge chains degree-2 endpoint joins (direction
+    unspecified, like GEOS), never merges through branch points, closes
+    loops, and passes non-lines through; casttoxy is the documented 2D
+    identity."""
+    import duckdb
+
+    from geofileops_ray.stages.sqlfuncs import register_st_functions
+
+    con = register_st_functions(duckdb.connect())
+
+    def lm(wkt):
+        return con.execute(
+            f"SELECT st_astext(st_linemerge(st_geomfromtext('{wkt}')))"
+        ).fetchall()[0][0]
+
+    assert lm("MULTILINESTRING ((0 0, 1 1), (1 1, 2 2))") in (
+        "LINESTRING (0 0, 1 1, 2 2)", "LINESTRING (2 2, 1 1, 0 0)")
+    assert lm("MULTILINESTRING ((1 1, 0 0), (1 1, 2 2))") in (
+        "LINESTRING (0 0, 1 1, 2 2)", "LINESTRING (2 2, 1 1, 0 0)")
+    # three-way branch point: nothing merges
+    assert lm(
+        "MULTILINESTRING ((0 0, 1 1), (1 1, 2 2), (1 1, 2 0))"
+    ) == "MULTILINESTRING ((0 0, 1 1), (1 1, 2 2), (1 1, 2 0))"
+    assert lm(
+        "MULTILINESTRING ((0 0, 1 0), (1 0, 2 0), (2 0, 3 0), (9 9, 9 8))"
+    ) in (
+        "MULTILINESTRING ((0 0, 1 0, 2 0, 3 0), (9 9, 9 8))",
+        "MULTILINESTRING ((3 0, 2 0, 1 0, 0 0), (9 9, 9 8))",
+    )
+    # closed loop merges into one closed linestring
+    out = lm("MULTILINESTRING ((0 0, 1 0), (1 0, 1 1), (1 1, 0 0))")
+    assert out.startswith("LINESTRING") and out.count(",") == 3
+    assert lm("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))").startswith("POLYGON")
+    got = con.execute(
+        "SELECT st_astext(casttoxy(st_geomfromtext('POINT (1 2)')))"
+    ).fetchall()[0][0]
+    assert got == "POINT (1 2)"

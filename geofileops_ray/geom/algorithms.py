@@ -960,14 +960,48 @@ def explode(arr: GeometryArray) -> tuple[GeometryArray, np.ndarray]:
 
 
 def collection_extract(arr: GeometryArray, primitive: int) -> GeometryArray:
-    """Keep only parts of the given primitive type (ST_CollectionExtract)."""
+    """Keep only parts of the given primitive type (ST_CollectionExtract).
+
+    Mixed GEOMETRYCOLLECTION rows extract the matching parts (classified
+    by ring structure — the same inference the WKB encoder uses for
+    collections we carry: single 1-coord ring → point, open single ring
+    → line, else polygon) into a MULTI{primitive}, mirroring Spatialite
+    CollectionExtract (the reference's post-intersection SQL step)."""
+    from .array import (
+        GEOMETRYCOLLECTION,
+        MULTILINESTRING,
+        MULTIPOINT,
+        MULTIPOLYGON,
+    )
+
+    multi_of = {POINT: MULTIPOINT, LINESTRING: MULTILINESTRING,
+                POLYGON: MULTIPOLYGON}
+
     geoms = []
     for i in range(len(arr)):
         t = int(arr.types[i])
         if t == MISSING:
             geoms.append((MISSING, []))
             continue
-        if arr.part_types(i) == primitive:
+        if t == GEOMETRYCOLLECTION:
+            keep = []
+            for part in arr._parts_of(i):
+                if len(part) == 1 and len(part[0]) == 1:
+                    ptype = POINT
+                elif len(part) == 1 and not (
+                    len(part[0]) >= 4
+                    and bool((part[0][0] == part[0][-1]).all())
+                ):
+                    ptype = LINESTRING
+                else:
+                    ptype = POLYGON
+                if ptype == primitive:
+                    keep.append(part)
+            geoms.append(
+                (multi_of.get(primitive, primitive) if keep else primitive,
+                 keep)
+            )
+        elif arr.part_types(i) == primitive:
             geoms.append((t, arr._parts_of(i)))
         else:
             geoms.append((primitive if primitive != POINT else POINT, []))

@@ -714,9 +714,9 @@ def select_two_layers(
 
         con = duckdb.connect()
         try:
-            if "st_" in sql.lower():
-                from .sqlfuncs import register_st_functions
+            from .sqlfuncs import register_st_functions, wants_st
 
+            if wants_st(sql):
                 register_st_functions(con)
             l1 = g1.rename_columns([c[3:] for c in g1.column_names])
             l2 = g2.rename_columns([c[3:] for c in g2.column_names])

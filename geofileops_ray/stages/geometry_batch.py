@@ -63,9 +63,9 @@ def run_sql_on_batch(batch: pa.Table, sql: str) -> pa.Table:
 
     con = duckdb.connect()
     try:
-        if "st_" in sql.lower():
-            from .sqlfuncs import register_st_functions
+        from .sqlfuncs import register_st_functions, wants_st
 
+        if wants_st(sql):
             register_st_functions(con)
         con.register("batch", batch)
         return con.execute(sql).arrow()

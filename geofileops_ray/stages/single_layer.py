@@ -177,10 +177,12 @@ def select(ds: ray.data.Dataset, sql: str, concurrency=None) -> ray.data.Dataset
         def __init__(self):
             import duckdb
 
-            from .sqlfuncs import register_st_functions
+            from .sqlfuncs import register_st_functions, wants_st
 
             # ST_* scalar surface (SURVEY §2.7) registered ONCE per actor
-            self.con = register_st_functions(duckdb.connect())
+            self.con = duckdb.connect()
+            if wants_st(sql):
+                register_st_functions(self.con)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             self.con.register("batch", batch)

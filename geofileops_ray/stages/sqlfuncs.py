@@ -253,12 +253,30 @@ def register_st_functions(con):
         return pa.array(out.tolist(), pa.string())
 
     def _collectionextract(g, p):
+        # per DISTINCT type parameter (the parameter may vary per row;
+        # a NULL parameter nulls the output row, SQL scalar semantics)
         ga, valid = _decode(g)
-        pv = (
+        pv_full = (
             p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p
-        ).to_numpy(zero_copy_only=False)
-        prim = int(pv[0]) if len(pv) else 3
-        return _geom_out(alg.collection_extract(ga, prim), valid)
+        ).to_numpy(zero_copy_only=False).astype(np.float64)
+        pnull = np.isnan(pv_full)
+        if pnull.any():
+            ga = ga.take(np.flatnonzero(~pnull[valid]))
+            valid = valid & ~pnull
+        pv = pv_full[valid].astype(np.int64)
+        if len(pv) == 0:
+            return _geom_out(ga, valid)
+        parts: list[GeometryArray] = []
+        pos = np.empty(len(pv), dtype=np.int64)
+        n = 0
+        for val in np.unique(pv):
+            sel = np.flatnonzero(pv == val)
+            parts.append(alg.collection_extract(ga.take(sel), int(val)))
+            pos[sel] = np.arange(n, n + len(sel))
+            n += len(sel)
+        from ..geom import concat
+
+        return _geom_out(concat(parts).take(pos), valid)
 
     def _linemerge(ga: GeometryArray) -> GeometryArray:
         """ST_LineMerge: greedily chain line parts that share endpoints
@@ -352,7 +370,7 @@ def register_st_functions(con):
     # ST_Union — the reference's SQL templates call these per row pair,
     # _geoops_sql.py; polygonal inputs, same sweep kernel as the
     # pipeline overlay ops)
-    from ..geom.array import POLYGON
+    from ..geom.array import MISSING, POLYGON
     from ..geom.overlay import parts_to_geom, polygon_overlay
 
     def _pair_overlay_fn(op):
@@ -369,9 +387,12 @@ def register_st_functions(con):
                     ga.part_types(i) != POLYGON
                     or gb.part_types(j) != POLYGON
                 ):
-                    raise ValueError(
-                        f"st_{op} supports polygonal inputs only"
-                    )
+                    # NULL-out unsupported rows (the reference's
+                    # Spatialite surface evaluates per row for any
+                    # geometry type; our sweep kernel is polygonal —
+                    # NULL-in/NULL-out like every other UDF here)
+                    geoms.append((MISSING, []))
+                    continue
                 parts = polygon_overlay(ga._parts_of(i), gb._parts_of(j), op)
                 geoms.append(parts_to_geom(parts))
             return _geom_out(GeometryArray.from_parts(geoms), valid)
@@ -381,14 +402,31 @@ def register_st_functions(con):
     from ..geom.wkt import from_wkt, to_wkt
     from duckdb.typing import VARCHAR
 
+    from ..geom.wkt import WktError
+
     def _geomfromtext(txt):
         a = (
             txt.combine_chunks()
             if isinstance(txt, pa.ChunkedArray)
             else txt
         )
-        ga = from_wkt(a.to_pylist())
-        valid = np.array([v is not None for v in a.to_pylist()], dtype=bool)
+        vals = a.to_pylist()
+        # malformed WKT → NULL row (Spatialite GeomFromText contract),
+        # not a chunk-wide failure. Fast path: parse the chunk at once;
+        # only on a parse error re-scan per value to find the bad rows.
+        try:
+            ga = from_wkt(vals)
+        except WktError:
+            vals = [v for v in vals]
+            for k, v in enumerate(vals):
+                if v is None:
+                    continue
+                try:
+                    from_wkt([v])
+                except WktError:
+                    vals[k] = None
+            ga = from_wkt(vals)
+        valid = np.array([v is not None for v in vals], dtype=bool)
         return _geom_out(ga.take(np.flatnonzero(valid)), valid)
 
     def _astext(g):

@@ -4,8 +4,9 @@ embedding: list<float>, label).
 * ``brute_topk`` — exact cosine top-k: the query matrix is broadcast
   once via ``ray.put`` and every ``map_batches`` task does one numpy
   matmul per batch against it (per-batch partial top-k), followed by a
-  tiny driver-side merge of the per-batch candidates. This is the
-  baseline and the oracle-checkable path.
+  DISTRIBUTED final reduce (salt-by-query groupby — ``_topk_reduce``,
+  the analysis.topk_per_group shape); the driver only pulls the final
+  q·k rows. This is the baseline and the oracle-checkable path.
 * ``lsh_topk`` — the scale path: random-hyperplane LSH bucket keys per
   vector (signed projections on a seeded Gaussian basis), shuffle by
   bucket, search only the query's bucket (±probe neighbours). Recall<1
@@ -40,6 +41,71 @@ _EMPTY_TOPK = pa.table(
 )
 
 
+def _topk_reduce(
+    cand: ray.data.Dataset, k: int, round_digits: int = 6
+) -> pa.Table:
+    """Distributed final top-k per query over a candidate stream of
+    (query_id, vec_id, cos) rows (each upstream block already emits at
+    most q·k candidates). Same shape as analysis.topk_per_group: salt
+    by query_id → one vectorized per-partition top-k — the driver pulls
+    only the FINAL q·k rows, never the per-block candidates (at 10^6
+    blocks the candidate pull would be a driver flood; VERDICT r4 #1).
+    Ranks by raw cosine (ties by vec_id asc — the oracle's ORDER BY cos
+    DESC, vec_id), emits the rounded value."""
+
+    def final_part(group: pa.Table) -> pa.Table:
+        group = group.drop_columns(["__part"])
+        if len(group) == 0:
+            return _EMPTY_TOPK.append_column(
+                "pos", pa.array([], pa.int64())
+            )
+        qs = group.column("query_id").to_numpy(zero_copy_only=False)
+        s = group.column("cos").to_numpy(zero_copy_only=False)
+        ids = group.column("vec_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -s, qs))
+        ks = qs[order]
+        newkey = np.empty(len(ks), dtype=bool)
+        newkey[0] = True
+        newkey[1:] = ks[1:] != ks[:-1]
+        starts = np.flatnonzero(newkey)
+        run = np.repeat(starts, np.diff(np.append(starts, len(ks))))
+        rank = np.arange(len(ks)) - run
+        keep = rank < k
+        take = order[keep]
+        return pa.table(
+            {
+                "query_id": pa.array(qs[take], pa.int64()),
+                "vec_id": pa.array(ids[take], pa.int64()),
+                "cos": pa.array(
+                    np.round(s[take], round_digits), pa.float64()
+                ),
+                "pos": pa.array(rank[keep] + 1, pa.int64()),
+            }
+        )
+
+    from ..stages.agg import _salt_parts, default_nparts
+
+    nparts = default_nparts()  # fixed at the driver: same key, same part
+    out = (
+        cand.map_batches(
+            lambda b: _salt_parts(b, ["query_id"], nparts),
+            batch_format="pyarrow",
+        )
+        .groupby("__part")
+        .map_groups(final_part, batch_format="pyarrow")
+    )
+    tabs = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    if not tabs:
+        return _EMPTY_TOPK.append_column("pos", pa.array([], pa.int64()))
+    tbl = pa.concat_tables(tabs).combine_chunks()
+    return tbl.take(
+        pc.sort_indices(
+            tbl,
+            sort_keys=[("query_id", "ascending"), ("pos", "ascending")],
+        )
+    )
+
+
 def brute_topk(
     ds: ray.data.Dataset,
     query_vectors: np.ndarray,
@@ -49,7 +115,8 @@ def brute_topk(
 ) -> pa.Table:
     """Exact cosine top-k per query. Returns (query_id, vec_id, cos,
     pos). query_vectors: (q, d). The per-batch stage emits only its local
-    top-k (q·k rows per batch) so the driver merge is tiny."""
+    top-k (q·k rows per batch); the final merge is a distributed
+    salt-by-query reduce (``_topk_reduce``), never a candidate pull."""
     q = np.asarray(query_vectors, dtype=np.float64)
     qn = q / np.linalg.norm(q, axis=1, keepdims=True)
     qref = ray.put(qn)
@@ -77,26 +144,8 @@ def brute_topk(
             }
         )
 
-    cand = ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True).take_all()
-    # driver-side merge of per-batch candidates (≤ k · nbatches rows)
-    rows = []
-    byq: dict[int, list] = {}
-    for r in cand:
-        byq.setdefault(r["query_id"], []).append((r["cos"], r["vec_id"]))
-    for qi in sorted(byq):
-        # rank by raw cosine (ties by id) — matches the oracle's
-        # ORDER BY cos DESC, vec_id; emit the rounded value
-        top = sorted(byq[qi], key=lambda t: (-t[0], t[1]))[:k]
-        for pos, (c, vid) in enumerate(top, start=1):
-            rows.append((qi, vid, round(c, round_digits), pos))
-    return pa.table(
-        {
-            "query_id": pa.array([r[0] for r in rows], pa.int64()),
-            "vec_id": pa.array([r[1] for r in rows], pa.int64()),
-            "cos": pa.array([r[2] for r in rows], pa.float64()),
-            "pos": pa.array([r[3] for r in rows], pa.int64()),
-        }
-    )
+    cand = ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+    return _topk_reduce(cand, k, round_digits)
 
 
 def lsh_topk(
@@ -174,23 +223,8 @@ def lsh_topk(
             }
         )
 
-    cand = ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True).take_all()
-    rows = []
-    byq: dict[int, list] = {}
-    for r in cand:
-        byq.setdefault(r["query_id"], []).append((r["cos"], r["vec_id"]))
-    for qi in sorted(byq):
-        top = sorted(byq[qi], key=lambda t: (-t[0], t[1]))[:k]
-        for pos, (c, vid) in enumerate(top, start=1):
-            rows.append((qi, vid, round(c, 6), pos))
-    return pa.table(
-        {
-            "query_id": pa.array([r[0] for r in rows], pa.int64()),
-            "vec_id": pa.array([r[1] for r in rows], pa.int64()),
-            "cos": pa.array([r[2] for r in rows], pa.float64()),
-            "pos": pa.array([r[3] for r in rows], pa.int64()),
-        }
-    )
+    cand = ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+    return _topk_reduce(cand, k)
 
 
 def ivf_topk(
@@ -270,23 +304,8 @@ def ivf_topk(
             }
         )
 
-    cand = ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True).take_all()
-    rows = []
-    byq: dict[int, list] = {}
-    for r in cand:
-        byq.setdefault(r["query_id"], []).append((r["cos"], r["vec_id"]))
-    for qi in sorted(byq):
-        top = sorted(byq[qi], key=lambda t: (-t[0], t[1]))[:k]
-        for pos, (c, vid) in enumerate(top, start=1):
-            rows.append((qi, vid, round(c, 6), pos))
-    return pa.table(
-        {
-            "query_id": pa.array([r[0] for r in rows], pa.int64()),
-            "vec_id": pa.array([r[1] for r in rows], pa.int64()),
-            "cos": pa.array([r[2] for r in rows], pa.float64()),
-            "pos": pa.array([r[3] for r in rows], pa.int64()),
-        }
-    )
+    cand = ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+    return _topk_reduce(cand, k)
 
 
 def kmeans_fit(
@@ -392,11 +411,13 @@ def kmeans_assign(
     round_digits: int = 6,
 ) -> ray.data.Dataset:
     """Assign every vector to its nearest centroid (euclidean) →
-    (id_col, cluster, dist). Centroids broadcast once; the chosen
-    centroid's distance is recomputed DIRECTLY (sqrt(Σ(x−c)²) in
-    float64) so it matches DuckDB ``list_distance`` to round-6 — the
-    argmin itself uses the no-intermediate dot trick. Ties break to the
-    lowest cluster id (= SQL ORDER BY dist, cid)."""
+    (id_col, cluster, dist). Centroids broadcast once; distances are
+    computed DIRECTLY (Σ(x−c)² in float64, one k-loop of vectorized
+    column ops — k is small) so the ARGMIN agrees with DuckDB
+    ``list_distance`` ranking even for near-equidistant centroids
+    (the dot trick's cancellation error could flip the chosen cluster
+    in the last ulp; ADVICE r4). Ties break to the lowest cluster id
+    (= SQL ORDER BY dist, cid)."""
     c = np.asarray(centroids, dtype=np.float64)
     cref = ray.put(c)
 
@@ -411,14 +432,12 @@ def kmeans_assign(
                 }
             )
         v = _batch_vecs(batch, emb_col)
-        d2 = (
-            (v * v).sum(axis=1)[:, None]
-            - 2.0 * (v @ cm.T)
-            + (cm * cm).sum(axis=1)[None, :]
-        )
-        a = d2.argmin(axis=1)
-        diff = v - cm[a]
-        dist = np.sqrt((diff * diff).sum(axis=1))
+        d2 = np.empty((len(v), len(cm)), dtype=np.float64)
+        for j in range(len(cm)):
+            diff = v - cm[j]
+            d2[:, j] = (diff * diff).sum(axis=1)
+        a = d2.argmin(axis=1)  # first occurrence → lowest cluster id
+        dist = np.sqrt(d2[np.arange(len(v)), a])
         return pa.table(
             {
                 id_col: batch.column(id_col),

@@ -58,11 +58,15 @@ def main() -> int:
     sf = args[0] if args else "/root/testdata/sf0.01"
     cpus = 32
     window = None
+    only = None
     for a in sys.argv[1:]:
         if a.startswith("--cpus"):
             cpus = int(a.split("=", 1)[1] if "=" in a else sys.argv[sys.argv.index(a) + 1])
         if a.startswith("--window"):
             window = int(a.split("=", 1)[1] if "=" in a else sys.argv[sys.argv.index(a) + 1])
+        if a.startswith("--only"):
+            only = (a.split("=", 1)[1] if "=" in a
+                    else sys.argv[sys.argv.index(a) + 1])
 
     import duckdb
     import ray
@@ -77,6 +81,9 @@ def main() -> int:
     names = list(queries)
     if window:
         names = names[:window]
+    if only:
+        pats = only.split(",")
+        names = [n for n in names if any(p in n for p in pats)]
 
     con = duckdb.connect()
     for t in ("region nation customer supplier part orders lineitem "

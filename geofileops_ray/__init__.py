@@ -9,3 +9,10 @@ text+media document spans.
 """
 
 __version__ = "0.1.0"
+
+# schema-stable empty blocks across map stages (see rayfix docstring);
+# must run at import so driver AND workers (which import this package
+# while unpickling UDFs) are patched before any transform chain runs
+from . import rayfix as _rayfix
+
+_rayfix.apply()

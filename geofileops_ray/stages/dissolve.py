@@ -640,7 +640,12 @@ def dissolve(
 
         from .geometry_batch import add_bounds as _add_bounds
 
-        ds = ds.materialize()
+        # NO materialize here: pinning the full input to the object
+        # store just to size cells would cost an extra 100-TB copy
+        # through plasma/spill (VERDICT r4 #2). The stats aggregate
+        # streams; pass 1 re-executes the input pipeline — upstream
+        # ops that are expensive to recompute (sjoin, overlay) already
+        # materialize their own outputs, and a bare read re-reads.
         st = ds.map_batches(
             lambda t_: _add_bounds(t_).select(["minx", "miny", "maxx", "maxy"]),
             batch_format="pyarrow",
@@ -790,8 +795,22 @@ def dissolve(
 
         return fn
 
+    def _empty_cell_out() -> pa.Table:
+        # schema-stable 0-row output of the per-cell union stage (also
+        # used for empty — possibly column-less — Sort partitions)
+        arrs: dict = {
+            k: pa.array([], type=sch.field(k).type) for k in groupby
+        }
+        for name in partial_names:
+            arrs[name] = pa.array([], type=_partial_out_t[name])
+        arrs["__border"] = pa.array([], pa.int8())
+        arrs[_GEOM] = pa.array([], pa.binary())
+        return pa.table(arrs)
+
     def pass_fn(size, origin):
         def per_group(group: pa.Table) -> pa.Table:
+            if len(group) == 0:
+                return _empty_cell_out()
             cell = int(group.column("__cell")[0].as_py())
             lvl = cell >> _LEVEL_SHIFT
             if lvl:
@@ -949,6 +968,22 @@ def dissolve(
 
         _t0 = _time.perf_counter() if _verbose else 0.0
         n = len(batch)
+        if n == 0:
+            # typed empty (the batch may even be column-less): keys from
+            # the source schema, partials by their declared types
+            cols0: dict = {
+                k: pa.array([], type=sch.field(k).type) for k in groupby
+            }
+            for _i, _src, _func, names in scalars:
+                for name in names:
+                    cols0[name] = pa.array([], pa.float64())
+            for _i, _src, _func, names in lists_:
+                cols0[names[0]] = pa.array([], type=_partial_out_t[names[0]])
+            cols0["__int_blob"] = pa.array([], pa.large_binary())
+            cols0["__int_offs"] = pa.array([], pa.list_(pa.int64()))
+            cols0["__brd_blob"] = pa.array([], pa.large_binary())
+            cols0["__brd_offs"] = pa.array([], pa.list_(pa.int64()))
+            return pa.table(cols0)
         sort_keys = [(k, "ascending") for k in groupby] + [("__border", "ascending")]
         b = batch.take(pc.sort_indices(batch, sort_keys=sort_keys)) if n else batch
         from .agg import run_change_mask
@@ -1120,18 +1155,20 @@ def dissolve(
         def final_part(part: pa.Table) -> pa.Table:
             import pyarrow.compute as pc
 
-            part = part.drop_columns(["__part"])
             n = len(part)
             if n == 0:
-                # schema-stable empty output (Ray may probe with empty
-                # blocks — the r3 empty-batch-divergence bug class);
-                # types derive from the SOURCE column per aggregate, not
-                # a func-keyed constant map (string/int min/max diverged)
-                cols: dict = {k: part.column(k) for k in groupby}
+                # schema-stable empty output BEFORE any column access
+                # (the part may be a column-less Sort partition); types
+                # derive from the SOURCE column per aggregate, not a
+                # func-keyed constant map (string/int min/max diverged)
+                cols: dict = {
+                    k: pa.array([], type=sch.field(k).type) for k in groupby
+                }
                 for _src, _func, out_name in agg_columns:
                     cols[out_name] = pa.array([], _final_out_t[out_name])
                 cols[_GEOM] = pa.array([], pa.binary())
                 return pa.table(cols)
+            part = part.drop_columns(["__part"])
             srt = part.take(
                 pc.sort_indices(
                     part, sort_keys=[(k, "ascending") for k in groupby]
@@ -1160,8 +1197,19 @@ def dissolve(
             lambda b: b.append_column("__g", pa.array(np.zeros(len(b), np.int8))),
             batch_format="pyarrow",
         )
+        def final_one(g: pa.Table) -> pa.Table:
+            if len(g) == 0:
+                # an empty partition must NOT fabricate the one output
+                # row (that's the real __g group's job); emit typed empty
+                cols: dict = {}
+                for _src, _func, out_name in agg_columns:
+                    cols[out_name] = pa.array([], _final_out_t[out_name])
+                cols[_GEOM] = pa.array([], pa.binary())
+                return pa.table(cols)
+            return final_group(g.drop_columns(["__g"]))
+
         out = tagged.groupby("__g").map_groups(
-            lambda g: final_group(g.drop_columns(["__g"])), batch_format="pyarrow"
+            final_one, batch_format="pyarrow"
         )
     if _verbose:
         out = out.materialize()

@@ -262,6 +262,16 @@ def cell_cogroup(
     tagged = t1.union(t2)
 
     def per_group(group: pa.Table) -> pa.Table:
+        if len(group) == 0:
+            # empty partition (possibly a column-less Sort output):
+            # synthesize typed empty sides so group_fn emits its stable
+            # output schema — keeps every block schema-identical
+            g1e = pa.table({f.name: pa.array([], f.type) for f in f1})
+            g2e = pa.table({f.name: pa.array([], f.type) for f in f2})
+            return group_fn(
+                g1e, from_wkb(g1e.column("l1_" + _GEOM)),
+                g2e, from_wkb(g2e.column("l2_" + _GEOM)), None,
+            )
         cell = int(group.column("__cell")[0].as_py()) >> _SALT_SHIFT
         g1 = group.filter(pc.equal(group.column("__side"), 0)).select(
             [f.name for f in f1]
@@ -999,7 +1009,11 @@ def delete_duplicate_geometries(
     def first_per_key(block: pa.Table) -> pa.Table:
         drop = ["__geomkey", "__part"]
         if len(block) == 0:
-            return block.drop_columns(drop)
+            # tolerant select: a column-less Sort-output empty partition
+            # has nothing to drop
+            return block.select(
+                [c for c in block.column_names if c not in drop]
+            )
         sk = list(sort_keys)
         if "doc_id" in block.column_names:
             sk.append(("doc_id", "ascending"))  # deterministic tie-break

@@ -54,11 +54,12 @@ def _topk_reduce(
     DESC, vec_id), emits the rounded value."""
 
     def final_part(group: pa.Table) -> pa.Table:
-        group = group.drop_columns(["__part"])
-        if len(group) == 0:
+        if len(group) == 0:  # before any column access: the batch may be
+            # a column-less Sort-output empty partition
             return _EMPTY_TOPK.append_column(
                 "pos", pa.array([], pa.int64())
             )
+        group = group.drop_columns(["__part"])
         qs = group.column("query_id").to_numpy(zero_copy_only=False)
         s = group.column("cos").to_numpy(zero_copy_only=False)
         ids = group.column("vec_id").to_numpy(zero_copy_only=False)

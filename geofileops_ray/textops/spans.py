@@ -33,6 +33,8 @@ def _flat_parts(spans: pa.ListArray):
     """(parent row index, within-list index, flat struct children)."""
     parent = pc.list_parent_indices(spans).to_numpy().astype(np.int64)
     counts = pc.list_value_length(spans).fill_null(0).to_numpy().astype(np.int64)
+    if len(counts) == 0:  # 0-row batch: starts would be [0] vs counts ()
+        return parent, np.empty(0, dtype=np.int64), spans.flatten()
     starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
     idx = np.arange(int(counts.sum()), dtype=np.int64) - np.repeat(starts, counts)
     flat = spans.flatten()

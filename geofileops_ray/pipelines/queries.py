@@ -2314,12 +2314,79 @@ SELECT doc_id, ref AS media_ref, CAST(8 AS BIGINT) AS feat_dim,
 FROM h ORDER BY doc_id"""
 
 
+def _hexbyte(col: str, j: int) -> str:
+    """SQL for byte ``j`` (0-based) of a hex digest column."""
+    return f"CAST(('0x' || substr({col}, {2 * j + 1}, 2)) AS BIGINT)"
+
+
+def _o_media_features_real() -> str:
+    """Exact oracle for the REAL image decode path: the rendered image
+    is the closed form img[y,x,c] = (ax_c·x + ay_c·y + b_c) % 256 with
+    (w, h, ax, ay, b) drawn from md5(media_ref) bytes
+    (multimodal.render_image), and the codec round-trip is lossless —
+    so feat_sum (the exact integer pixel total) is a triple
+    generate_series SUM in plain SQL."""
+    from ..io.synth import DOCSPANS_CTE
+
+    b = _hexbyte
+    return f"""WITH {DOCSPANS_CTE.strip()},
+m AS (
+  SELECT doc_id, media_ref, md5(media_ref) AS hx
+  FROM docspans WHERE kind = 'media'),
+p AS (
+  SELECT doc_id, media_ref,
+         16 + {b('hx', 0)} % 64 AS w,
+         16 + {b('hx', 1)} % 64 AS h,
+         [{b('hx', 2)}, {b('hx', 3)}, {b('hx', 4)}] AS ax,
+         [{b('hx', 5)}, {b('hx', 6)}, {b('hx', 7)}] AS ay,
+         [{b('hx', 8)}, {b('hx', 9)}, {b('hx', 10)}] AS bb
+  FROM m)
+SELECT p.doc_id, p.media_ref,
+       CAST(SUM((p.ax[c.c + 1] * x.x + p.ay[c.c + 1] * y.y + p.bb[c.c + 1])
+                % 256) AS BIGINT) AS feat_sum
+FROM p
+CROSS JOIN (SELECT CAST(range AS BIGINT) AS x FROM range(0, 80)) x
+CROSS JOIN (SELECT CAST(range AS BIGINT) AS y FROM range(0, 80)) y
+CROSS JOIN (SELECT CAST(range AS BIGINT) AS c FROM range(0, 3)) c
+WHERE x.x < p.w AND y.y < p.h
+GROUP BY p.doc_id, p.media_ref
+ORDER BY p.doc_id, p.media_ref"""
+
+
+def _o_audio_features_real() -> str:
+    """Exact oracle for the REAL WAV decode path: the rendered waveform
+    is a square wave with hash-seeded (n, period, amp)
+    (multimodal.render_audio), so every emitted feature has a closed
+    form: abs_sum = n·amp, zero_crossings = (n-1) // period."""
+    from ..io.synth import DOCSPANS_CTE
+
+    b = _hexbyte
+    return f"""WITH {DOCSPANS_CTE.strip()},
+m AS (
+  SELECT doc_id, media_ref, md5(media_ref) AS hx
+  FROM docspans WHERE kind = 'media'),
+p AS (
+  SELECT doc_id, media_ref,
+         1600 + ({b('hx', 0)} + 256 * {b('hx', 1)}) % 6400 AS n,
+         8 + {b('hx', 2)} % 56 AS per,
+         1000 + ({b('hx', 3)} + 256 * {b('hx', 4)}) % 20000 AS amp
+  FROM m)
+SELECT doc_id, media_ref,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(16000 AS BIGINT) AS sample_rate,
+       CAST(n * 1000 // 16000 AS BIGINT) AS duration_ms,
+       CAST(n * amp AS BIGINT) AS abs_sum,
+       CAST((n - 1) // per AS BIGINT) AS zero_crossings
+FROM p ORDER BY doc_id, media_ref"""
+
+
 def q_media_features_real(sf):
-    """The REAL decode path: rendered PNG payloads decoded by the pure
+    """The REAL decode path: rendered image payloads decoded by the pure
     numpy+zlib codec (imagecodec.py), pixel features + exact integer
-    pixel sums. zlib round-trips are not SQL-expressible, so this is a
-    rows-only driver check — pixel exactness is pinned by
-    tests/test_imagecodec.py against closed-form rendered images."""
+    pixel sums. The codec round-trip is lossless and the rendered image
+    is closed-form, so feat_sum has an EXACT SQL oracle
+    (_o_media_features_real); per-pixel decode exactness is additionally
+    pinned by tests/test_imagecodec.py."""
     from ..io.synth import docspans_dataset
     from ..textops.multimodal import extract_media_features
 
@@ -2339,9 +2406,10 @@ def q_media_features_real(sf):
 
 def q_audio_features_real(sf):
     """REAL WAV decode path (stdlib RIFF/PCM codec): rendered square
-    waves decoded per actor, integer-exact features. Rows-only in the
-    driver record (zlib-free but waveform rendering is not
-    SQL-expressible); exactness pinned by tests/test_imagecodec.py."""
+    waves decoded per actor, integer-exact features. The square wave's
+    features have closed forms, so this carries an EXACT SQL oracle
+    (_o_audio_features_real); codec exactness is additionally pinned by
+    tests/test_imagecodec.py."""
     from ..io.synth import docspans_dataset
     from ..textops.multimodal import extract_audio_features
 
@@ -2362,7 +2430,13 @@ def q_approx_distinct(sf):
 
 
 def q_approx_quantiles(sf):
-    """Mergeable quantile sketch over events.value (rank error ≤ 1/k)."""
+    """Mergeable quantile sketch over events.value. k = 2^20 puts the
+    tested scales in the SATURATED regime (every block holds ≤ k rows,
+    so each partial keeps all values at weight 1 and the merged
+    weighted CDF is the exact inverse CDF) — the same
+    capacity-≥-input exactness promotion as q_heavy_hitters; the
+    approximate regime's ≤1/k rank-error bound stays pinned by
+    tests/test_sketches.py."""
     from ..textops.sketches import approx_quantiles
 
     qs = [0.25, 0.5, 0.75, 0.95]
@@ -2370,6 +2444,7 @@ def q_approx_quantiles(sf):
         ray.data.read_parquet(f"{sf}/events.parquet", columns=["value"]),
         "value",
         qs,
+        k=1 << 20,
     )
     return pa.table(
         {
@@ -2377,6 +2452,20 @@ def q_approx_quantiles(sf):
             "value": pa.array(vals, pa.float64()),
         }
     )
+
+
+# exact in the saturated regime: rank = ceil(q·n) off the weighted CDF
+# of unit weights (searchsorted-left on cumsum(1..n)), duplicates share
+# their value so ROW_NUMBER tie order is immaterial
+O_APPROX_QUANTILES = """
+WITH v AS (SELECT value FROM events WHERE value IS NOT NULL),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) tot FROM v),
+r AS (SELECT value, ROW_NUMBER() OVER (ORDER BY value) rn FROM v),
+qq AS (SELECT CAST(q AS DOUBLE) q FROM (VALUES (0.25), (0.5), (0.75), (0.95)) t(q))
+SELECT qq.q, r.value
+FROM qq CROSS JOIN n
+JOIN r ON r.rn = GREATEST(1, CAST(CEIL(qq.q * n.tot) AS BIGINT))
+ORDER BY qq.q"""
 
 
 def q_bloom_blocklist(sf):
@@ -2459,10 +2548,11 @@ def q_kmeans_assign(sf):
 
 def q_kmeans_sizes(sf):
     """Full distributed Lloyd fit (5 iterations, per-block combiner
-    partials) → per-cluster member counts. Rows-only: float summation
-    order across blocks makes the centroid coordinates (and thus
-    borderline assignments) partition-dependent in the last ulp; the
-    invariants are pytest-pinned instead."""
+    partials) → per-cluster member counts. EXACT oracle: the float32
+    inputs make every float64 coordinate sum order-independent, so the
+    unrolled-iteration DuckDB mirror (kmeans_fit_sizes_sql) lands on
+    the same centroids and assignments; partition-invariance is
+    additionally pytest-pinned."""
     from ..textops.similarity import kmeans_assign, kmeans_fit
 
     ds = ray.data.read_parquet(
@@ -3079,6 +3169,8 @@ FROM events GROUP BY 1 ORDER BY 1""",
     "flagship_agg": O_FLAGSHIP_AGG,
     "select_wkt_roundtrip": _o_select_wkt(),
     "kmeans_assign_8": ts.kmeans_assign_sql(8),
+    "kmeans_fit_sizes": ts.kmeans_fit_sizes_sql(8, 5, 64),
+    "approx_quantiles_value": O_APPROX_QUANTILES,
     "bm25_spark_table_join": __import__(
         "geofileops_ray.textops.retrieval", fromlist=["bm25_sql"]
     ).bm25_sql("spark table join"),
@@ -3097,6 +3189,8 @@ FROM events GROUP BY 1 ORDER BY 1""",
     "embedding_neardup": ts.neardup_sql(0.4),
     "media_metadata": O_MEDIA_METADATA,
     "media_features": _o_media_features(),
+    "media_features_real": _o_media_features_real(),
+    "audio_features_real": _o_audio_features_real(),
     "media_resize": _o_media_resize(),
     "media_frames": O_MEDIA_FRAMES,
     "windowed_events": __import__(

@@ -371,13 +371,14 @@ def kmeans_fit(
                     }
                 )
             v = _batch_vecs(batch, emb_col)
-            # argmin over squared distance via the dot trick (no n×k×d
-            # intermediate); ties go to the lowest centroid id
-            d2 = (
-                (v * v).sum(axis=1)[:, None]
-                - 2.0 * (v @ c.T)
-                + (c * c).sum(axis=1)[None, :]
-            )
+            # direct squared distances (k-loop of vectorized column
+            # ops) — same arithmetic as kmeans_assign and the SQL
+            # oracle, so assignments agree even near ties; ties go to
+            # the lowest centroid id (argmin first occurrence)
+            d2 = np.empty((len(v), len(c)), dtype=np.float64)
+            for j in range(len(c)):
+                diff = v - c[j]
+                d2[:, j] = (diff * diff).sum(axis=1)
             a = d2.argmin(axis=1)
             sums = np.zeros_like(c)
             np.add.at(sums, a, v)
@@ -448,6 +449,69 @@ def kmeans_assign(
         )
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def kmeans_fit_sizes_sql(k: int = 8, iters: int = 5, dim: int = 64) -> str:
+    """Pinned-iteration DuckDB mirror of kmeans_fit + kmeans_assign →
+    per-cluster member counts: the ``iters`` Lloyd rounds are UNROLLED
+    as chained CTEs (c0 → a0 → c1 → … → c{iters} → a{iters}).
+
+    Exactness argument: the embeddings are float32 (24-bit mantissas,
+    narrow magnitude band), so the per-cluster float64 coordinate sums
+    are exactly representable regardless of summation order — the
+    engine's block-order partial sums, numpy's pairwise reduce and
+    DuckDB's scan-order SUM all land on the same doubles; the squared
+    distance uses the same direct (v−c)·(v−c) arithmetic as
+    assign_partial/kmeans_assign, and ties break to the lowest cid in
+    both. Assignments could only diverge on a vector equidistant to
+    two centroids within one ulp, which the synthetic data avoids by
+    macroscopic margins (pytest pins partition-invariance)."""
+    u = f"(SELECT CAST(range AS INT) + 1 AS i FROM range(0, {dim}))"
+    parts = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v"
+        " FROM embeddings)",
+        "c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1"
+        f" AS BIGINT) cid, v cv FROM e ORDER BY vec_id LIMIT {k})",
+    ]
+    for t in range(iters + 1):
+        parts.append(
+            f"""d{t} AS (
+  SELECT e.vec_id, c.cid,
+         (SELECT SUM((e.v[u.i] - c.cv[u.i]) * (e.v[u.i] - c.cv[u.i]))
+          FROM {u} u) AS d2
+  FROM e, c{t} c)"""
+        )
+        parts.append(
+            f"""a{t} AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) rn
+    FROM d{t}) WHERE rn = 1)"""
+        )
+        if t == iters:
+            break
+        parts.append(
+            f"""cs{t} AS (
+  SELECT a.cid, u.i, SUM(e.v[u.i]) s, COUNT(*) n
+  FROM a{t} a JOIN e USING (vec_id), {u} u
+  GROUP BY a.cid, u.i)"""
+        )
+        parts.append(
+            f"""c{t + 1} AS (
+  SELECT c.cid,
+         CASE WHEN COUNT(cs.i) = 0 THEN c.cv
+              ELSE list(cs.s / cs.n ORDER BY cs.i) END AS cv
+  FROM c{t} c LEFT JOIN cs{t} cs ON cs.cid = c.cid
+  GROUP BY c.cid, c.cv)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT c.cid AS cluster, CAST(COUNT(a.vec_id) AS BIGINT) AS n_members
+FROM c{iters} c LEFT JOIN a{iters} a ON a.cid = c.cid
+GROUP BY c.cid ORDER BY c.cid"""
+    )
 
 
 def kmeans_assign_sql(k: int = 8, round_digits: int = 6) -> str:

@@ -103,7 +103,11 @@ from .stages.catalog import (  # noqa: F401
 # OSTN15 grid shifts need external data — ±2 m class, documented),
 # 28992 (Amersfoort / RD New oblique stereographic + towgs84),
 # 32601-32660 / 32701-32760 (WGS84 UTM
-# north/south) and 25828-25838 (ETRS89 UTM). Any other code raises
+# north/south) and 25828-25838 (ETRS89 UTM), plus the bundled public
+# EPSG parameter table (geom/epsg_table.py: ~130 more common codes —
+# NAD83 UTM, GDA94/GDA2020 MGA, SWEREF99, Norwegian NTM, RGF93 CC,
+# DHDN/MGI Gauss-Krueger, national TM/LCC grids, common longlat
+# datums — auto-registered at import). Any other code raises
 # ValueError (never a silent None); geodesic distances are spherical
 # (R_MEAN). Additionally, ANY CRS expressible in the implemented
 # projection engines (lcc / tm / sterea / longlat + towgs84 Helmert)

@@ -806,3 +806,12 @@ def geodesic_xy(x1, y1, x2, y2, epsg: int) -> np.ndarray:
     lon1, lat1 = _to_4326(np.asarray(x1, np.float64), np.asarray(y1, np.float64), epsg)
     lon2, lat2 = _to_4326(np.asarray(x2, np.float64), np.asarray(y2, np.float64), epsg)
     return haversine_m(lon1, lat1, lon2, lat2)
+
+
+# ---------------------------------------------------------------------------
+# bundled EPSG parameter table (~130 common codes in the implemented
+# engines, public registry facts) — loaded at import so the driver and
+# every Ray worker see the identical registry without a snapshot hop
+from .epsg_table import load_epsg_table as _load_epsg_table
+
+_load_epsg_table()

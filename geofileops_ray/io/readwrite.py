@@ -31,6 +31,18 @@ def _lance_or_raise():
         ) from e
 
 
+def bbox_filter_sql(bbox: tuple[float, float, float, float]) -> str:
+    """SQL-style bbox-overlap predicate over the layer's bbox stats
+    columns — the string form ray.data.read_lance forwards to the Lance
+    scanner (the Parquet driver expresses the same predicate as a
+    pyarrow.dataset expression)."""
+    minx, miny, maxx, maxy = (float(v) for v in bbox)
+    return (
+        f"minx <= {maxx!r} AND maxx >= {minx!r} "
+        f"AND miny <= {maxy!r} AND maxy >= {miny!r}"
+    )
+
+
 def read_layer(
     path: str,
     columns: list[str] | None = None,
@@ -57,18 +69,17 @@ def read_layer(
     path raises a clear ImportError."""
     fmt = format or ("lance" if path.rstrip("/").endswith(".lance") else "parquet")
     if fmt == "lance":
-        if bbox is not None:
-            # ray.data.read_lance has no filter-expression passthrough
-            # here — silently returning UNfiltered rows would corrupt any
-            # bbox-windowed pipeline, so refuse loudly (the Parquet
-            # driver applies a real row filter below)
-            raise NotImplementedError(
-                "bbox filtering is not implemented for Lance layers; "
-                "read the layer without bbox and filter explicitly, or "
-                "use the Parquet driver"
-            )
         _lance_or_raise()
-        ds = ray.data.read_lance(path, columns=columns)
+        # real pushdown: ray.data.read_lance forwards ``filter`` (an
+        # SQL-style string) to the Lance scanner, which prunes fragments
+        # on column stats — the same bbox-stats contract as the Parquet
+        # driver below (prior rounds refused loudly here instead of
+        # silently ignoring bbox; the passthrough closes that gap)
+        ds = ray.data.read_lance(
+            path,
+            columns=columns,
+            filter=bbox_filter_sql(bbox) if bbox is not None else None,
+        )
     else:
         import pyarrow.dataset as pads
 

@@ -185,9 +185,26 @@ def _dist_cols(ga1, rows1, ga2, rows2, dists, crs_epsg, user_snap=None):
     return cols
 
 
+def _probe_collect_plain(
+    ds: ray.data.Dataset, fields: list[pa.Field], cap_bytes: int
+) -> pa.Table | None:
+    """Byte-capped streaming collect of the projected columns (the
+    sjoin probe, un-prefixed): full table if it fits under
+    ``cap_bytes``, else None after at most ~cap_bytes + one block."""
+    from .spatial_join import _probe_collect
+
+    names = [f.name for f in fields]
+    m2 = ds.map_batches(
+        lambda b: b.select(names),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return _probe_collect(m2, fields, cap_bytes)
+
+
 def _broadcast_knn(
     ds1: ray.data.Dataset,
-    ds2: ray.data.Dataset,
+    tbl2: pa.Table,
     k: int,
     radius: float,
     expand: bool,
@@ -196,12 +213,12 @@ def _broadcast_knn(
     f2: list[pa.Field],
     crs_epsg: int | None = None,
 ) -> ray.data.Dataset:
-    """Exact kNN with the whole layer2 broadcast once (ray.put): per
-    batch, vectorized bbox lower-bound distances + exact refinement."""
+    """Exact kNN with the whole (already byte-cap-probed) layer2
+    broadcast once (ray.put): per batch, vectorized bbox lower-bound
+    distances + exact refinement."""
     import ray as _ray
 
-    tbl2 = pa.concat_tables(_ray.get(ds2.to_arrow_refs())).combine_chunks()
-    tbl2 = tbl2.select(ordered2)
+    tbl2 = tbl2.combine_chunks().select(ordered2)
     ga2 = from_wkb(tbl2.column(_GEOM))
     rects2 = detect_rects(ga2)
     ids2 = tbl2.column("doc_id").to_numpy()
@@ -246,7 +263,7 @@ def join_nearest(
     cols2: list[str] | None = None,
     size: float | None = None,
     max_rounds: int = 6,
-    broadcast_threshold: int = 100_000,
+    broadcast_threshold: int | None = None,
     crs_epsg: int | None = None,
 ) -> ray.data.Dataset:
     """kNN join emitting (l1_*, l2_*, pos, distance, distance_crs); pos
@@ -270,14 +287,24 @@ def join_nearest(
     f2 = _prefixed_schema(ds2.schema().base_schema, "l2_", ordered2)
     all_fields = f1 + f2
 
-    # broadcast fast path: a small layer2 (≲100k rows) is shipped ONCE
-    # via ray.put and every batch runs exact kNN against it — no rounds,
-    # no shuffle (the broadcast-small-side rule; the cell-ring path below
-    # is the both-sides-large scale path)
-    n2 = ds2.count()
-    if n2 <= broadcast_threshold:
+    # broadcast fast path: a small layer2 is shipped ONCE via ray.put
+    # and every batch runs exact kNN against it — no rounds, no shuffle
+    # (the broadcast-small-side rule; the cell-ring path below is the
+    # both-sides-large scale path). The gate is the same BYTE cap as
+    # the sjoin broadcast (config.broadcast_bytes, default 128 MB) so a
+    # wide layer2 can't blow the object-store copy the way a row count
+    # gate would let it — probed with a streaming partial scan that
+    # aborts at the cap (never a full materialization of a big side).
+    cap = (
+        OPTIONS.broadcast_bytes
+        if broadcast_threshold is None
+        else broadcast_threshold
+    )
+    plain2 = [ds2.schema().base_schema.field(c) for c in ordered2]
+    tbl2 = _probe_collect_plain(ds2, plain2, cap)
+    if tbl2 is not None:
         return _broadcast_knn(
-            ds1, ds2, nb_nearest, radius, expand, ordered1, ordered2, f2,
+            ds1, tbl2, nb_nearest, radius, expand, ordered1, ordered2, f2,
             crs_epsg,
         )
 

@@ -185,13 +185,28 @@ def test_events_allnull_window_sum_is_null(ray_session):
     assert sw[1] is None and sw[2] == 1.0
 
 
-def test_read_layer_lance_bbox_raises(tmp_path):
-    """A bbox on a Lance layer must refuse loudly (no filter pushdown is
-    wired), never silently return unfiltered rows."""
-    from geofileops_ray.io.readwrite import read_layer
+def test_read_layer_lance_bbox_pushdown(tmp_path):
+    """bbox on a Lance layer is a REAL filter passthrough now
+    (read_lance's SQL-string filter over the bbox stats columns). In
+    this pylance-less sandbox the read itself raises the clear
+    ImportError — never the old NotImplementedError refusal, and never
+    silently-unfiltered rows. The filter string itself is pinned."""
+    from geofileops_ray.io.readwrite import bbox_filter_sql, read_layer
 
-    with pytest.raises(NotImplementedError, match="bbox"):
-        read_layer(str(tmp_path / "layer.lance"), bbox=(0.0, 0.0, 1.0, 1.0))
+    assert bbox_filter_sql((0.0, 1.0, 2.0, 3.0)) == (
+        "minx <= 2.0 AND maxx >= 0.0 AND miny <= 3.0 AND maxy >= 1.0"
+    )
+    try:
+        import lance  # noqa: F401
+
+        have_lance = True
+    except ImportError:
+        have_lance = False
+    if not have_lance:
+        with pytest.raises(ImportError, match="pylance"):
+            read_layer(
+                str(tmp_path / "layer.lance"), bbox=(0.0, 0.0, 1.0, 1.0)
+            )
 
 
 def test_pack_sequences_null_text_and_review_fixes(ray_session, oracle):

@@ -317,3 +317,40 @@ def test_register_crs_guards():
 
     with pytest.raises(ValueError, match="exactly one"):
         geometry_op(gridsize=0.01)  # neither kernel nor batch_kernel
+
+
+def test_bundled_epsg_table_breadth():
+    """The bundled public EPSG parameter table (geom/epsg_table.py)
+    auto-registers ~130 common codes through register_crs; unknown
+    codes still raise the clean ValueError."""
+    import numpy as np
+    import pytest
+
+    from geofileops_ray.geom import crs
+
+    # breadth: at least 120 bundled codes on top of the ~140 builtins
+    assert len(crs.KNOWN_CRS) >= 250
+    for code in (26918, 28355, 7855, 3006, 5110, 3946, 31467, 2180,
+                 2193, 3067, 3301, 3978, 2157, 31256, 4258, 4269):
+        assert crs.get_crs(code) is not None
+
+    # round-trip each family representative to sub-mm (degrees)
+    cases = [
+        (26918, -73.5, 42.1), (28355, 146.0, -37.0), (3006, 15.8, 59.3),
+        (5110, 10.7, 59.9), (3946, 4.8, 45.7), (31467, 9.7, 50.1),
+        (2180, 21.0, 52.2), (2193, 174.7, -41.3), (3067, 25.0, 62.0),
+        (3301, 26.7, 58.4), (3978, -95.0, 60.0), (2157, -6.26, 53.35),
+        (31256, 16.37, 48.2),
+    ]
+    for epsg, lon, lat in cases:
+        x, y = crs._from_4326(np.array([lon]), np.array([lat]), epsg)
+        lo, la = crs._to_4326(x, y, epsg)
+        assert abs(lo[0] - lon) < 1e-7 and abs(la[0] - lat) < 1e-7, epsg
+
+    # southern-hemisphere MGA false northing: Melbourne-ish y < 10^7
+    x, y = crs._from_4326(np.array([145.0]), np.array([-37.8]), 28355)
+    assert 0 < y[0] < 10_000_000 and 300_000 < x[0] < 700_000
+
+    # unknown code: clean error, not silence
+    with pytest.raises(ValueError):
+        crs._to_4326(np.array([0.0]), np.array([0.0]), 99999)

@@ -405,6 +405,48 @@ def test_join_nearest_best_effort_last_round(ray_session):
     assert sorted(r["pos"] for r in res) == [1, 2, 3]
 
 
+def test_join_nearest_broadcast_gate_is_byte_based(ray_session):
+    """The kNN broadcast gate is the 128 MB BYTE cap, not a row count:
+    a layer2 of few rows but wide payload bytes must take the cell-ring
+    shuffle path (broadcast_threshold here is the cap in bytes), and
+    both paths agree on the result."""
+    import pyarrow as pa
+
+    import ray as _ray
+    import ray.data as _rd
+
+    from geofileops_ray.geom.wkb import to_wkb
+    from geofileops_ray.geom.array import GeometryArray
+
+    l1 = _geom_ds([(1, (1, [[np.array([[0.0, 0.0]])]])),
+                   (2, (1, [[np.array([[9.0, 9.0]])]]))])
+    rows = [(10, _rect(3, 0, 4, 1)), (11, _rect(0, 5, 1, 6)),
+            (12, _rect(7, 7, 8, 8))]
+    wkb = to_wkb(GeometryArray.from_parts([g for _i, g in rows]))
+    t2 = pa.table(
+        {
+            "doc_id": pa.array([i for i, _g in rows], pa.int64()),
+            # ~1 MB payload per row: 3 rows blow a 1 MB cap while any
+            # row-count gate would happily broadcast them
+            "blob": pa.array([b"x" * (1 << 20)] * len(rows), pa.binary()),
+            "geometry": pa.array(wkb, pa.binary()),
+        }
+    )
+    l2 = _rd.from_arrow(t2)
+
+    def run(cap):
+        res = join_nearest(
+            l1, l2, nb_nearest=2, radius=20.0, size=10.0,
+            cols1=[], cols2=[], broadcast_threshold=cap,
+        ).take_all()
+        return sorted((r["l1_doc_id"], r["l2_doc_id"], r["pos"]) for r in res)
+
+    wide = run(1 << 20)          # 1 MB cap → shuffle path
+    broad = run(1 << 30)         # 1 GB cap → broadcast path
+    assert wide == broad
+    assert len(wide) == 4
+
+
 def test_pair_identity_exact_blobs():
     """union_full_self piece identity is the covering-set blob — EXACT
     set semantics, no hash (the old 63-bit splitmix pair key silently

@@ -60,6 +60,13 @@ from .stages.dissolve import dissolve  # noqa: F401
 
 # catalog / files (fileops.py)
 from .io.readwrite import read_layer as read_file  # noqa: F401
+from .io.geojson import (  # noqa: F401
+    geojson_crs,
+    read_csv_wkt,
+    read_geojson,
+    write_csv_wkt,
+    write_geojson,
+)
 from .io.readwrite import write_layer as to_file  # noqa: F401
 from .io.readwrite import (  # noqa: F401
     copy,

@@ -11,3 +11,10 @@ from .synth import (  # noqa: F401
     zones_dataset,
 )
 from .readwrite import read_layer, write_layer  # noqa: F401
+from .geojson import (  # noqa: F401
+    geojson_crs,
+    read_csv_wkt,
+    read_geojson,
+    write_csv_wkt,
+    write_geojson,
+)

@@ -43,6 +43,19 @@ def bbox_filter_sql(bbox: tuple[float, float, float, float]) -> str:
     )
 
 
+def _detect_format(path: str) -> str:
+    p = path.rstrip("/")
+    if p.endswith(".lance"):
+        return "lance"
+    if p.endswith((".geojsonl", ".geojsons", ".ndjson", ".jsonl")):
+        return "geojsonseq"
+    if p.endswith((".geojson", ".json")):
+        return "geojson"
+    if p.endswith(".csv"):
+        return "csv"
+    return "parquet"
+
+
 def read_layer(
     path: str,
     columns: list[str] | None = None,
@@ -67,7 +80,7 @@ def read_layer(
     ``ray.data.read_lance`` with the same column pruning — in this
     sandbox (no pylance) Parquet is the storage driver and the Lance
     path raises a clear ImportError."""
-    fmt = format or ("lance" if path.rstrip("/").endswith(".lance") else "parquet")
+    fmt = format or _detect_format(path)
     if fmt == "lance":
         _lance_or_raise()
         # real pushdown: ray.data.read_lance forwards ``filter`` (an
@@ -80,6 +93,41 @@ def read_layer(
             columns=columns,
             filter=bbox_filter_sql(bbox) if bbox is not None else None,
         )
+    elif fmt in ("geojson", "geojsonseq", "csv"):
+        # pure-Python text endpoints (io/geojson.py); bbox filters per
+        # batch after the geometry decode (text formats carry no stats)
+        from .geojson import read_csv_wkt, read_geojson
+
+        ds = (
+            read_csv_wkt(path, columns=columns)
+            if fmt == "csv"
+            else read_geojson(path, columns=columns)
+        )
+        if bbox is not None:
+            from ..stages.geometry_batch import add_bounds
+
+            minx, miny, maxx, maxy = (float(v) for v in bbox)
+
+            def bbox_fn(batch: pa.Table) -> pa.Table:
+                n0 = batch.column_names
+                b = add_bounds(batch)
+                import pyarrow.compute as pc
+
+                keep = (
+                    pc.and_(
+                        pc.and_(
+                            pc.less_equal(b.column("minx"), maxx),
+                            pc.greater_equal(b.column("maxx"), minx),
+                        ),
+                        pc.and_(
+                            pc.less_equal(b.column("miny"), maxy),
+                            pc.greater_equal(b.column("maxy"), miny),
+                        ),
+                    )
+                )
+                return b.filter(keep).select(n0)
+
+            ds = ds.map_batches(bbox_fn, batch_format="pyarrow")
     else:
         import pyarrow.dataset as pads
 
@@ -132,10 +180,18 @@ def write_layer(
     merge step — contrast geofileops' append loop _geoops_sql.py:856-919).
     ``format='lance'`` (auto from a ``.lance`` suffix) writes a Lance
     dataset on clusters with pylance; sandbox driver is Parquet."""
-    fmt = format or ("lance" if path.rstrip("/").endswith(".lance") else "parquet")
+    fmt = format or _detect_format(path)
     if fmt == "lance":
         _lance_or_raise()
         ds.write_lance(path)
+        return
+    if fmt in ("geojson", "geojsonseq", "csv"):
+        from .geojson import write_csv_wkt, write_geojson
+
+        if fmt == "csv":
+            write_csv_wkt(ds, path)
+        else:
+            write_geojson(ds, path, seq=(fmt == "geojsonseq"))
         return
     if partition_cols:
         ds.write_parquet(path, partition_cols=partition_cols)

@@ -2944,7 +2944,10 @@ QUERIES = {
     "language_id": lambda sf: ta.language_id(_docs(sf)),
     "exact_dedup": lambda sf: td.exact_dedup(_docs(sf)),
     "minhash_bands": lambda sf: td.minhash_signatures(_docs(sf)),
-    "simhash32": lambda sf: td.simhash(_docs(sf)),
+    # r5 window curation: the REAL image-decode path (new exact oracle)
+    # takes the window slot; simhash32 stays gate-checked in the full
+    # registry (the dedup family keeps exact_dedup/minhash/ngram here)
+    "media_features_real": q_media_features_real,
     "ngram_jaccard": lambda sf: td.ngram_jaccard_pairs(_docs(sf), threshold=0.2),
     "ngram_decontaminate": lambda sf: tcn.ngram_decontaminate(_docs(sf)),
     "embedding_topk10": q_topk,
@@ -3057,7 +3060,7 @@ QUERIES = {
     "ivf_topk10": q_ivf_topk,
     "minhash_dedup_pairs": q_minhash_pairs,
     "media_features": q_media_features,
-    "media_features_real": q_media_features_real,
+    "simhash32": lambda sf: td.simhash(_docs(sf)),
     "audio_features_real": q_audio_features_real,
     # sketches: deterministic (partition-invariant) but approximate by
     # construction — rows-only driver checks; error bounds pinned by

@@ -132,10 +132,11 @@ def test_driver_window_covers_families_with_oracles():
         # tiling
         "tile_assignments_16", "zonal_rasterize_16", "vector_tile_cut_16",
         "polygonize_mask_16",
-        # spans / media
-        "spans_reassemble", "media_ref_fanout",
-        # text / dedup / similarity / events
-        "language_id", "exact_dedup", "minhash_bands", "simhash32",
+        # spans / media (incl. the r5 real-decode promotion)
+        "spans_reassemble", "media_ref_fanout", "media_features_real",
+        # text / dedup / similarity / events (simhash32 moved out of the
+        # window for the media_features_real slot; still in the registry)
+        "language_id", "exact_dedup", "minhash_bands",
         "ngram_jaccard", "ngram_decontaminate", "embedding_topk10",
         "sessionize_30m", "asof_click_view", "value_percentiles_per_type",
     }

@@ -145,3 +145,19 @@ def test_geojson_synthetic_corpus_matrix(ray_session, tmp_path):
     a0 = float(np.sum(area(from_wkb(collect(buffer_op(keep, 1.0)).column("geometry")))))
     a1 = float(np.sum(area(from_wkb(buffed.column("geometry")))))
     assert a1 == pytest.approx(a0)
+
+
+def test_layer_info_over_geojson(ray_session, tmp_path):
+    """Catalog parity: get_layerinfo works on a GeoJSON layer read
+    (reference get_layerinfo on any OGR path) with the crs from the
+    legacy member."""
+    from geofileops_ray.stages.catalog import layer_info
+
+    ds, _t = _sample_ds()
+    p = str(tmp_path / "layer.geojson")
+    write_geojson(ds, p, epsg=31370)
+    info = layer_info(read_layer(p), crs_epsg=geojson_crs(p))
+    assert info.featurecount == 7
+    assert info.crs is not None and info.crs.epsg == 31370
+    assert "naam" in info.columns and "v" in info.columns
+    assert info.total_bounds[0] <= 0.0 and info.total_bounds[2] >= 6.0

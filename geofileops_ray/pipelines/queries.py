@@ -18,6 +18,7 @@ import math
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -1084,22 +1085,97 @@ ORDER BY 1"""
 
 
 def q_dissolve_within_distance(sf):
-    """rows-only check (geometry merge result not SQL-expressible)."""
+    """Generic 9-step dissolve_within_distance over the zone grid
+    (distance 60 > the 25-unit grid gaps → everything merges into ONE
+    gap-closed polygon — an L when the last grid row is partial).
+
+    EXACT oracle on CLOSED-FORM invariants at round-2: the step-6
+    robustness buffer (eps = 1e-6) rides the kept connector pieces, so
+    boundary coordinates carry ±1e-6 artifacts and the raw geometry is
+    not SQL-expressible — but eps ≪ 0.005, so polygon count, area and
+    bounds rounded to 2 decimals equal the zone-grid closed form
+    computable from COUNT(*) alone (_o_dissolve_within_distance)."""
+    from ..geom.measure import area as _area
     from ..stages.compound import dissolve_within_distance
 
     ds = dissolve_within_distance(zones_dataset(sf), distance=60.0)
 
     def fn(batch: pa.Table) -> pa.Table:
         ga = from_wkb(batch.column("geometry"))
+        b = ga.bounds()
         return pa.table(
             {
-                "n_parts": pa.array(
-                    [int(ga.geom_offsets[-1])] * len(batch), pa.int64()
-                )
+                "n": pa.array([len(batch)], pa.int64()),
+                "area": pa.array([float(np.sum(_area(ga)))], pa.float64()),
+                "minx": pa.array([float(b[:, 0].min())], pa.float64()),
+                "miny": pa.array([float(b[:, 1].min())], pa.float64()),
+                "maxx": pa.array([float(b[:, 2].max())], pa.float64()),
+                "maxy": pa.array([float(b[:, 3].max())], pa.float64()),
             }
         )
 
-    return ds.map_batches(fn, batch_format="pyarrow")
+    # result is one (or a few) rows — the invariant row aggregates them
+    tabs = [
+        t
+        for t in ray.get(
+            ds.map_batches(fn, batch_format="pyarrow").to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    m = pa.concat_tables(tabs)
+    return pa.table(
+        {
+            "n_polygons": pa.array(
+                [int(pc.sum(m.column("n")).as_py())], pa.int64()
+            ),
+            "area": pa.array(
+                [round(float(pc.sum(m.column("area")).as_py()), 2)],
+                pa.float64(),
+            ),
+            "minx": pa.array(
+                [round(float(pc.min(m.column("minx")).as_py()), 2)],
+                pa.float64(),
+            ),
+            "miny": pa.array(
+                [round(float(pc.min(m.column("miny")).as_py()), 2)],
+                pa.float64(),
+            ),
+            "maxx": pa.array(
+                [round(float(pc.max(m.column("maxx")).as_py()), 2)],
+                pa.float64(),
+            ),
+            "maxy": pa.array(
+                [round(float(pc.max(m.column("maxy")).as_py()), 2)],
+                pa.float64(),
+            ),
+        }
+    )
+
+
+# closed form of the gap-closed zone grid (8 columns at 125 spacing,
+# 100-unit squares, origin 0.5): nz zones → nfull full rows + rem
+O_DISSOLVE_WITHIN_DISTANCE = """
+WITH z AS (
+  SELECT CAST(COUNT(*) AS BIGINT) nz,
+         CAST(COUNT(*) // 8 AS BIGINT) nf,
+         CAST(COUNT(*) % 8 AS BIGINT) rem
+  FROM documents WHERE doc_id % 100 = 0)
+SELECT CAST(1 AS BIGINT) AS n_polygons,
+       ROUND(CAST(CASE
+         WHEN nz <= 8 THEN ((nz - 1) * 125 + 100) * 100
+         WHEN rem = 0 THEN 975 * ((nf - 1) * 125 + 100)
+         ELSE 975 * ((nf - 1) * 125 + 100) + ((rem - 1) * 125 + 100) * 125
+       END AS DOUBLE), 2) AS area,
+       CAST(0.5 AS DOUBLE) AS minx,
+       CAST(0.5 AS DOUBLE) AS miny,
+       ROUND(CAST(CASE WHEN nz <= 8 THEN (nz - 1) * 125 + 100.5
+                       ELSE 975.5 END AS DOUBLE), 2) AS maxx,
+       ROUND(CAST(CASE
+         WHEN nz <= 8 THEN 100.5
+         WHEN rem = 0 THEN (nf - 1) * 125 + 100.5
+         ELSE nf * 125 + 100.5
+       END AS DOUBLE), 2) AS maxy
+FROM z"""
 
 
 # ---------------------------------------- dissolve_within_distance (exact)
@@ -3174,6 +3250,7 @@ FROM events GROUP BY 1 ORDER BY 1""",
     "kmeans_assign_8": ts.kmeans_assign_sql(8),
     "kmeans_fit_sizes": ts.kmeans_fit_sizes_sql(8, 5, 64),
     "approx_quantiles_value": O_APPROX_QUANTILES,
+    "dissolve_within_distance": O_DISSOLVE_WITHIN_DISTANCE,
     "bm25_spark_table_join": __import__(
         "geofileops_ray.textops.retrieval", fromlist=["bm25_sql"]
     ).bm25_sql("spark table join"),

@@ -161,3 +161,58 @@ def test_layer_info_over_geojson(ray_session, tmp_path):
     assert info.crs is not None and info.crs.epsg == 31370
     assert "naam" in info.columns and "v" in info.columns
     assert info.total_bounds[0] <= 0.0 and info.total_bounds[2] >= 6.0
+
+
+# ---------------------------------------------------------------- property
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_coord = st.integers(min_value=-1000, max_value=1000).map(float)
+_pt = st.tuples(_coord, _coord)
+
+
+def _ring_of(pts):
+    # a closed CCW-ish ring from ≥3 distinct points sorted around the mean
+    import math
+
+    uniq = sorted(set(pts))
+    if len(uniq) < 3:
+        return None
+    cx = sum(p[0] for p in uniq) / len(uniq)
+    cy = sum(p[1] for p in uniq) / len(uniq)
+    ordered = sorted(uniq, key=lambda p: math.atan2(p[1] - cy, p[0] - cx))
+    return [list(p) for p in ordered] + [list(ordered[0])]
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            _pt.map(lambda p: {"type": "Point", "coordinates": list(p)}),
+            st.lists(_pt, min_size=2, max_size=6, unique=True).map(
+                lambda ps: {"type": "LineString",
+                            "coordinates": [list(p) for p in ps]}
+            ),
+            st.lists(_pt, min_size=3, max_size=8, unique=True).map(
+                lambda ps: (
+                    {"type": "Polygon", "coordinates": [r]}
+                    if (r := _ring_of(ps)) is not None
+                    else {"type": "Point", "coordinates": list(ps[0])}
+                )
+            ),
+            st.none(),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_geojson_codec_property_roundtrip(geoms):
+    """from_geojson → to_geojson is the identity on normalized GeoJSON,
+    and agrees with the WKB codec (encode→decode→to_geojson) — three
+    codecs, one geometry model."""
+    ga = from_geojson(geoms)
+    out = to_geojson(ga)
+    assert out == geoms
+    ga2 = from_wkb(pa.array(to_wkb(ga), pa.binary()))
+    assert to_geojson(ga2) == geoms

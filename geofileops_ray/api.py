@@ -67,6 +67,11 @@ from .io.geojson import (  # noqa: F401
     write_csv_wkt,
     write_geojson,
 )
+from .io.gpkg import (  # noqa: F401
+    gpkg_crs,
+    read_gpkg,
+    write_gpkg,
+)
 from .io.readwrite import write_layer as to_file  # noqa: F401
 from .io.readwrite import (  # noqa: F401
     copy,

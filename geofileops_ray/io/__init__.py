@@ -18,3 +18,9 @@ from .geojson import (  # noqa: F401
     write_csv_wkt,
     write_geojson,
 )
+from .gpkg import (  # noqa: F401
+    gpkg_crs,
+    listlayers_gpkg,
+    read_gpkg,
+    write_gpkg,
+)

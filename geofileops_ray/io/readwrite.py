@@ -47,6 +47,8 @@ def _detect_format(path: str) -> str:
     p = path.rstrip("/")
     if p.endswith(".lance"):
         return "lance"
+    if p.endswith(".gpkg"):
+        return "gpkg"
     if p.endswith((".geojsonl", ".geojsons", ".ndjson", ".jsonl")):
         return "geojsonseq"
     if p.endswith((".geojson", ".json")):
@@ -93,6 +95,13 @@ def read_layer(
             columns=columns,
             filter=bbox_filter_sql(bbox) if bbox is not None else None,
         )
+    elif fmt == "gpkg":
+        # stdlib-sqlite GeoPackage endpoint (io/gpkg.py): parallel
+        # rowid-range read, r-tree bbox pushdown, SQLite where pushdown
+        from .gpkg import read_gpkg
+
+        ds = read_gpkg(path, columns=columns, bbox=bbox, where=where)
+        where = None  # already pushed into the scan
     elif fmt in ("geojson", "geojsonseq", "csv"):
         # pure-Python text endpoints (io/geojson.py); bbox filters per
         # batch after the geometry decode (text formats carry no stats)
@@ -184,6 +193,11 @@ def write_layer(
     if fmt == "lance":
         _lance_or_raise()
         ds.write_lance(path)
+        return
+    if fmt == "gpkg":
+        from .gpkg import write_gpkg
+
+        write_gpkg(ds, path)
         return
     if fmt in ("geojson", "geojsonseq", "csv"):
         from .geojson import write_csv_wkt, write_geojson

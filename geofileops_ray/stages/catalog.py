@@ -314,6 +314,10 @@ def listlayers(path: str) -> list[str]:
     import os
 
     if os.path.isfile(path):
+        if path.endswith(".gpkg"):
+            from ..io.gpkg import listlayers_gpkg
+
+            return listlayers_gpkg(path)
         return [os.path.splitext(os.path.basename(path))[0]]
     out = []
     for entry in sorted(os.listdir(path)):

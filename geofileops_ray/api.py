@@ -72,6 +72,7 @@ from .io.gpkg import (  # noqa: F401
     read_gpkg,
     write_gpkg,
 )
+from .io.shapefile import read_shapefile, write_shapefile  # noqa: F401
 from .io.readwrite import write_layer as to_file  # noqa: F401
 from .io.readwrite import (  # noqa: F401
     copy,

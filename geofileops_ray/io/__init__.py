@@ -24,3 +24,4 @@ from .gpkg import (  # noqa: F401
     read_gpkg,
     write_gpkg,
 )
+from .shapefile import read_shapefile, write_shapefile  # noqa: F401

@@ -49,6 +49,8 @@ def _detect_format(path: str) -> str:
         return "lance"
     if p.endswith(".gpkg"):
         return "gpkg"
+    if p.endswith(".shp"):
+        return "shp"
     if p.endswith((".geojsonl", ".geojsons", ".ndjson", ".jsonl")):
         return "geojsonseq"
     if p.endswith((".geojson", ".json")):
@@ -102,16 +104,22 @@ def read_layer(
 
         ds = read_gpkg(path, columns=columns, bbox=bbox, where=where)
         where = None  # already pushed into the scan
-    elif fmt in ("geojson", "geojsonseq", "csv"):
-        # pure-Python text endpoints (io/geojson.py); bbox filters per
-        # batch after the geometry decode (text formats carry no stats)
-        from .geojson import read_csv_wkt, read_geojson
+    elif fmt in ("geojson", "geojsonseq", "csv", "shp"):
+        # pure-Python endpoints (io/geojson.py, io/shapefile.py); bbox
+        # filters per batch after the geometry decode (these formats
+        # carry no usable stats index here)
+        if fmt == "shp":
+            from .shapefile import read_shapefile
 
-        ds = (
-            read_csv_wkt(path, columns=columns)
-            if fmt == "csv"
-            else read_geojson(path, columns=columns)
-        )
+            ds = read_shapefile(path, columns=columns)
+        else:
+            from .geojson import read_csv_wkt, read_geojson
+
+            ds = (
+                read_csv_wkt(path, columns=columns)
+                if fmt == "csv"
+                else read_geojson(path, columns=columns)
+            )
         if bbox is not None:
             from ..stages.geometry_batch import add_bounds
 
@@ -198,6 +206,11 @@ def write_layer(
         from .gpkg import write_gpkg
 
         write_gpkg(ds, path)
+        return
+    if fmt == "shp":
+        from .shapefile import write_shapefile
+
+        write_shapefile(ds, path)
         return
     if fmt in ("geojson", "geojsonseq", "csv"):
         from .geojson import write_csv_wkt, write_geojson

@@ -2940,6 +2940,106 @@ def q_hopping_events(sf):
     return hopping_window_agg(ev, window_seconds=3600, slide_seconds=900)
 
 
+def q_geofile_roundtrip(sf):
+    """The interchange format endpoints under the driver gate: parcels
+    written to and re-read from each pure-Python format (GPKG /
+    GeoJSON / GeoJSONSeq / Shapefile / CSV+WKT), emitting per-format
+    row count, exact area sum and distinct-group count — all closed
+    forms of the parcels CTE, so one EXACT oracle covers five codecs
+    end-to-end."""
+    import shutil
+    import tempfile
+
+    from ..geom.measure import area as _ar
+    from ..io.readwrite import read_layer, write_layer
+
+    src = parcels_dataset(sf).map_batches(
+        lambda b: b.select(["doc_id", "GEWASGROEP", "geometry"]),
+        batch_format="pyarrow",
+    )
+    tmp = tempfile.mkdtemp(prefix="gfr_fmt_", dir="/tmp")
+    out_fmt, out_n, out_area, out_g = [], [], [], []
+    try:
+        for name, fname in (
+            ("gpkg", "parcels.gpkg"),
+            ("geojson", "parcels.geojson"),
+            ("geojsonseq", "parcels.geojsonl"),
+            ("shp", "parcels.shp"),
+            ("csv", "parcels.csv"),
+        ):
+            path = f"{tmp}/{fname}"
+            write_layer(src, path)
+            back = read_layer(path)
+            # per-block partials → tiny driver reduce; the
+            # area/count/groups compare is the codec-correctness signal
+            parts = [
+                t
+                for t in ray.get(
+                    back.map_batches(
+                        lambda b: pa.table(
+                            {
+                                "n": pa.array([len(b)], pa.int64()),
+                                "a": pa.array(
+                                    [
+                                        float(
+                                            np.sum(
+                                                _ar(
+                                                    from_wkb(
+                                                        b.column("geometry")
+                                                    )
+                                                )
+                                            )
+                                        )
+                                    ],
+                                    pa.float64(),
+                                ),
+                            }
+                        ),
+                        batch_format="pyarrow",
+                    ).to_arrow_refs()
+                )
+                if t.num_rows
+            ]
+            m = pa.concat_tables(parts)
+            gset = set(
+                v
+                for t in ray.get(
+                    back.map_batches(
+                        lambda b: pa.table(
+                            {"g": b.column("GEWASGROEP").unique()}
+                        ),
+                        batch_format="pyarrow",
+                    ).to_arrow_refs()
+                )
+                for v in t.column("g").to_pylist()
+            )
+            out_fmt.append(name)
+            out_n.append(int(pc.sum(m.column("n")).as_py()))
+            out_area.append(round(float(pc.sum(m.column("a")).as_py()), 6))
+            out_g.append(len(gset))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return pa.table(
+        {
+            "format": pa.array(out_fmt, pa.string()),
+            "n_rows": pa.array(out_n, pa.int64()),
+            "area_sum": pa.array(out_area, pa.float64()),
+            "n_groups": pa.array(out_g, pa.int64()),
+        }
+    )
+
+
+O_GEOFILE_ROUNDTRIP = f"""{CTE},
+s AS (SELECT CAST(COUNT(*) AS BIGINT) n,
+             ROUND(SUM((maxx - minx) * (maxy - miny)), 6) a,
+             CAST(COUNT(DISTINCT GEWASGROEP) AS BIGINT) g
+      FROM parcels)
+SELECT f.format, s.n AS n_rows, s.a AS area_sum, s.g AS n_groups
+FROM (VALUES ('gpkg'), ('geojson'), ('geojsonseq'), ('shp'), ('csv'))
+     f(format), s
+ORDER BY f.format"""
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -3149,6 +3249,8 @@ QUERIES = {
     "windowed_events": q_windowed_events,
     "hopping_events": q_hopping_events,
     "top10_quality_per_lang": q_top10_quality,
+    # r5: the five interchange format codecs under one exact oracle
+    "geofile_roundtrip": q_geofile_roundtrip,
 }
 
 ORACLES = {
@@ -3251,6 +3353,7 @@ FROM events GROUP BY 1 ORDER BY 1""",
     "kmeans_fit_sizes": ts.kmeans_fit_sizes_sql(8, 5, 64),
     "approx_quantiles_value": O_APPROX_QUANTILES,
     "dissolve_within_distance": O_DISSOLVE_WITHIN_DISTANCE,
+    "geofile_roundtrip": O_GEOFILE_ROUNDTRIP,
     "bm25_spark_table_join": __import__(
         "geofileops_ray.textops.retrieval", fromlist=["bm25_sql"]
     ).bm25_sql("spark table join"),

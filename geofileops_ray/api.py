@@ -27,9 +27,27 @@ from .stages.single_layer import (  # noqa: F401
     select,
     simplify,
     update_column,
-    warp,
     warp_gcps,
 )
+from .stages.single_layer import warp as warp_affine  # noqa: F401
+
+
+def warp(ds, gcps=None, algorithm="polynomial", order=None,
+         matrix=None, **post):
+    """Reference geoops.warp surface: GCP-based rubbersheeting
+    (geoops.py:1561-1612) — ``gcps`` is a list of
+    (x_orig, y_orig, x_dest, y_dest[, elevation]) tuples, ``algorithm``
+    "polynomial" (order 1-3) or "tps". The engine's extra affine path
+    is reachable via ``matrix=(a, b, c, d, e, f)`` or warp_affine."""
+    if matrix is not None:
+        return warp_affine(ds, matrix, **post)
+    if gcps is not None and len(gcps) and isinstance(gcps[0], (int, float)):
+        # a flat 6-tuple: the engine's affine spelling
+        return warp_affine(ds, tuple(gcps), **post)
+    if gcps is None:
+        raise TypeError("warp() needs gcps=[...] (or matrix=(a..f))")
+    return warp_gcps(ds, list(gcps), algorithm=algorithm, order=order,
+                     **post)
 
 # two layer (geoops.py:1908-3871)
 from .stages.overlay_ops import (  # noqa: F401

@@ -702,11 +702,20 @@ def select_two_layers(
     ds2: ray.data.Dataset,
     sql: str,
     size: float | None = None,
+    remove_slivers: bool = False,
+    sliver_tolerance: float | None = None,
 ) -> ray.data.Dataset:
     """Run user DuckDB SQL per spatial cell with views ``layer1`` /
     ``layer2`` (the reference's two-layer SQL surface with {batch_filter}
     → cell boundaries; the query must be cell-local, same caveat as the
-    reference's batch-parallel mode)."""
+    reference's batch-parallel mode).
+
+    ``remove_slivers`` applies the reference's sliver rule to the
+    output polygons (geoops.select_two_layers remove_slivers,
+    _get_sliver_where _geoops_sql.py:4059-4130: average width <
+    tolerance AND precision-reduction collapses the ring); the
+    tolerance defaults to OPTIONS.sliver_tolerance (0.001, the
+    projected-CRS default), negative keeps ONLY slivers."""
     size = size or OPTIONS.cell_size
 
     def group_fn(g1, ga1, g2, ga2, cell):
@@ -730,10 +739,24 @@ def select_two_layers(
 
     # user SQL is written against cell-local replicated views (the
     # documented {batch_filter} analogue) — never broadcast-rewrite it
-    return cell_cogroup(
+    out = cell_cogroup(
         ds1, ds2, group_fn, _attr_cols(ds1), _attr_cols(ds2), size=size,
         broadcast=False,
     )
+    if remove_slivers:
+        from .overlay_ops import _filter_slivers
+
+        tol = (
+            OPTIONS.sliver_tolerance
+            if sliver_tolerance is None
+            else sliver_tolerance
+        )
+        # reference skips the filter when the output has no geometry
+        # column (_geoops_sql.py:3659-3669); the user SQL decides
+        probe = out.schema().base_schema
+        if any(f.name == _GEOM for f in probe):
+            out = _filter_slivers(out, tol)
+    return out
 
 
 def concat(datasets: list[ray.data.Dataset]) -> ray.data.Dataset:

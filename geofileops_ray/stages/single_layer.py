@@ -101,13 +101,32 @@ def makevalid(ds: ray.data.Dataset, **post) -> ray.data.Dataset:
     return _apply_op(ds, alg.make_valid, **post)
 
 
-def isvalid(ds: ray.data.Dataset) -> ray.data.Dataset:
-    """Rows failing validity, with reason (like the reference's isvalid
-    writing invalid rows + isvalidreason, _geoops_sql.py:252-326)."""
+def isvalid(
+    ds: ray.data.Dataset, only_invalid: bool = True
+) -> ray.data.Dataset:
+    """Validity report (reference isvalid, _geoops_sql.py:252-326):
+    with ``only_invalid`` (the reference default) only failing rows are
+    emitted, each with its isvalidreason; ``only_invalid=False`` keeps
+    every row and adds an ``isvalid`` flag ('Valid Geometry' reason for
+    the passing rows, the Spatialite convention)."""
 
     def fn(batch: pa.Table) -> pa.Table:
         ga = decode_geometry(batch)
         valid, reasons = alg.is_valid_detail(ga)
+        if not only_invalid:
+            out = batch.append_column(
+                "isvalid", pa.array(valid.astype(bool), pa.bool_())
+            )
+            return out.append_column(
+                "isvalidreason",
+                pa.array(
+                    [
+                        "Valid Geometry" if v else (r or "Invalid Geometry")
+                        for v, r in zip(valid, reasons)
+                    ],
+                    pa.string(),
+                ),
+            )
         bad = np.flatnonzero(~valid)
         out = batch.take(pa.array(bad))
         out = out.append_column(

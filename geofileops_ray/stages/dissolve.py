@@ -1219,12 +1219,37 @@ def dissolve(
             file=_sys.stderr, flush=True,
         )
     if explodecollections:
+        from ..geom import measure as _meas
         from .geometry_batch import encode_geometry, explode_batch
 
         def explode_fn(batch: pa.Table) -> pa.Table:
             ga = decode_geometry(batch)
             out_b, out_ga = explode_batch(batch, ga)
-            return encode_geometry(out_b, out_ga)
+            # drop numerical-noise needles: the sweep's noding can
+            # leave pieces whose average width (2·area/perimeter) is at
+            # double-precision noise for the coordinate MAGNITUDE
+            # (observed ~1e-11-width needles at |coord|≈2e5 on the
+            # reference's real-parcel fixture — ≈ eps·|coord| — where
+            # GEOS's robust noding emits nothing). Threshold: 10⁴·eps·
+            # magnitude ≈ 100× above the noise floor and ≥10² below any
+            # genuine sliver (sub-mm at km scale).
+            a = _meas.area(out_ga)
+            per = _meas.perimeter(out_ga)
+            bb = out_ga.bounds()
+            mag = np.maximum(
+                1.0, np.abs(bb).max(axis=1, initial=0.0)
+            )
+            with np.errstate(invalid="ignore", divide="ignore"):
+                width = 2.0 * a / np.maximum(per, 1e-300)
+                keep = (width >= 1e4 * 2.220446049250313e-16 * mag) & (
+                    per > 0
+                )
+            if keep.all():
+                return encode_geometry(out_b, out_ga)
+            idx = np.flatnonzero(keep)
+            return encode_geometry(
+                out_b.take(pa.array(idx)), out_ga.take(idx)
+            )
 
         out = out.map_batches(explode_fn, batch_format="pyarrow")
     if geoindex_column:

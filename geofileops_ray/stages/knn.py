@@ -274,6 +274,23 @@ def join_nearest(
     to distance_crs."""
     size = size or OPTIONS.cell_size
     radius = radius or size
+
+    # NULL/EMPTY-geometry rows take part in no nearest relation (the
+    # reference's expected count is nb_nearest × (rows with non-empty
+    # geometry), test_geofileops_twolayers.py:1465-1524 — the parcel
+    # fixture carries one EMPTY multipolygon)
+    def _drop_null_geom(ds):
+        def fn(b: pa.Table) -> pa.Table:
+            ga = from_wkb(b.column(_GEOM))
+            keep = ga.num_coords() > 0
+            if keep.all():
+                return b
+            return b.take(pa.array(np.flatnonzero(keep)))
+
+        return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+    ds1 = _drop_null_geom(ds1)
+    ds2 = _drop_null_geom(ds2)
     from ..geom.crs import user_crs_snapshot
 
     # driver-side snapshot: register_crs state must travel into the

@@ -144,10 +144,13 @@ def relate_matrix(ga1, i: int, ga2, j: int) -> str:
 
 
 def mask_matches(matrix: str, mask: str) -> bool:
-    """DE-9IM mask match: '*' any, 'T' any non-F dimension, 'F' empty,
-    digit exact (ST_RelateMatch semantics)."""
+    """DE-9IM mask match: '*'/'-' any, 'T' any non-F dimension, 'F'
+    empty, digit exact (ST_RelateMatch semantics; '-' is Spatialite's
+    don't-care spelling — the reference's own tests use 'T-F--F---'
+    as an equivalent of the within mask,
+    test_export_by_location.py:198)."""
     for mc, xc in zip(mask, matrix):
-        if mc == "*":
+        if mc in "*-":
             continue
         if mc == "T" and xc == "F":
             return False
@@ -157,9 +160,10 @@ def mask_matches(matrix: str, mask: str) -> bool:
             return False
     return True
 
-_MASK_RE = re.compile(r"^[TF012\*]{9}$")
+_MASK_RE = re.compile(r"^[TF012\*\-]{9}$")
 _TOKEN = re.compile(
-    r"\s*(\(|\)|[TF012\*]{9}(?![\w*])|and\b|or\b|not\b|is\b|True\b|False\b|[a-z_]+)"
+    r"\s*(\(|\)|[TF012\*\-]{9}(?![\w*-])|and\b|or\b|not\b|is\b|True\b"
+    r"|False\b|[a-z_]+)"
 )
 
 

@@ -750,6 +750,21 @@ def export_by_location(
     full_cols = [c for c in ds1.schema().base_schema.names if c != _GEOM] + [_GEOM]
     l1 = _prefix_dataset(ds1, "l1_", full_cols)
     if include_disjoint:
+        if min_area_intersect:
+            # min_area is an ADDITIONAL conjunct on the intersection
+            # area (reference test_export_by_location.py:84-88:
+            # "within is False" + min_area 1000 → 16): zero-candidate
+            # rows have area 0 and fail it, so the usual
+            # keep-on-no-candidates rule flips to a keep-set
+            kept = flags.filter(
+                expr=(
+                    "n_match >= n_cand and "
+                    f"area >= {float(min_area_intersect)}"
+                )
+            ).materialize()
+            return _semi_filter_by_ids(
+                l1, kept, "keep", area_inters_column_name, broadcast_limit
+            )
         # keep rows where ALL candidates satisfy the query, or no
         # candidates exist → drop-set = ids with any failing candidate
         # (smaller than the keep-set and covers zero-candidate rows)

@@ -12,7 +12,12 @@ def collect(ds: ray.data.Dataset) -> pa.Table:
     Only for results / tests — pipelines should stream to sinks."""
     tables = list(ds.iter_batches(batch_format="pyarrow", batch_size=None))
     if not tables:
-        return pa.table({})
+        # iter_batches yields nothing for an all-empty dataset (Ray's
+        # batcher skips 0-row blocks) — recover the schema so empty
+        # results stay typed
+        sch = ds.schema()
+        base = getattr(sch, "base_schema", None) if sch else None
+        return base.empty_table() if base is not None else pa.table({})
     return pa.concat_tables([t if isinstance(t, pa.Table) else pa.Table.from_batches([t]) for t in tables])
 
 

@@ -160,3 +160,32 @@ def test_gpkg_synthetic_corpus_pipeline(ray_session, tmp_path):
         )
     )
     assert a == b
+
+
+def test_reads_gdal_written_gpkg(ray_session):
+    """TRUE interop: the reference repo ships a GDAL-written GeoPackage
+    (geofileops/util/test.gpkg — a real Flanders parcel, EPSG:31370,
+    with GDAL's own r-tree). Our stdlib reader must get the
+    attributes, the MULTIPOLYGON geometry and the r-tree bbox path
+    right on a file we did not write."""
+    import numpy as np
+
+    from geofileops_ray.geom.measure import area
+
+    p = "/root/reference/geofileops/util/test.gpkg"
+    assert listlayers_gpkg(p) == ["test"]
+    assert gpkg_crs(p) == 31370
+    t = collect(read_gpkg(p))
+    assert t.num_rows == 1
+    row = t.to_pylist()[0]
+    assert row["GEWASGROEP"] == "Grasland" and row["OPPERVL"] == 4816.51
+    ga = from_wkb(t.column("geometry"))
+    assert int(ga.types[0]) == 6  # MULTIPOLYGON
+    assert float(np.sum(area(ga))) == pytest.approx(4816.514, abs=1e-2)
+    b = ga.bounds()
+    # bbox through GDAL's own rtree_test_geom index
+    hit = collect(read_gpkg(p, bbox=(156000, 196400, 156200, 196600)))
+    assert hit.num_rows == 1
+    miss = collect(read_gpkg(p, bbox=(0, 0, 1, 1)))
+    assert miss.num_rows == 0
+    assert b[0, 0] == pytest.approx(156094.28, abs=0.01)

@@ -176,3 +176,42 @@ def test_dissolve_counts(ray_session):
     assert c.num_rows == 24
     d = collect(dissolve(p, explodecollections=False))
     assert d.num_rows == 1
+
+
+def test_union_overlay_circles(ray_session):
+    """test_geofileops_twolayers.py:~2380: union of the overlapping
+    circle fixtures → 5 rows (2 intersections + 2 l1 remainders + 1
+    l2 remainder)."""
+    from geofileops_ray.stages.overlay_ops import union as union_overlay
+
+    c23 = _with_doc_id(
+        read_gpkg(f"{DATA}/polygon-3overlappingcircles-2+3.gpkg")
+    )
+    c1 = _with_doc_id(
+        read_gpkg(f"{DATA}/polygon-3overlappingcircles-1.gpkg")
+    )
+    out = collect(union_overlay(c23, c1, size=SIZE))
+    assert out.num_rows == 5
+
+
+def test_reads_gdal_shapefile_fixture(ray_session, tmp_path):
+    """TRUE shapefile interop: the reference ships GDAL's classic
+    poly.shp corpus (poly_shp.zip — 10 polygons whose AREA attribute
+    is the polygon's area). Our pure-struct reader must parse rings so
+    exactly that the computed area matches the stored attribute."""
+    import zipfile
+
+    import numpy as np
+
+    from geofileops_ray.geom.measure import area
+    from geofileops_ray.geom.wkb import from_wkb
+    from geofileops_ray.io.shapefile import read_shapefile
+
+    zipfile.ZipFile(f"{DATA}/poly_shp.zip").extractall(tmp_path)
+    t = collect(read_shapefile(str(tmp_path / "poly.shp")))
+    assert t.num_rows == 10
+    assert set(t.column_names) == {"fid", "AREA", "EAS_ID", "PRFEDEA", "geometry"}
+    ga = from_wkb(t.column("geometry"))
+    a = area(ga)
+    attr = np.array(t.column("AREA").to_pylist())
+    assert float(np.max(np.abs(a - attr) / a)) < 1e-6

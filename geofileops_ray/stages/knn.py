@@ -281,11 +281,17 @@ def join_nearest(
     # fixture carries one EMPTY multipolygon)
     def _drop_null_geom(ds):
         def fn(b: pa.Table) -> pa.Table:
-            ga = from_wkb(b.column(_GEOM))
-            keep = ga.num_coords() > 0
-            if keep.all():
+            import pyarrow.compute as pc
+
+            col = b.column(_GEOM)
+            # no decode: a NULL or EMPTY geometry's WKB is ≤ 13 bytes
+            # (header + zero count); the smallest real geometry (a
+            # point) is 21 — one vectorized length scan suffices
+            lens = pc.fill_null(pc.binary_length(col), 0)
+            keep = pc.greater_equal(lens, 21)
+            if pc.all(keep).as_py():
                 return b
-            return b.take(pa.array(np.flatnonzero(keep)))
+            return b.filter(keep)
 
         return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 

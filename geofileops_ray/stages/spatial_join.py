@@ -814,15 +814,39 @@ def export_by_distance(
 def join_attributes(
     ds1: ray.data.Dataset,
     ds2: ray.data.Dataset,
-    on: list[str],
+    on: list[str] | None = None,
     how: str = "inner",
     num_partitions: int | None = None,
+    left_on: list[str] | str | None = None,
+    right_on: list[str] | str | None = None,
 ) -> ray.data.Dataset:
     """Attribute equi-join keeping layer1 geometry (geoops.join,
     _geoops_sql.py:2105-2182) — Ray Data hash join, non-spatial.
-    Partition count scales with the pool unless pinned."""
+    Partition count scales with the pool unless pinned.
+
+    ``left_on``/``right_on`` (the reference's input1_on/input2_on,
+    geoops.py join) allow different key column names per side — the
+    right keys are renamed to the left names before the hash join, so
+    the join key appears once in the output under the left name (the
+    reference's behavior)."""
     from .agg import default_nparts
 
+    if on is None:
+        if left_on is None or right_on is None:
+            raise TypeError("join needs on=[...] or left_on/right_on")
+        lo = [left_on] if isinstance(left_on, str) else list(left_on)
+        ro = [right_on] if isinstance(right_on, str) else list(right_on)
+        if len(lo) != len(ro):
+            raise ValueError("left_on and right_on need equal lengths")
+        ren = dict(zip(ro, lo))
+
+        def rename(b: pa.Table) -> pa.Table:
+            return b.rename_columns(
+                [ren.get(c, c) for c in b.column_names]
+            )
+
+        ds2 = ds2.map_batches(rename, batch_format="pyarrow")
+        on = lo
     ds2_nogeo = ds2.map_batches(
         lambda b: b.drop_columns([c for c in (_GEOM, "spans") if c in b.column_names]),
         batch_format="pyarrow",

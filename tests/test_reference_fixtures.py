@@ -245,3 +245,38 @@ def test_single_layer_counts(ray_session):
     assert collect(buffer_op(p, 1.0)).num_rows == 47
     assert collect(buffer_op(p, -10.0)).num_rows == 39
     assert collect(simplify(p, 5.0)).num_rows == 46
+
+
+def test_join_attributes_different_key_names(ray_session):
+    """test_join.py: the reference's join takes input1_on/input2_on
+    with DIFFERENT key column names — parcels.HFDTLT joined to a tiny
+    code table on hfdtlt_code; inner keeps the matching parcels, left
+    keeps all 48."""
+    from geofileops_ray.stages.spatial_join import join_attributes
+
+    p = _parcels()
+    codes = ray.data.from_arrow(
+        pa.table(
+            {
+                "hfdtlt_code": pa.array(["60", "201"], pa.string()),
+                "name": pa.array(["Grasland", "Silomaïs"], pa.string()),
+            }
+        )
+    )
+    src = collect(p)
+    exp_inner = sum(
+        1 for v in src.column("HFDTLT").to_pylist() if v in ("60", "201")
+    )
+    inner = collect(
+        join_attributes(
+            p, codes, left_on="HFDTLT", right_on="hfdtlt_code",
+            how="inner",
+        )
+    )
+    assert inner.num_rows == exp_inner > 0
+    left = collect(
+        join_attributes(
+            p, codes, left_on="HFDTLT", right_on="hfdtlt_code", how="left"
+        )
+    )
+    assert left.num_rows == 48

@@ -280,3 +280,21 @@ def test_join_attributes_different_key_names(ray_session):
         )
     )
     assert left.num_rows == 48
+
+
+def test_concat_heterogeneous_schemas(ray_session):
+    """test_concat.py: concat NULL-fills missing columns; two parcel
+    layers + the zone layer (disjoint schemas) → 2·48 + 5 = 101 rows
+    with the union of columns."""
+    from geofileops_ray.stages.compound import concat
+
+    p, z = _parcels(), _zones()
+    out = collect(concat([p, z, p]))
+    assert out.num_rows == 2 * 48 + 5
+    names = set(out.column_names)
+    assert {"GEWASGROEP", "naam", "geometry"} <= names
+    # zone rows have NULL parcel attributes and vice versa
+    import pyarrow.compute as pc
+
+    assert pc.sum(pc.is_null(out.column("GEWASGROEP"))).as_py() == 5
+    assert pc.sum(pc.is_null(out.column("naam"))).as_py() == 96
